@@ -1,0 +1,49 @@
+"""Table catalog over the driver-provided parquet test lake.
+
+The synthetic lake (``/root/testdata/sf*/``) is a TPC-H-ish star schema plus
+an ``events`` stream table and ``documents`` / ``embeddings`` tables for the
+training-data operators. Readers go through :func:`load_table` so every query
+in the engine shares one access path — which is also where, at production
+scale, bucketing / partition filters / table-format (Delta/Iceberg) options
+would be injected.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins (≤ a few MB even
+# at sf100; the reference's dim_player/dim_team are the same shape).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Column pruning + predicate pushdown reach the
+    parquet scan automatically because callers keep the plan declarative."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every lake table as a temp view so ``spark.sql`` corpora
+    (the analyst-SQL entry point, SURVEY §3.2) can run unchanged."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

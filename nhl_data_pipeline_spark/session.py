@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what we would set fleet-wide on a real cluster:
+AQE on (runtime coalescing + skew-join splitting), Arrow on (fast pandas
+interop for the few Pandas-UDF operators), UTC session timezone (bit-exact
+timestamp parity with columnar engines such as DuckDB that store UTC-naive),
+and shuffle partitions sized to the actual parallelism instead of the
+historical default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "nhl_data_pipeline_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    On a real cluster the ``master`` and memory settings come from
+    spark-submit; everything set here is cluster-size-agnostic policy.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching. Essential at 100 TB, harmless
+        # locally.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle partitions ~ cores for local runs. On a cluster this is
+        # executors*cores*2-3; AQE coalesces down from there.
+        .config("spark.sql.shuffle.partitions", str(n))
+        # Arrow transfer for pandas_udf / toPandas: vectorized, zero-copy-ish.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # UTC everywhere: deterministic timestamp semantics, oracle parity.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The test lake's parquet uses TIMESTAMP(NANOS); this maps it to
+        # timestamp_ntz instead of erroring (PARQUET_TYPE_ILLEGAL).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Quiet UI for batch runs.
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
