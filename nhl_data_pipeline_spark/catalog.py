@@ -39,7 +39,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet scan automatically because callers keep the plan declarative."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces
+        # as a raw nanosecond bigint. Truncate (not round) to micros — the
+        # same ns→us semantics DuckDB applies — and present as timestamp_ntz.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from nhl_data_pipeline_spark.catalog import load_table
 from nhl_data_pipeline_spark.functions.scalars import dec
 from nhl_data_pipeline_spark.plans.registry import query
-from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum, dsum_expr
+from nhl_data_pipeline_spark.plans.sqlgen import bcount, bsum, dsum, dsum_expr
 
 
 @query(
@@ -60,3 +60,260 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.alias("count_order"),
         )
     )
+
+
+@query(
+    "conditional_pivot",
+    covers="A3",
+    oracle=f"""
+        SELECT c_nationkey,
+               {dsum("CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal ELSE 0 END", "automobile_bal")},
+               {dsum("CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal ELSE 0 END", "building_bal")},
+               {dsum("CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal ELSE 0 END", "machinery_bal")},
+               {bcount('n_household', "c_mktsegment = 'HOUSEHOLD'")},
+               {bcount('n_customers')}
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+)
+def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (manual pivot): SUM/COUNT of CASE per group.
+
+    Analog of `MAX(CASE WHEN bet_type='Over' THEN odds END)` and the
+    position-split shot sums (`fact_player_sog_props_v2.sql:57-71`,
+    `team_shots_against_by_position.sql:30-41`). `groupBy().pivot()` is the
+    sugar form; the explicit CASE keeps the column list stable.
+    """
+    c = load_table(spark, sf_dir, "customer")
+
+    def seg_bal(seg: str):
+        return F.sum(
+            dec(F.when(F.col("c_mktsegment") == seg, F.col("c_acctbal")).otherwise(F.lit(0.0)))
+        ).cast("double")
+
+    return c.groupBy("c_nationkey").agg(
+        seg_bal("AUTOMOBILE").alias("automobile_bal"),
+        seg_bal("BUILDING").alias("building_bal"),
+        seg_bal("MACHINERY").alias("machinery_bal"),
+        F.count(F.when(F.col("c_mktsegment") == "HOUSEHOLD", 1)).alias("n_household"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "hit_rate_ratios",
+    covers="A4",
+    oracle=f"""
+        SELECT event_type,
+               {bcount('n_over', 'value > 250')},
+               {bcount('n_decided', 'value <> 250')},
+               CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS DOUBLE)
+                   / NULLIF(COUNT(CASE WHEN value <> 250 THEN 1 END), 0) AS over_rate
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def hit_rate_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered COUNTs with a NULLIF-guarded hit-rate ratio.
+
+    Analog of the SOG-props over/under hit rates
+    (`rpt_sog_props_performance.sql:25-118`): `COUNT(CASE ...) /
+    NULLIF(COUNT(CASE ...), 0)` — pushes both counts into one aggregate pass.
+    """
+    e = load_table(spark, sf_dir, "events")
+    n_over = F.count(F.when(F.col("value") > 250, 1))
+    n_decided = F.count(F.when(F.col("value") != 250, 1))
+    return e.groupBy("event_type").agg(
+        n_over.alias("n_over"),
+        n_decided.alias("n_decided"),
+        F.when(n_decided != 0, n_over.cast("double") / n_decided)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("over_rate"),
+    )
+
+
+@query(
+    "distinct_projection",
+    covers="A5",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT dedup of a projection.
+
+    Analog of dim_team's DISTINCT + the crosswalk's distinct odds names
+    (`dim_team.sql:11-30`, `stg_player_name_crosswalk.sql:52-64`). Planned as
+    a hash aggregate with map-side partials.
+    """
+    return load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).distinct()
+
+
+@query(
+    "count_distinct_exact",
+    covers="A6",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+               {bcount('n_events')}
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group.
+
+    Analog of the bronze validation profile (`query/validate_bronze.py:65-84`).
+    Spark expands this to a two-phase aggregate. At 100 TB, prefer
+    approx_count_distinct (HLL) unless exactness is contractual — the exact
+    form shuffles every distinct (group, user) pair.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "having_min_sample",
+    covers="A7",
+    oracle=f"""
+        SELECT c_nationkey, {bcount('n_customers')},
+               {dsum('c_acctbal', 'total_balance')}
+        FROM customer
+        GROUP BY c_nationkey
+        HAVING COUNT(*) >= 5
+    """,
+)
+def having_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: post-aggregation minimum-sample filter.
+
+    Analog of `HAVING COUNT(*) >= 5/10/20`
+    (`rpt_sog_props_performance.sql:73,104`). In DataFrame form: filter on
+    the aggregated column — Catalyst places it after the aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+        .filter(F.col("n_customers") >= 5)
+    )
+
+
+@query(
+    "group_by_ordinal",
+    covers="A8",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority, {bcount('n')}
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def group_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ordinal — SQL-surface parity via spark.sql.
+
+    Analog of `GROUP BY 1,2,...,7` (`fact_player_sog_props_v2.sql:71`).
+    Spark SQL honors ordinals (spark.sql.groupByOrdinal, default on); this
+    query runs through the SQL entry point deliberately (SURVEY §3.2 —
+    analyst SQL must run via spark.sql unchanged).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders_v
+        GROUP BY 1, 2
+        """
+    )
+
+
+@query(
+    "null_profiling",
+    covers="A9",
+    oracle=f"""
+        SELECT {bsum("CASE WHEN event_id IS NULL THEN 1 ELSE 0 END", "null_event_id")},
+               {bsum("CASE WHEN user_id IS NULL THEN 1 ELSE 0 END", "null_user_id")},
+               {bsum("CASE WHEN event_type IS NULL THEN 1 ELSE 0 END", "null_event_type")},
+               {bsum("CASE WHEN value IS NULL THEN 1 ELSE 0 END", "null_value")},
+               {bsum("CASE WHEN props IS NULL THEN 1 ELSE 0 END", "null_props")},
+               {bcount('n_rows')}
+        FROM events
+    """,
+)
+def null_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-count profiling in one pass.
+
+    Analog of the time-travel validator's null profile
+    (`src/nhl_pipeline/utils/time_travel_validator.py:126-160`,
+    `validate_bronze.py:157-166`).
+    """
+    e = load_table(spark, sf_dir, "events")
+    def nulls(col: str):
+        return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint")
+    return e.agg(
+        nulls("event_id").alias("null_event_id"),
+        nulls("user_id").alias("null_user_id"),
+        nulls("event_type").alias("null_event_type"),
+        nulls("value").alias("null_value"),
+        nulls("props").alias("null_props"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "union_align_rename",
+    covers="U1",
+    oracle="""
+        SELECT user_id, 'click' AS metric_source, value AS metric_value, event_id
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, 'purchase' AS metric_source, value AS metric_value, event_id
+        FROM events WHERE event_type = 'purchase'
+    """,
+)
+def union_align_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with columns renamed into alignment.
+
+    Analog of the 4-way home/away×position union
+    (`stg_player_game_stats.sql:29-57`) and the rename-for-compatibility
+    union (`team_shot_locations.sql:117`). unionByName guards against the
+    positional-union column-swap bug.
+    """
+    e = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str) -> DataFrame:
+        return e.filter(F.col("event_type") == event_type).select(
+            "user_id",
+            F.lit(event_type).alias("metric_source"),
+            F.col("value").alias("metric_value"),
+            "event_id",
+        )
+
+    return side("click").unionByName(side("purchase"))
+
+
+@query(
+    "union_dedup",
+    covers="U2",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (deduplicating) — union().distinct().
+
+    Analog of `dim_team.sql:21`.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()

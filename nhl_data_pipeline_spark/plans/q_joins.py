@@ -1,1 +1,429 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Join operator coverage (SURVEY §2.4).
+
+The reference's join surface: broadcast dim denormalization, composite keys,
+inner chains, fuzzy OR-of-LIKE theta joins, derived-key fuzzy joins with
+point-in-time guards + preference ranks, multi-strategy entity resolution
+with anti-join precedence, scalar cross joins, anti joins, tuple-IN semi
+joins, and filtered-aggregate self-comparison. Each query reproduces one
+shape over the synthetic star schema.
+
+Scale notes: dims (region/nation/supplier/part/customer) broadcast — no
+shuffle of the fact side; the fuzzy OR join is a BroadcastNestedLoopJoin by
+construction (small side broadcast), acceptable because one side is always
+dim-sized, exactly like the reference's odds-name matching (J4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.functions.scalars import dec, split_part
+from nhl_data_pipeline_spark.plans.registry import query
+from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum
+
+
+@query(
+    "broadcast_dim_join",
+    covers="J1,A1",
+    bench=True,
+    oracle=f"""
+        SELECT p.p_brand, {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+               {bcount('n_lines')}
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """,
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT/INNER equi-join against a small dimension, broadcast.
+
+    Analog of fact←dim_player/dim_team denormalization
+    (`fact_player_game_stats.sql:139-140`): dims are tiny, so the join is a
+    BroadcastHashJoin — the fact side never shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(dec(rev)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "composite_key_join",
+    covers="J2",
+    oracle=f"""
+        WITH grp AS (
+            SELECT l_orderkey, l_suppkey, {dsum('l_quantity', 'grp_qty')},
+                   {bcount('grp_lines')}
+            FROM lineitem GROUP BY l_orderkey, l_suppkey
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, g.grp_qty, g.grp_lines
+        FROM lineitem l
+        JOIN grp g ON l.l_orderkey = g.l_orderkey AND l.l_suppkey = g.l_suppkey
+    """,
+)
+def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join on a composite key against an aggregate of the same table.
+
+    Analog of team_stats ← team_aggregates on (game_id, team_id, home_away)
+    (`fact_team_game_stats.sql:158`). Both sides share the (l_orderkey,
+    l_suppkey) hash partitioning, so AQE can plan a single shuffle reused by
+    the aggregate and the join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("grp_qty"),
+        F.count(F.lit(1)).alias("grp_lines"),
+    )
+    return li.join(grp, ["l_orderkey", "l_suppkey"]).select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "grp_qty", "grp_lines"
+    )
+
+
+@query(
+    "join_chain_revenue",
+    covers="J3,J1,A1,P3",
+    bench=True,
+    oracle=f"""
+        SELECT n.n_name, {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+)
+def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join chain across five tables (TPC-H Q5 shape).
+
+    Analog of the player_actuals chain `fact_player_sog_props_v2.sql:83-86`.
+    Dim tables broadcast; only the orders⋈lineitem join shuffles, on the
+    natural key. The region filter prunes before any join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .groupBy("n_name")
+        .agg(F.sum(dec(rev)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "fuzzy_or_like_join",
+    covers="J4",
+    oracle="""
+        SELECT c.c_custkey, s.s_suppkey
+        FROM customer c
+        JOIN supplier s
+          ON (string_split(c.c_name, '#'))[2] = (string_split(s.s_name, '#'))[2]
+          OR c.c_name LIKE '%' || right(s.s_name, 4)
+    """,
+)
+def fuzzy_or_like_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join with an OR-of-LIKE predicate (fuzzy name matching v1).
+
+    Analog of `UPPER(a)=UPPER(b) OR UPPER(a) LIKE '%'||last_name||'%'`
+    (`fact_player_sog_props.sql:121-127`). Non-equi OR predicate forces a
+    BroadcastNestedLoopJoin — acceptable because the supplier side is
+    dim-sized (exactly the reference's situation; its v2 rewrites this to a
+    derived-key equi join, our `asof_prev_order`/`crosswalk` below).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cond = (
+        split_part(c.c_name, "#", 2) == split_part(s.s_name, "#", 2)
+    ) | F.endswith(c.c_name, F.right(s.s_name, F.lit(4)))
+    return c.join(F.broadcast(s), cond).select("c_custkey", "s_suppkey")
+
+
+@query(
+    "asof_prev_order",
+    covers="J5,W2",
+    oracle="""
+        WITH ranked AS (
+            SELECT o1.o_orderkey AS orderkey,
+                   o2.o_orderkey AS prev_orderkey,
+                   o2.o_orderdate AS prev_ts,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o1.o_orderkey
+                       ORDER BY o2.o_orderdate DESC, o2.o_orderkey DESC
+                   ) AS rn
+            FROM orders o1
+            JOIN orders o2
+              ON o1.o_custkey = o2.o_custkey
+             AND o2.o_orderdate < o1.o_orderdate
+        )
+        SELECT orderkey, prev_orderkey, prev_ts FROM ranked WHERE rn = 1
+    """,
+)
+def asof_prev_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: latest strictly-earlier row per key.
+
+    The reference's v2 fuzzy join guards `rp.game_date <= pl.game_date` and
+    ranks by recency (`fact_player_sog_props_v2.sql:115-128`) — an as-of
+    join composed from an equi join on the entity key, a non-equi time
+    guard, and a ROW_NUMBER preference rank. Both sides hash-partition on
+    o_custkey, so the self-join is a single co-partitioned shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o1 = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("ts"),
+    )
+    o2 = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("prev_orderkey"),
+        F.col("o_orderdate").alias("prev_ts"),
+    )
+    w = Window.partitionBy("orderkey").orderBy(
+        F.desc("prev_ts"), F.desc("prev_orderkey")
+    )
+    return (
+        o1.join(o2, (o1.custkey == o2.custkey) & (F.col("prev_ts") < F.col("ts")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("orderkey", "prev_orderkey", "prev_ts")
+    )
+
+
+@query(
+    "entity_resolution_crosswalk",
+    covers="J6,J8,U1,W2",
+    oracle="""
+        WITH ckey AS (
+            SELECT c_custkey, (string_split(c_name, '#'))[2] AS suffix FROM customer
+        ),
+        skey AS (
+            SELECT s_suppkey, (string_split(s_name, '#'))[2] AS suffix FROM supplier
+        ),
+        s1 AS (
+            SELECT c.c_custkey, s.s_suppkey, 1.00 AS confidence, 'exact' AS strategy
+            FROM ckey c JOIN skey s ON c.suffix = s.suffix
+        ),
+        s2 AS (
+            SELECT c.c_custkey, s.s_suppkey, 0.95 AS confidence, 'last3' AS strategy
+            FROM ckey c JOIN skey s ON right(c.suffix, 3) = right(s.suffix, 3)
+            WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.c_custkey = c.c_custkey)
+        ),
+        s3 AS (
+            SELECT c.c_custkey, s.s_suppkey, 0.85 AS confidence, 'mod10' AS strategy
+            FROM ckey c JOIN skey s
+              ON CAST(c.suffix AS BIGINT) % 10 = CAST(s.suffix AS BIGINT) % 10
+            WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.c_custkey = c.c_custkey)
+              AND NOT EXISTS (SELECT 1 FROM s2 WHERE s2.c_custkey = c.c_custkey)
+        ),
+        unioned AS (
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        ),
+        best AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey
+                ORDER BY confidence DESC, s_suppkey ASC
+            ) AS rn
+            FROM unioned
+        )
+        SELECT c_custkey, s_suppkey, CAST(confidence AS DOUBLE) AS confidence, strategy
+        FROM best WHERE rn = 1
+    """,
+)
+def entity_resolution_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-strategy entity resolution with precedence + best-match rank.
+
+    Analog of the player-name crosswalk (`stg_player_name_crosswalk.sql:66-139`):
+    three match strategies of decreasing confidence, each excluding entities
+    already matched by earlier strategies (reference uses NOT IN; we use
+    left_anti, equivalent here because keys are non-null), unioned, then one
+    best match per entity via a preference window. All three joins are
+    broadcast (supplier-side is a dim); anti joins are broadcast too.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", split_part(F.col("c_name"), "#", 2).alias("suffix")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", split_part(F.col("s_name"), "#", 2).alias("s_suffix")
+    )
+    conf = lambda v: F.lit(v).cast("decimal(3,2)")  # noqa: E731
+
+    s1 = (
+        c.join(F.broadcast(s), c.suffix == s.s_suffix)
+        .select("c_custkey", "s_suppkey", conf("1.00").alias("confidence"),
+                F.lit("exact").alias("strategy"))
+    )
+    c2 = c.join(s1.select("c_custkey"), "c_custkey", "left_anti")
+    s2 = (
+        c2.join(F.broadcast(s), F.substring(c2.suffix, -3, 3) == F.substring(s.s_suffix, -3, 3))
+        .select("c_custkey", "s_suppkey", conf("0.95").alias("confidence"),
+                F.lit("last3").alias("strategy"))
+    )
+    c3 = c2.join(s2.select("c_custkey"), "c_custkey", "left_anti")
+    s3 = (
+        c3.join(
+            F.broadcast(s),
+            c3.suffix.cast("bigint") % 10 == s.s_suffix.cast("bigint") % 10,
+        )
+        .select("c_custkey", "s_suppkey", conf("0.85").alias("confidence"),
+                F.lit("mod10").alias("strategy"))
+    )
+    unioned = s1.unionByName(s2).unionByName(s3)
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("confidence"), F.asc("s_suppkey")
+    )
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", F.col("confidence").cast("double").alias("confidence"), "strategy")
+    )
+
+
+@query(
+    "cross_join_scalar",
+    covers="J7",
+    oracle="""
+        SELECT c.c_custkey, g.max_order_ts
+        FROM customer c
+        CROSS JOIN (SELECT max(o_orderdate) AS max_order_ts FROM orders) g
+    """,
+)
+def cross_join_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar broadcast cross join: attach a single-row aggregate to all rows.
+
+    Analog of attaching `current_season` / `next_opponent` to every row
+    (`dim_player.sql:79`, `bruins_opponent_shot_locations.sql:21`).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    g = load_table(spark, sf_dir, "orders").agg(
+        F.max("o_orderdate").alias("max_order_ts")
+    )
+    return c.crossJoin(F.broadcast(g)).select("c_custkey", "max_order_ts")
+
+
+@query(
+    "anti_join_unmatched",
+    covers="J8",
+    oracle="""
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: entities with no matching rows.
+
+    Analog of unmatched odds names (`odds_matching_queries.sql:35-44`) and
+    the Iceberg incremental skip-existing anti join
+    (`iceberg/bronze_odds_player_props.py:274-291`).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "semi_join_latest_order",
+    covers="J9",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate AS order_ts, o.o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM (
+                SELECT o_custkey, max(o_orderdate) AS max_ts
+                FROM orders GROUP BY o_custkey
+            ) m
+            WHERE m.o_custkey = o.o_custkey AND m.max_ts = o.o_orderdate
+        )
+    """,
+)
+def semi_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join via tuple-IN against an aggregate (latest row per entity).
+
+    Analog of latest-game-per-team streak detection
+    (`team_shot_example_queries.sql:96-103`). Expressed as a left_semi join
+    on the composite key — the plan Spark produces for a multi-column IN
+    subquery.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    latest = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("o_orderdate"))
+    return o.join(latest, ["o_custkey", "o_orderdate"], "left_semi").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("order_ts"), "o_totalprice"
+    )
+
+
+@query(
+    "self_compare_filtered_aggs",
+    covers="J10,A3",
+    oracle=f"""
+        WITH clicks AS (
+            SELECT user_id, {dsum('value', 'click_value')}, {bcount('n_clicks')}
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        purchases AS (
+            SELECT user_id, {dsum('value', 'purchase_value')}, {bcount('n_purchases')}
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT c.user_id, c.click_value, c.n_clicks, p.purchase_value, p.n_purchases
+        FROM clicks c JOIN purchases p ON c.user_id = p.user_id
+    """,
+)
+def self_compare_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two filtered aggregations of one table joined for comparison.
+
+    Analog of the home/away self-comparison CTEs
+    (`team_shot_example_queries.sql:132-162`). A single groupBy+pivot is the
+    cheaper plan (one shuffle); this preserves the reference's two-CTE shape
+    — AQE still co-partitions both sides on user_id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(
+            F.sum(dec("value")).cast("double").alias("click_value"),
+            F.count(F.lit(1)).alias("n_clicks"),
+        )
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(dec("value")).cast("double").alias("purchase_value"),
+            F.count(F.lit(1)).alias("n_purchases"),
+        )
+    )
+    return clicks.join(purchases, "user_id").select(
+        "user_id", "click_value", "n_clicks", "purchase_value", "n_purchases"
+    )

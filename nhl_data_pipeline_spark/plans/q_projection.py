@@ -1,1 +1,355 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Projection / filter / scalar-function coverage (SURVEY §2.2, §2.9).
+
+The reference's P-operators are Snowflake VARIANT path projections, CASE
+derivations, guarded arithmetic, and coordinate binning; its scalar surface
+is the string/date family in SURVEY §2.9 with documented dialect traps
+(SPLIT_PART negative index, DAYOFWEEK base, TO_CHAR names, GENERATOR spine).
+Each query pins one family with the tested Spark equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.functions.scalars import (
+    accent_fold,
+    nhl_season_code,
+    split_part,
+    sunday_zero_dow,
+)
+from nhl_data_pipeline_spark.plans.registry import query
+from nhl_data_pipeline_spark.plans.sqlgen import bcount
+
+
+@query(
+    "typed_projection_filter",
+    covers="P1,P3",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice AS total_price,
+               o_orderdate AS order_ts,
+               o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    """,
+)
+def typed_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed column projection + predicate filters.
+
+    Analog of the VARIANT path projection `stg_games.sql:11-30` and the
+    completed-games filter `fact_game_results.sql:82-83`. Both the filter and
+    the column pruning reach the parquet scan (PushedFilters / ReadSchema).
+    """
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderdate").alias("order_ts"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+
+
+@query(
+    "case_conditional_projection",
+    covers="P4",
+    oracle="""
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'F' THEN 'finished'
+                    WHEN o_orderstatus = 'O' THEN 'open'
+                    ELSE 'pending' END AS status_label,
+               CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band,
+               CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_rush
+        FROM orders
+    """,
+)
+def case_conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/conditional projection chains.
+
+    Analog of winner/result/shot_result derivations
+    (`fact_game_results.sql:60-72`, `fact_shot_events.sql:93-117`).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", "finished")
+        .when(F.col("o_orderstatus") == "O", "open")
+        .otherwise("pending")
+        .alias("status_label"),
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("is_rush"),
+    )
+
+
+@query(
+    "derived_metrics_guarded",
+    covers="P5",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS revenue,
+               l_extendedprice - l_quantity * (l_extendedprice / l_quantity) AS price_residual,
+               CASE WHEN l_quantity > 0
+                    THEN l_extendedprice / l_quantity
+                    ELSE 0.0 END AS unit_price,
+               l_extendedprice * l_discount AS discount_amount
+        FROM lineitem
+        WHERE l_linenumber <= 3
+    """,
+)
+def derived_metrics_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-metric projection with divide-by-zero guards.
+
+    Analog of goal_differential / shooting_pct-with-guard
+    (`fact_team_game_stats.sql:135-147`). Per-row IEEE double arithmetic —
+    deterministic, stays in whole-stage codegen.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 3)
+    ep, q, d = F.col("l_extendedprice"), F.col("l_quantity"), F.col("l_discount")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (ep * (1 - d)).alias("revenue"),
+        (ep - q * (ep / q)).alias("price_residual"),
+        F.when(q > 0, ep / q).otherwise(F.lit(0.0)).alias("unit_price"),
+        (ep * d).alias("discount_amount"),
+    )
+
+
+@query(
+    "coordinate_binning",
+    covers="P6,A1",
+    oracle=f"""
+        SELECT CAST(floor(abs(value) / 5) * 5 AS DOUBLE) AS value_bin,
+               {bcount('n')}
+        FROM events
+        GROUP BY 1
+    """,
+)
+def coordinate_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-unit coordinate binning then count per bin.
+
+    Analog of shot-location binning `team_shot_locations.sql:17-23`
+    (ROUND(ABS(x)/5)*5). Binning uses floor() rather than round(): a 2-dp
+    input divided by 5 lands exactly on .5 ties (12.50/5 = 2.5) where
+    engines' round() tie-breaking diverges, while floor() is tie-free — and
+    half-open bins are the semantics a histogram wants anyway.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.floor(F.abs(F.col("value")) / 5) * 5).cast("double").alias("value_bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "json_path_extraction",
+    covers="P1,S6,A1",
+    oracle=f"""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, {bcount('n')}
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    """,
+)
+def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction + cast from a raw string payload column.
+
+    Analog of `payload:homeTeam.id::INT` VARIANT access
+    (`stg_games.sql:11-30`) when the payload is kept as a raw JSON string
+    (bronze fidelity); `get_json_object` is the schema-on-read path, while
+    `from_json` with an explicit StructType is the typed path used by the
+    NHL pipeline models.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        e.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "string_functions",
+    covers="§2.9-string,J5-keys",
+    oracle="""
+        SELECT c_custkey,
+               upper(trim(c_name)) AS name_upper,
+               (string_split(c_name, ' '))[-1] AS last_token,
+               left(c_name, 1) AS first_initial,
+               translate(c_name,
+                 'ÁÀÂÃÄÅáàâãäåÉÈÊËéèêëÍÌÎÏíìîïÓÒÔÕÖóòôõöÚÙÛÜúùûüÇçÑñÝýÿ',
+                 'AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNnYyy') AS folded,
+               COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+               CAST(length(c_name) AS INT) AS name_len,
+               c_name || '#' || CAST(c_nationkey AS STRING) AS name_nation
+        FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's string-function surface in one projection.
+
+    UPPER/TRIM/LEFT/SPLIT_PART(-1)/accent-fold/REGEXP_SUBSTR/LENGTH/CONCAT —
+    the exact key-derivation toolkit of the entity-resolution crosswalk
+    (`stg_player_name_crosswalk.sql:25-47`) and fuzzy join J5
+    (`fact_player_sog_props_v2.sql:115-128`).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
+        split_part(F.col("c_name"), " ", -1).alias("last_token"),
+        F.substring(F.col("c_name"), 1, 1).alias("first_initial"),
+        accent_fold(F.col("c_name")).alias("folded"),
+        F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("digits"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.concat(F.col("c_name"), F.lit("#"), F.col("c_nationkey").cast("string")).alias(
+            "name_nation"
+        ),
+    )
+
+
+@query(
+    "date_functions",
+    covers="§2.9-date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(date_part('day', o_orderdate) AS INT) AS dom,
+               CAST(date_part('dow', o_orderdate) AS INT) AS dow_sunday0,
+               CAST(date_part('doy', o_orderdate) AS INT) AS doy,
+               CAST(date_part('week', o_orderdate) AS INT) AS iso_week,
+               monthname(o_orderdate) AS month_name,
+               dayname(o_orderdate) AS day_name,
+               CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP) AS plus_week_ts,
+               o_orderdate AS order_ts
+        FROM orders
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part family with the Snowflake DAYOFWEEK(0=Sunday) base.
+
+    Analog of the dim_date derivations (`dim_date.sql:45-56`): Spark's
+    dayofweek() is 1-based Sunday, Snowflake's 0-based — sunday_zero_dow
+    pins the reference semantics (also matches DuckDB's 'dow').
+    """
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        sunday_zero_dow(d).alias("dow_sunday0"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_add(d.cast("date"), 7).cast("timestamp_ntz").alias("plus_week_ts"),
+        d.alias("order_ts"),
+    )
+
+
+@query(
+    "season_derivation",
+    covers="§2.9-season,A1",
+    oracle=f"""
+        SELECT CASE WHEN month(o_orderdate) >= 10
+                    THEN year(o_orderdate) * 10000 + (year(o_orderdate) + 1)
+                    ELSE (year(o_orderdate) - 1) * 10000 + year(o_orderdate)
+               END AS season_code,
+               {bcount('n_orders')}
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def season_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NHL season-code derivation (Oct→new season) applied as a grouping key.
+
+    Shared helper per `dim_date.sql:62-71` / `player_shot_metrics.sql:17-21`.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(nhl_season_code(F.col("o_orderdate")).alias("season_code"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "date_spine",
+    covers="W7,§2.9-generator",
+    oracle="""
+        SELECT range AS id,
+               CAST(DATE '2020-01-01' + CAST(range AS INT) AS TIMESTAMP) AS spine_ts,
+               CAST(year(DATE '2020-01-01' + CAST(range AS INT)) AS INT) AS yr,
+               CAST(quarter(DATE '2020-01-01' + CAST(range AS INT)) AS INT) AS qtr,
+               CASE WHEN date_part('dow', DATE '2020-01-01' + CAST(range AS INT)) IN (0, 6)
+                    THEN TRUE ELSE FALSE END AS is_weekend
+        FROM range(0, 2500)
+    """,
+)
+def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated 2,500-day date spine with calendar flags.
+
+    Replaces Snowflake `TABLE(GENERATOR(ROWCOUNT=>2500))` + `SEQ4()`
+    (`dim_date.sql:12-28`) with `spark.range` — a parallel, shuffle-free
+    source. dim_date's is_weekend-style flags (`dim_date.sql:84-110`).
+    """
+    spine = spark.range(0, 2500)
+    d = F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int"))
+    dow = sunday_zero_dow(d)
+    return spine.select(
+        "id",
+        d.cast("timestamp_ntz").alias("spine_ts"),
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        dow.isin(0, 6).alias("is_weekend"),
+    )
+
+
+@query(
+    "interval_filter",
+    covers="§2.9-interval,P3",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate AS ship_ts
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-09-02 00:00:00' - INTERVAL 15 DAY
+    """,
+)
+def interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-arithmetic recency filter with an injected anchor date.
+
+    Analog of `CURRENT_DATE - INTERVAL '15 days'`
+    (`team_shot_example_queries.sql:193`); "today" is an injected constant
+    per the reproducibility rule in SURVEY §7.3.4.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    anchor = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    return li.filter(
+        F.col("l_shipdate") >= anchor - F.expr("INTERVAL 15 DAY")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").alias("ship_ts"),
+    )

@@ -1,1 +1,270 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Window-function coverage (SURVEY §2.6) + sorts/limits (§2.7).
+
+W1 latest-snapshot dedup is THE core pattern of the reference (every staging
+model runs it); rolling ROWS frames power its team/player trend metrics.
+Every window here has a total order (unique tiebreak column) so results are
+deterministic across engines — the reference learned the same lesson with
+its (partition_date DESC, s3_key DESC) tie-break (SURVEY §7.3.2).
+
+Windowed averages go through the decimal-exact idiom: SUM(decimal)/COUNT
+instead of AVG(double), because a segment-tree windowed AVG may associate
+additions differently per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.functions.scalars import dec
+from nhl_data_pipeline_spark.plans.registry import query
+from nhl_data_pipeline_spark.plans.sqlgen import dsum
+
+
+@query(
+    "latest_snapshot_dedup",
+    covers="W1",
+    bench=True,
+    oracle="""
+        SELECT user_id, event_id, ts, event_type, value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def latest_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-wins dedup — the reference's core pattern (W1).
+
+    `QUALIFY ROW_NUMBER() OVER (PARTITION BY payload:id ORDER BY
+    partition_date DESC, s3_key DESC) = 1` (`stg_games.sql:32`,
+    `.context/DECISIONS.md:289-320`) applied to the events table: one
+    surviving row per user_id, ordered by recency with a unique tiebreak.
+    At scale: project needed columns BEFORE the window so the shuffle moves
+    narrow rows, not full payloads (SURVEY §4 spill note).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "preference_rank",
+    covers="W2",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate AS order_ts
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_custkey
+                ORDER BY CASE o_orderpriority
+                           WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                           WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                           ELSE 5 END ASC,
+                         o_orderdate DESC, o_orderkey DESC
+            ) AS rn
+            FROM orders
+        )
+        WHERE rn = 1
+    """,
+)
+def preference_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-ordered preference ranking: best row per entity.
+
+    Analog of bookmaker-priority ranking (`fact_player_sog_props_v2.sql:33-53`):
+    a hand-written preference order, then recency, then a unique tiebreak.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    pref = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 4)
+        .otherwise(5)
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        pref.asc(), F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderpriority",
+                F.col("o_orderdate").alias("order_ts"))
+    )
+
+
+@query(
+    "rolling_avg_frames",
+    covers="W3,W4",
+    bench=True,
+    oracle="""
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE)
+                   / COUNT(*) OVER w3 AS avg_3,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w10 AS DOUBLE)
+                   / COUNT(*) OVER w10 AS avg_10,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wall AS DOUBLE)
+                   / COUNT(*) OVER wall AS running_avg
+        FROM events
+        WINDOW
+          w3  AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+          w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+          wall AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_avg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3/10-row averages + season-to-date running average.
+
+    Analog of the 3/5/10-game rolling windows (`team_shot_metrics.sql:29-86`)
+    and the UNBOUNDED PRECEDING season-to-date frame (`:66-77`). One shuffle
+    on user_id serves all three frames (same partitioning + ordering).
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = base.rowsBetween(-2, 0)
+    w10 = base.rowsBetween(-9, 0)
+    wall = base.rowsBetween(Window.unboundedPreceding, 0)
+
+    def avg_over(w):
+        return F.sum(dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)
+
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        avg_over(w3).alias("avg_3"),
+        avg_over(w10).alias("avg_10"),
+        avg_over(wall).alias("running_avg"),
+    )
+
+
+@query(
+    "running_total",
+    covers="W4",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate AS order_ts,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS lifetime_spend
+        FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) total per entity over event time."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("order_ts"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("lifetime_spend"),
+    )
+
+
+@query(
+    "sequence_and_windowed_count",
+    covers="W5,W6",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS INT) AS order_seq,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS total_orders
+        FROM orders
+    """,
+)
+def sequence_and_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence numbering + frameless windowed COUNT.
+
+    Analogs of games_played_in_season (`team_shot_metrics.sql:80-83`) and
+    `COUNT(*) OVER (PARTITION BY team_id, season)`
+    (`player_shot_metrics.sql:66`).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcnt = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(wseq).alias("order_seq"),
+        F.count(F.lit(1)).over(wcnt).alias("total_orders"),
+    )
+
+
+@query(
+    "argmax_limit1",
+    covers="O1",
+    oracle="""
+        SELECT event_id, user_id, ts, value
+        FROM events
+        ORDER BY ts DESC, event_id DESC
+        LIMIT 1
+    """,
+)
+def argmax_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT 1 argmax (latest snapshot / next game).
+
+    Analog of `ORDER BY ingest_ts DESC LIMIT 1`
+    (`bruins_next_opponent.sql:11-17`). Spark executes this as a distributed
+    TakeOrdered — no global sort materialization.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(1)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+@query(
+    "topk_customers_by_revenue",
+    covers="O2,J3,A1",
+    bench=True,
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")}
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY revenue DESC, c.c_custkey ASC
+        LIMIT 25
+    """,
+)
+def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k report (TPC-H Q10 shape) with a deterministic tiebreak.
+
+    Analog of the top-25 betting performers (`odds_matching_queries.sql:117-131`).
+    Revenue is decimal-exact, so the ordering — and therefore the top-k SET —
+    is identical across engines; c_custkey breaks exact-revenue ties.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(dec(rev)).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(25)
+    )

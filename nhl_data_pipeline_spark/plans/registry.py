@@ -11,7 +11,10 @@ Design rules for parity-safe queries:
 - SUM/AVG over doubles go through DECIMAL (functions.scalars.dec) so the
   result is order-independent, then cast back to double;
 - every ROW_NUMBER / LIMIT has a unique total tiebreak order;
-- cast COUNT/SUM-of-int to BIGINT in the oracle (DuckDB sums ints to HUGEINT).
+- cast COUNT/SUM-of-int to BIGINT in the oracle (DuckDB sums ints to HUGEINT);
+- no DATE output columns — pandas has no date dtype, so Spark yields
+  datetime.date objects while DuckDB yields Timestamps and any value hash
+  diverges; emit timestamp (midnight) or a formatted string instead.
 """
 
 from __future__ import annotations
