@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video travel as `binary` columns with a metadata struct
+(content type, byte length, source). Decode / feature-extraction stages run
+as Arrow-batched functions over `mapInPandas` — the Spark-side plumbing
+(schema contract, batch iteration, partition-parallelism) is real and
+tested; the actual codec calls are stubbed because the decode libraries
+(PIL/torchaudio/av) are not in this container.
+
+At 100 TB: binary columns dominate bytes — keep them out of shuffles
+(extract features first, then drop the payload), size
+spark.sql.files.maxPartitionBytes so a batch of payloads fits executor
+memory, and store payloads in their own parquet column chunk (automatic)
+so metadata-only queries never read them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: utf-8 payload bytes + metadata struct.
+
+    Real pipelines read payloads via spark.read.format('binaryFile') or a
+    parquet binary column; encoding the text column gives the same column
+    shape deterministically.
+    """
+    return df.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("content_type"),
+            F.length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload.
+
+    The stand-in feature (byte length + md5) is deterministic so the stage
+    is oracle-checkable; swap `_featurize` for image decode / resize /
+    frame-sample and extend FEATURE_SCHEMA for real modalities.
+    """
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "content_hash": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """STUB: image decode (PIL not available in this container).
+
+    The mapInPandas contract is identical to extract_features: binary in,
+    typed struct out (width/height/mode + pixel tensor). Raises until a
+    codec library is present.
+    """
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL/pillow, not present in this "
+            "environment; plumbing contract is extract_features()"
+        ) from e
+    raise NotImplementedError("wire PIL decode here when available")

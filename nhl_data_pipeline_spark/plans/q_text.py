@@ -1,1 +1,271 @@
-"""Placeholder — populated in subsequent milestones."""
+"""Text-analysis + dedup queries over the documents table.
+
+The training-data-pipeline extension surface (BASELINE.json north star):
+token stats, language ID, quality scoring, fingerprint dedup, n-gram
+Jaccard, MinHash+LSH, SimHash. Oracle SQL is generated from the same specs
+as the Spark expressions (operators.text / operators.dedup `_sql` twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.operators import dedup as D
+from nhl_data_pipeline_spark.operators import multimodal as M
+from nhl_data_pipeline_spark.operators import text as X
+from nhl_data_pipeline_spark.plans.registry import query
+
+_TOKS = "string_split_regex(text, '\\s+')"
+
+
+@query(
+    "text_token_stats",
+    covers="LLM-text,token-counting",
+    bench=True,
+    oracle=f"""
+        SELECT doc_id, n_chars,
+               CAST(len({_TOKS}) AS INT) AS n_tokens,
+               CAST(len(list_distinct({_TOKS})) AS INT) AS n_unique_tokens,
+               CAST(length(text) AS INT) AS text_len,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS unique_ratio
+        FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + lexical-diversity stats, one pass, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.length("text").alias("text_len"),
+        X.unique_ratio(F.col("text")).alias("unique_ratio"),
+    )
+
+
+@query(
+    "text_lang_id",
+    covers="LLM-text,lang-id",
+    oracle=f"""
+        SELECT doc_id, lang,
+               {X.lang_id_sql('text')} AS lang_hat,
+               CASE WHEN {X.lang_id_sql('text')} = lang THEN TRUE ELSE FALSE END AS agrees
+        FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic vs the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    hat = X.lang_id(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        hat.alias("lang_hat"),
+        (hat == F.col("lang")).alias("agrees"),
+    )
+
+
+@query(
+    "text_quality_score",
+    covers="LLM-text,quality-scoring",
+    oracle=f"""
+        SELECT doc_id,
+               {X.quality_score_sql('text')} AS quality,
+               CASE WHEN {X.quality_score_sql('text')} >= 0.75 THEN TRUE ELSE FALSE END AS keep
+        FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation quality score (length + non-stopword mass + diversity)."""
+    d = load_table(spark, sf_dir, "documents")
+    q = X.quality_score(F.col("text"))
+    return d.select("doc_id", q.alias("quality"), (q >= 0.75).alias("keep"))
+
+
+@query(
+    "doc_fingerprint_dedup",
+    covers="LLM-dedup-exact,A1",
+    oracle=f"""
+        SELECT {X.fingerprint_sql('text')} AS fp,
+               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents
+        GROUP BY 1
+    """,
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via canonical fingerprint; keep the smallest doc_id.
+
+    One hash-aggregate shuffle on the 16-byte fingerprint — at 100 TB this
+    moves hashes, never documents.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup_keep_min(d, X.fingerprint(F.col("text")), "doc_id")
+
+
+_SH_SQL = D.shingles_sql(_TOKS, 3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    covers="LLM-dedup-jaccard,F1,J2",
+    bench=True,
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SH_SQL}) AS s
+            FROM documents WHERE len({_TOKS}) >= 3
+        ),
+        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8).
+
+    shingle→explode→equi-join; the fan-out is bounded by shingle frequency.
+    Scale note: at 100 TB drop ultra-frequent shingles pre-join (they only
+    connect unrelated docs) and/or gate with the MinHash-LSH candidates
+    below — this exact form is the verifier stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    sh = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(D.shingles(toks, 3)).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_K, _BANDS, _ROWS = 12, 4, 3
+_SIG_SQL = D.minhash_signature_sql("sh", _K)
+_BKEYS_SQL = D.lsh_band_keys_sql("sig", _BANDS, _ROWS)
+
+
+@query(
+    "dedup_minhash_lsh",
+    covers="LLM-dedup-minhash-lsh",
+    bench=True,
+    oracle=f"""
+        WITH shg AS (
+            SELECT doc_id, {_SH_SQL} AS sh
+            FROM documents WHERE len({_TOKS}) >= 3
+        ),
+        sigs AS (SELECT doc_id, {_SIG_SQL} AS sig FROM shg),
+        bands AS (
+            SELECT doc_id, unnest(generate_series(1, {_BANDS})) AS band_idx,
+                   unnest({_BKEYS_SQL}) AS band_key
+            FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=12) + LSH banding (4 bands × 3 rows) candidate pairs.
+
+    The n²-free near-dup path: docs meet only inside a band bucket, so join
+    cost tracks true duplicate density. Band probability: jaccard^3 per
+    band, 1-(1-j^3)^4 overall — j=0.9 → 98% recall; the exact-jaccard query
+    above is the verify stage downstream.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    sigs = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", D.shingles(toks, 3).alias("sh"))
+        .select("doc_id", D.minhash_signature(F.col("sh"), _K).alias("sig"))
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(D.lsh_band_keys(F.col("sig"), _BANDS, _ROWS)).alias(
+            "band_idx0", "band_key"
+        ),
+    ).select("doc_id", (F.col("band_idx0") + 1).alias("band_idx"), "band_key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@query(
+    "dedup_simhash",
+    covers="LLM-dedup-simhash",
+    oracle=f"""
+        SELECT doc_id, {D.simhash_sql(_TOKS, 16)} AS simhash16
+        FROM documents
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (md5-nibble bits, ±1 majority vote).
+
+    Join-free near-dup bucketing: one value per doc, cluster by equality
+    (or probe neighboring buckets for Hamming distance ≤ d at scale).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash(X.tokens(F.col("text")), 16).alias("simhash16"))
+
+
+@query(
+    "multimodal_feature_extract",
+    covers="LLM-multimodal,mapInPandas",
+    oracle="""
+        SELECT doc_id,
+               CAST(strlen(text) AS INT) AS n_bytes,
+               md5(text) AS content_hash
+        FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through the Arrow mapInPandas path.
+
+    The payload is a real binary column; the extractor runs per Arrow batch
+    exactly as an image/audio featurizer would (decode stays stubbed —
+    codec libs absent). The oracle checks the deterministic stand-in
+    features (byte length + md5), proving the plumbing end to end.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_binary_payload(d))
