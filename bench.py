@@ -1,0 +1,68 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+Each query is materialized through the noop sink (full computation incl.
+shuffles/windows, no driver collect). A warmup query first touches every
+input table so JIT/codegen and file-footer caching don't pollute the first
+measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from nhl_data_pipeline_spark.catalog import TABLES, load_table
+from nhl_data_pipeline_spark.plans.registry import all_queries
+from nhl_data_pipeline_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _sf_from_dir(d: str) -> float:
+    name = Path(d).name  # e.g. sf0.1
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+
+    # Warmup: touch every table (footer reads, codegen of trivial plans).
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sum of headline query wall-clock (noop sink)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -115,56 +115,72 @@ _SH_SQL = D.shingles_sql(_TOKS, 3)
     covers="LLM-dedup-jaccard,F1,J2",
     bench=True,
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, unnest({_SH_SQL}) AS s
+        WITH shl AS (
+            SELECT doc_id, {_SH_SQL} AS sh
             FROM documents WHERE len({_TOKS}) >= 3
         ),
-        sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        sh AS (
+            SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s FROM shl
+        ),
         common AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_common
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+                   CAST(count(*) AS BIGINT) AS n_common
             FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+            GROUP BY 1, 2, 3, 4
         )
-        SELECT c.doc_a, c.doc_b,
-               CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) AS jaccard
-        FROM common c
-        JOIN sizes sa ON sa.doc_id = c.doc_a
-        JOIN sizes sb ON sb.doc_id = c.doc_b
-        WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.8
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        FROM common
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8).
 
-    shingle→explode→equi-join; the fan-out is bounded by shingle frequency.
-    Scale note: at 100 TB drop ultra-frequent shingles pre-join (they only
-    connect unrelated docs) and/or gate with the MinHash-LSH candidates
-    below — this exact form is the verifier stage.
+    Plan shape for scale:
+    - the shingle-set size rides along the explode (size(sh)), so no
+      sizes-aggregate join is needed afterwards;
+    - the pair join carries an exact-preserving length prefilter
+      (J ≤ min/max, so 4·max(n_a,n_b) ≤ 5·min(n_a,n_b) is implied by
+      J ≥ 0.8) that prunes pairs before the groupBy shuffle;
+    - the exploded shingle table is persisted: it feeds both join sides, and
+      recomputing interpreted higher-order-function arrays per consumer
+      costs far more than caching 20 bytes/row;
+    - at 100 TB additionally drop ultra-frequent shingles pre-join
+      (stop-shingles) and/or gate with the MinHash-LSH candidates — this
+      exact form is the verifier stage.
     """
-    d = load_table(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    sh = (
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(D.shingles(toks, 3)).alias("s"))
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    toks = X.tokens(F.col("text"))
+    # Persist the ARRAY stage, then explode from cache: Generate over an
+    # inline higher-order-function array re-evaluates the (interpreted)
+    # expression pathologically; exploding cached arrays is ~50× faster.
+    shl = (
+        d.select("doc_id", D.shingles(toks, 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    sh = shl.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s")
     common = (
         a.join(b, ["s"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (4 * F.greatest("n_a", "n_b") <= 5 * F.least("n_a", "n_b"))
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     )
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        common.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -204,18 +220,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band, 1-(1-j^3)^4 overall — j=0.9 → 98% recall; the exact-jaccard query
     above is the verify stage downstream.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = X.tokens(F.col("text"))
-    sigs = (
+    # Persist the band-keys ARRAY stage (one 4-element array per doc), then
+    # explode from cache — same Generate-over-inline-HOF pathology as the
+    # jaccard query; both join sides then read the cached narrow rows.
+    keys = (
         d.filter(F.size(toks) >= 3)
         .select("doc_id", D.shingles(toks, 3).alias("sh"))
         .select("doc_id", D.minhash_signature(F.col("sh"), _K).alias("sig"))
+        .select("doc_id", D.lsh_band_keys(F.col("sig"), _BANDS, _ROWS).alias("bk"))
+        .persist()
     )
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(D.lsh_band_keys(F.col("sig"), _BANDS, _ROWS)).alias(
-            "band_idx0", "band_key"
-        ),
+    bands = keys.select(
+        "doc_id", F.posexplode("bk").alias("band_idx0", "band_key")
     ).select("doc_id", (F.col("band_idx0") + 1).alias("band_idx"), "band_key")
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
