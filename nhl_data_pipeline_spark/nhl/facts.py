@@ -1,0 +1,197 @@
+"""Fact models (reference: dbt_nhl/models/silver/fact_*.sql).
+
+Grain ladder: game → team-game → player-game → shot-event. The
+completed-games filter (game_state='OFF') lives HERE, not in staging —
+bronze/staging keep all states (.context/DECISIONS.md:260-285). Dim
+denormalization is broadcast-joined at build time (DECISIONS.md:216-257).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.nhl import schemas
+from nhl_data_pipeline_spark.nhl.staging import latest_snapshot, parse_boxscore
+
+
+def fact_game_results(stg_games: DataFrame) -> DataFrame:
+    """One row per completed game with winner/OT/differential derivations
+    (fact_game_results.sql:37-84)."""
+    g = stg_games.filter(F.col("game_state") == "OFF")
+    return g.select(
+        "game_id",
+        "season",
+        "game_type",
+        "game_date",
+        "venue_name",
+        "home_team_id",
+        "home_team_abbrev",
+        "home_score",
+        "away_team_id",
+        "away_team_abbrev",
+        "away_score",
+        F.when(F.col("home_score") > F.col("away_score"), F.col("home_team_id"))
+        .otherwise(F.col("away_team_id"))
+        .alias("winning_team_id"),
+        F.when(F.col("home_score") > F.col("away_score"), F.lit("home"))
+        .otherwise(F.lit("away"))
+        .alias("winning_side"),
+        (F.col("final_period") > 3).alias("went_to_overtime"),
+        (F.col("home_score") - F.col("away_score")).alias("goal_differential"),
+        (F.col("home_score") + F.col("away_score")).alias("total_goals"),
+    )
+
+
+def fact_player_game_stats(
+    stg_player_game_stats: DataFrame,
+    dim_player: DataFrame,
+    dim_team: DataFrame,
+) -> DataFrame:
+    """Player-game grain with denormalized names
+    (fact_player_game_stats.sql:38-143): completed games only, broadcast
+    dims, composite PK (game_id, player_id)."""
+    f = stg_player_game_stats.filter(F.col("game_state") == "OFF")
+    p = dim_player.select("player_id", F.col("position_type").alias("dim_position_type"))
+    t = dim_team.select(
+        F.col("team_id"), F.col("team_abbrev"), F.col("team_name")
+    )
+    return (
+        f.join(F.broadcast(p), "player_id", "left")
+        .join(F.broadcast(t), "team_id", "left")
+        .select(
+            "game_id",
+            "game_date",
+            "season",
+            "player_id",
+            "player_name",
+            "position_code",
+            "position_type",
+            "team_id",
+            "team_abbrev",
+            "team_name",
+            "opponent_team_id",
+            "home_away",
+            "goals",
+            "assists",
+            "points",
+            "plus_minus",
+            "shots_on_goal",
+            "penalty_minutes",
+            "power_play_goals",
+            "shorthanded_goals",
+            "hits",
+            "blocked_shots",
+            "giveaways",
+            "takeaways",
+            "faceoff_pct",
+            "toi",
+            "shifts",
+        )
+    )
+
+
+def fact_team_game_stats(
+    fact_player_game_stats: DataFrame, stg_games: DataFrame
+) -> DataFrame:
+    """Team-game grain: player rows aggregated per (game, team, side) +
+    team-level score/sog from the boxscore header + derived percentages
+    with divide-by-zero guards (fact_team_game_stats.sql:34-158)."""
+    agg = fact_player_game_stats.groupBy(
+        "game_id", "team_id", "home_away", "season", "game_date"
+    ).agg(
+        F.sum("goals").alias("player_goals"),
+        F.sum("hits").alias("hits"),
+        F.sum("giveaways").alias("giveaways"),
+        F.sum("takeaways").alias("takeaways"),
+        F.sum("penalty_minutes").alias("penalty_minutes"),
+        F.sum("blocked_shots").alias("blocked_shots"),
+        F.count(F.lit(1)).alias("skaters_dressed"),
+    )
+    g = stg_games.filter(F.col("game_state") == "OFF").select(
+        "game_id",
+        F.col("home_team_id"),
+        F.col("away_team_id"),
+        F.col("home_score"),
+        F.col("away_score"),
+        F.col("home_sog"),
+        F.col("away_sog"),
+    )
+    j = agg.join(g, "game_id")
+    side_is_home = F.col("home_away") == "home"
+    goals_for = F.when(side_is_home, F.col("home_score")).otherwise(F.col("away_score"))
+    goals_against = F.when(side_is_home, F.col("away_score")).otherwise(F.col("home_score"))
+    sog_for = F.when(side_is_home, F.col("home_sog")).otherwise(F.col("away_sog"))
+    sog_against = F.when(side_is_home, F.col("away_sog")).otherwise(F.col("home_sog"))
+    return j.select(
+        "game_id",
+        "season",
+        "game_date",
+        "team_id",
+        "home_away",
+        goals_for.alias("goals_for"),
+        goals_against.alias("goals_against"),
+        sog_for.alias("shots_on_goal"),
+        sog_against.alias("shots_against"),
+        "hits",
+        "giveaways",
+        "takeaways",
+        "penalty_minutes",
+        "blocked_shots",
+        "skaters_dressed",
+        F.when(sog_for > 0, goals_for.cast("double") / sog_for)
+        .otherwise(F.lit(0.0))
+        .alias("shooting_pct"),
+        F.when(sog_against > 0, 1.0 - goals_against.cast("double") / sog_against)
+        .otherwise(F.lit(0.0))
+        .alias("save_pct"),
+        (goals_for > goals_against).alias("won"),
+    )
+
+
+def fact_shot_events(pbp_raw: DataFrame, dim_player: DataFrame) -> DataFrame:
+    """Shot-event grain from the pbp plays[] array
+    (fact_shot_events.sql:14-121): latest snapshot per game, explode,
+    filter to shot events, COALESCE shooter/scorer, classify the result,
+    broadcast-denormalize shooter name."""
+    p = pbp_raw.withColumn("p", F.from_json("payload", schemas.pbp_payload()))
+    deduped = latest_snapshot(p, "game_id")
+    ex = deduped.select(
+        F.col("p.id").alias("game_id"),
+        F.to_date("p.gameDate").alias("game_date"),
+        F.col("p.season").alias("season"),
+        F.col("p.homeTeam.id").alias("home_team_id"),
+        F.col("p.awayTeam.id").alias("away_team_id"),
+        F.explode("p.plays").alias("e"),
+    )
+    d = F.col("e.details")
+    shots = ex.filter(
+        F.col("e.typeDescKey").isin("shot-on-goal", "goal", "missed-shot")
+    )
+    shooter = F.coalesce(d["shootingPlayerId"], d["scoringPlayerId"])
+    base = shots.filter(shooter.isNotNull()).select(
+        "game_id",
+        "game_date",
+        "season",
+        F.col("e.eventId").alias("event_id"),
+        F.col("e.typeDescKey").alias("event_type"),
+        F.col("e.periodDescriptor.number").alias("period"),
+        F.col("e.timeInPeriod").alias("time_in_period"),
+        shooter.alias("player_id"),
+        d["goalieInNetId"].alias("goalie_id"),
+        d["eventOwnerTeamId"].alias("team_id"),
+        F.when(d["eventOwnerTeamId"] == F.col("home_team_id"), F.col("away_team_id"))
+        .otherwise(F.col("home_team_id"))
+        .alias("opponent_team_id"),
+        d["xCoord"].alias("x_coord"),
+        d["yCoord"].alias("y_coord"),
+        d["shotType"].alias("shot_type"),
+        F.when(F.col("e.typeDescKey") == "goal", F.lit("goal"))
+        .when(F.col("e.typeDescKey") == "shot-on-goal", F.lit("save"))
+        .otherwise(F.lit("miss"))
+        .alias("shot_result"),
+        (F.col("e.typeDescKey") == "goal").cast("int").alias("is_goal"),
+        (F.col("e.typeDescKey").isin("shot-on-goal", "goal")).cast("int").alias("is_on_goal"),
+    )
+    names = dim_player.select("player_id", "player_name", "position_type")
+    return base.join(F.broadcast(names), "player_id", "left")

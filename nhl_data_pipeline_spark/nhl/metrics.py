@@ -1,0 +1,207 @@
+"""Metric view models (reference: dbt_nhl/models/silver/*_metrics.sql,
+*_locations.sql, team_shots_against_by_position.sql, bruins_*).
+
+Rolling ROWS-frame windows over team/player game sequences, conditional
+pivots by position/shot type, and 5-ft coordinate binning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def team_shot_metrics(fact_team_game_stats: DataFrame) -> DataFrame:
+    """3/5/10-game rolling + season-to-date shot rates per team
+    (team_shot_metrics.sql:29-86) + games_played counter (:80-83)."""
+    base = Window.partitionBy("team_id", "season").orderBy("game_date", "game_id")
+    frames = {"3": base.rowsBetween(-2, 0), "5": base.rowsBetween(-4, 0),
+              "10": base.rowsBetween(-9, 0)}
+    season_td = base.rowsBetween(Window.unboundedPreceding, 0)
+    cols = [
+        "game_id", "season", "game_date", "team_id", "home_away",
+        "shots_on_goal", "shots_against", "goals_for", "goals_against",
+    ]
+    out = fact_team_game_stats.select(*cols)
+    for n, w in frames.items():
+        out = out.withColumn(f"sog_avg_{n}", F.avg("shots_on_goal").over(w))
+        out = out.withColumn(f"shots_against_avg_{n}", F.avg("shots_against").over(w))
+    return (
+        out.withColumn("sog_avg_season", F.avg("shots_on_goal").over(season_td))
+        .withColumn("shots_against_avg_season", F.avg("shots_against").over(season_td))
+        .withColumn("games_played_in_season", F.row_number().over(base))
+    )
+
+
+def player_shot_metrics(fact_player_game_stats: DataFrame) -> DataFrame:
+    """Per (season, player) aggregates + recency-gated rolling averages
+    (player_shot_metrics.sql:46-170).
+
+    Preserves the dedup-before-window invariant: distinct team-games FIRST,
+    then the recency rank (player_shot_metrics.sql:46-54 comment: "Must get
+    distinct games FIRST, then apply window functions")."""
+    team_games = fact_player_game_stats.select(
+        "season", "team_id", "game_id", "game_date"
+    ).distinct()
+    w_rank = Window.partitionBy("team_id", "season").orderBy(
+        F.desc("game_date"), F.desc("game_id")
+    )
+    ranked = team_games.withColumn("team_game_rank", F.row_number().over(w_rank))
+    f = fact_player_game_stats.join(ranked, ["season", "team_id", "game_id", "game_date"])
+    gated = lambda n: F.avg(  # noqa: E731
+        F.when(F.col("team_game_rank") <= n, F.col("shots_on_goal"))
+    )
+    return f.groupBy("season", "player_id", "player_name", "position_type").agg(
+        F.count(F.lit(1)).alias("games_played"),
+        F.sum("goals").alias("goals"),
+        F.sum("assists").alias("assists"),
+        F.sum("points").alias("points"),
+        F.sum("shots_on_goal").alias("shots_on_goal"),
+        F.sum("hits").alias("hits"),
+        F.sum("blocked_shots").alias("blocked_shots"),
+        F.sum("penalty_minutes").alias("penalty_minutes"),
+        F.round(F.avg("shots_on_goal"), 2).alias("avg_sog"),
+        F.round(gated(3), 2).alias("avg_sog_last_3"),
+        F.round(gated(5), 2).alias("avg_sog_last_5"),
+        F.round(gated(10), 2).alias("avg_sog_last_10"),
+        F.when(
+            F.sum("shots_on_goal") > 0,
+            F.round(F.sum("goals").cast("double") / F.sum("shots_on_goal"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shooting_pct"),
+    )
+
+
+def team_shots_against_by_position(
+    fact_player_game_stats: DataFrame, fact_team_game_stats: DataFrame
+) -> DataFrame:
+    """Shots conceded per position type with rolling frames
+    (team_shots_against_by_position.sql:30-112): conditional position split
+    aggregated from the OPPONENT's player rows, joined back on the
+    composite (game_id, team_id) key."""
+    conceded = (
+        fact_player_game_stats.groupBy("game_id", "opponent_team_id")
+        .agg(
+            F.sum(
+                F.when(F.col("position_type") == "F", F.col("shots_on_goal")).otherwise(0)
+            ).alias("sog_against_forwards"),
+            F.sum(
+                F.when(F.col("position_type") == "D", F.col("shots_on_goal")).otherwise(0)
+            ).alias("sog_against_defense"),
+        )
+        .withColumnRenamed("opponent_team_id", "team_id")
+    )
+    j = fact_team_game_stats.select(
+        "game_id", "team_id", "season", "game_date"
+    ).join(conceded, ["game_id", "team_id"], "left")
+    base = Window.partitionBy("team_id", "season").orderBy("game_date", "game_id")
+    return (
+        j.withColumn("f_avg_5", F.avg("sog_against_forwards").over(base.rowsBetween(-4, 0)))
+        .withColumn("d_avg_5", F.avg("sog_against_defense").over(base.rowsBetween(-4, 0)))
+        .withColumn(
+            "f_avg_season",
+            F.avg("sog_against_forwards").over(base.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "d_avg_season",
+            F.avg("sog_against_defense").over(base.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("team_game_seq", F.row_number().over(base))
+    )
+
+
+def _binned(col: str) -> F.Column:
+    # 5-ft bins, x normalized to the offensive half (team_shot_locations.sql:17-23)
+    return (F.round(F.abs(F.col(col)) / 5) * 5).cast("int")
+
+
+def team_shot_locations(fact_shot_events: DataFrame) -> DataFrame:
+    """Offense + defense shot-location profile per team: 5-ft bins, shot-type
+    breakdown, UNION of the two perspectives with aligned column names
+    (team_shot_locations.sql:17-157 incl. the :117 rename-for-union)."""
+    shots = fact_shot_events.filter(
+        F.col("x_coord").isNotNull() & F.col("y_coord").isNotNull()
+    )
+
+    def profile(team_col: str, perspective: str) -> DataFrame:
+        return (
+            shots.groupBy(
+                F.col(team_col).alias("team_id"),
+                "season",
+                _binned("x_coord").alias("x_bin"),
+                _binned("y_coord").alias("y_bin"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("shots"),
+                F.sum("is_goal").alias("goals"),
+                F.sum(F.when(F.col("shot_type") == "wrist", 1).otherwise(0)).alias("wrist_shots"),
+                F.sum(F.when(F.col("shot_type") == "slap", 1).otherwise(0)).alias("slap_shots"),
+                F.sum(F.when(F.col("shot_type") == "snap", 1).otherwise(0)).alias("snap_shots"),
+                F.when(F.count(F.lit(1)) > 0,
+                       F.sum("is_goal").cast("double") / F.count(F.lit(1)))
+                .otherwise(F.lit(0.0))
+                .alias("shooting_pct"),  # defense view: goals_against_pct renamed
+            )
+            .withColumn("perspective", F.lit(perspective))
+        )
+
+    return profile("team_id", "offense").unionByName(profile("opponent_team_id", "defense"))
+
+
+def player_shot_locations(fact_shot_events: DataFrame) -> DataFrame:
+    """Per-player shot location bins (player_shot_locations.sql:21-113):
+    null-coord filter, 5-ft bins, shot-type conditional counts."""
+    shots = fact_shot_events.filter(
+        F.col("x_coord").isNotNull()
+        & F.col("y_coord").isNotNull()
+        & F.col("player_id").isNotNull()
+    )
+    return shots.groupBy(
+        "player_id",
+        "player_name",
+        "season",
+        _binned("x_coord").alias("x_bin"),
+        _binned("y_coord").alias("y_bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("shots"),
+        F.sum("is_goal").alias("goals"),
+        F.sum("is_on_goal").alias("shots_on_goal"),
+        F.sum(F.when(F.col("shot_type") == "wrist", 1).otherwise(0)).alias("wrist_shots"),
+        F.sum(F.when(F.col("shot_type") == "slap", 1).otherwise(0)).alias("slap_shots"),
+    )
+
+
+def bruins_next_opponent(stg_schedule_games: DataFrame, dim_team: DataFrame,
+                         today: str = "2024-11-13") -> DataFrame:
+    """Next scheduled Bruins game after the injected as-of date
+    (bruins_next_opponent.sql:11-71): future filter → ORDER BY game_date
+    LIMIT 1 → broadcast dim join for opponent names."""
+    bos = stg_schedule_games.filter(
+        (
+            (F.col("home_team_abbrev") == "BOS") | (F.col("away_team_abbrev") == "BOS")
+        )
+        & (F.col("game_date") > F.lit(today).cast("date"))
+        & F.col("game_state").isin("FUT", "PRE")
+    )
+    nxt = bos.orderBy("game_date", "game_id").limit(1)
+    opponent_id = F.when(
+        F.col("home_team_abbrev") == "BOS", F.col("away_team_id")
+    ).otherwise(F.col("home_team_id"))
+    t = dim_team.select(
+        F.col("team_id").alias("opponent_team_id"),
+        F.col("team_name").alias("opponent_name"),
+    )
+    return (
+        nxt.withColumn("opponent_team_id", opponent_id)
+        .withColumn(
+            "bruins_home_away",
+            F.when(F.col("home_team_abbrev") == "BOS", "home").otherwise("away"),
+        )
+        .join(F.broadcast(t), "opponent_team_id", "left")
+        .select(
+            "game_id", "game_date", "start_time_utc", "bruins_home_away",
+            "opponent_team_id", "opponent_name",
+        )
+    )

@@ -1,0 +1,119 @@
+"""Pipeline driver: materialize the model DAG in dependency order.
+
+Replaces the reference's Airflow→Snowflake→dbt chain (SURVEY §3.1) with one
+Spark job: bronze readers → staging views → silver tables → metric views.
+The dbt view/table policy (dbt_project.yml:19-33) maps to: views = lazy
+DataFrames registered as temp views; tables = parquet materializations
+under a warehouse dir. Model dependency order is plain call order.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nhl_data_pipeline_spark.nhl import dims, facts, metrics, odds, staging
+
+
+@dataclass
+class PipelineResult:
+    models: dict[str, DataFrame] = field(default_factory=dict)
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return self.models[name]
+
+
+# dbt materialization policy (dbt_project.yml:19-33): staging/metric = view,
+# dims/facts = table.
+TABLE_MODELS = frozenset(
+    {
+        "dim_date",
+        "dim_team",
+        "dim_player",
+        "fact_game_results",
+        "fact_player_game_stats",
+        "fact_team_game_stats",
+        "fact_shot_events",
+        "fact_player_sog_props_v2",
+    }
+)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    bronze: dict[str, DataFrame],
+    warehouse_dir: str | None = None,
+    as_of: str = "2024-11-15",
+) -> PipelineResult:
+    """Execute the full model DAG from bronze snapshot DataFrames.
+
+    bronze keys: game_boxscore, game_pbp, schedule, odds_player_props.
+    When warehouse_dir is set, table-policy models are written as parquet
+    and re-read (mirroring dbt `materialized='table'`); every model is also
+    registered as a temp view so the analyst SQL corpus (SURVEY §3.2) runs
+    via spark.sql unchanged.
+    """
+    r = PipelineResult()
+
+    def emit(name: str, df: DataFrame) -> DataFrame:
+        if warehouse_dir and name in TABLE_MODELS:
+            path = os.path.join(warehouse_dir, name)
+            df.write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        r.models[name] = df
+        return df
+
+    # staging
+    stg_games = emit("stg_games", staging.stg_games(bronze["game_boxscore"]))
+    stg_pgs = emit(
+        "stg_player_game_stats", staging.stg_player_game_stats(bronze["game_boxscore"])
+    )
+    stg_sched = emit("stg_schedule_games", staging.stg_schedule_games(bronze["schedule"]))
+    stg_odds = emit(
+        "stg_odds_player_props", staging.stg_odds_player_props(bronze["odds_player_props"])
+    )
+
+    # dims
+    dim_date = emit("dim_date", dims.dim_date(spark))
+    dim_team = emit("dim_team", dims.dim_team(stg_games))
+    dim_player = emit("dim_player", dims.dim_player(stg_pgs, today=as_of))
+
+    # facts
+    fgr = emit("fact_game_results", facts.fact_game_results(stg_games))
+    fpgs = emit(
+        "fact_player_game_stats",
+        facts.fact_player_game_stats(stg_pgs, dim_player, dim_team),
+    )
+    ftgs = emit("fact_team_game_stats", facts.fact_team_game_stats(fpgs, stg_games))
+    fse = emit("fact_shot_events", facts.fact_shot_events(bronze["game_pbp"], dim_player))
+
+    # metrics
+    emit("team_shot_metrics", metrics.team_shot_metrics(ftgs))
+    emit("player_shot_metrics", metrics.player_shot_metrics(fpgs))
+    emit(
+        "team_shots_against_by_position",
+        metrics.team_shots_against_by_position(fpgs, ftgs),
+    )
+    emit("team_shot_locations", metrics.team_shot_locations(fse))
+    emit("player_shot_locations", metrics.player_shot_locations(fse))
+    emit(
+        "bruins_next_opponent",
+        metrics.bruins_next_opponent(stg_sched, dim_team, today="2024-11-13"),
+    )
+
+    # odds vertical
+    xw = emit(
+        "stg_player_name_crosswalk",
+        odds.stg_player_name_crosswalk(stg_odds, dim_player),
+    )
+    props = emit(
+        "fact_player_sog_props_v2",
+        odds.fact_player_sog_props_v2(stg_odds, xw, fpgs, stg_games),
+    )
+    emit("rpt_sog_props_performance", odds.rpt_sog_props_performance(props))
+
+    _ = dim_date, fgr  # registered views; referenced via SQL corpus
+    return r

@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from nhl_data_pipeline_spark.plans import (  # noqa: F401
         q_aggregates,
         q_joins,
+        q_nhl,
         q_projection,
         q_similarity,
         q_text,

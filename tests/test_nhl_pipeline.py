@@ -1,0 +1,165 @@
+"""End-to-end tests of the NHL model DAG over deterministic fixtures.
+
+Covers the reference's documented invariants (SURVEY §1.4): latest-snapshot
+wins, completed-games filter placement, null-player drops, crosswalk match
+classes, over/under/push/pending/unmatched outcomes, and the dbt-style
+quality suite.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.nhl import fixtures
+from nhl_data_pipeline_spark.nhl.pipeline import run_pipeline
+from nhl_data_pipeline_spark.nhl.quality import run_standard_suite
+
+
+@pytest.fixture(scope="session")
+def bronze(spark):
+    return {
+        "game_boxscore": fixtures.boxscore_snapshots(spark),
+        "game_pbp": fixtures.pbp_snapshots(spark),
+        "schedule": fixtures.schedule_snapshots(spark),
+        "odds_player_props": fixtures.odds_snapshots(spark),
+    }
+
+
+@pytest.fixture(scope="session")
+def models(spark, bronze, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    return run_pipeline(spark, bronze, warehouse_dir=wh).models
+
+
+def test_latest_snapshot_wins(spark, bronze, models):
+    # Bronze keeps every snapshot (append-only, duplicate-tolerant)…
+    raw_counts = (
+        bronze["game_boxscore"].groupBy("game_id").count().filter("count > 1").count()
+    )
+    assert raw_counts > 0, "fixture must contain multi-snapshot games"
+    # …staging keeps exactly one row per game, from the max partition_date.
+    sg = models["stg_games"]
+    assert sg.groupBy("game_id").count().filter("count > 1").count() == 0
+    multi = (
+        bronze["game_boxscore"].groupBy("game_id")
+        .agg(F.max("partition_date").alias("max_pd"), F.count("*").alias("n"))
+        .filter("n > 1")
+    )
+    joined = sg.join(multi, "game_id").filter(F.col("partition_date") != F.col("max_pd"))
+    assert joined.count() == 0
+
+
+def test_completed_filter_in_silver_not_staging(models):
+    states = {r["game_state"] for r in models["stg_games"].select("game_state").distinct().collect()}
+    assert states == {"OFF", "LIVE", "FUT"}  # staging keeps all states
+    assert models["fact_game_results"].filter("game_id IS NULL").count() == 0
+    n_off = models["stg_games"].filter("game_state = 'OFF'").count()
+    assert models["fact_game_results"].count() == n_off
+
+
+def test_null_player_rows_dropped(models):
+    assert models["stg_player_game_stats"].filter("player_id IS NULL").count() == 0
+    assert models["stg_player_game_stats"].count() > 0
+
+
+def test_team_game_stats_grain_and_derivations(models):
+    ftgs = models["fact_team_game_stats"]
+    # two rows (home+away) per completed game
+    per_game = ftgs.groupBy("game_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_game] == [2]
+    # goals_for of one side == goals_against of the other
+    bad = (
+        ftgs.alias("h")
+        .join(ftgs.alias("a"), (F.col("h.game_id") == F.col("a.game_id")) & (F.col("h.home_away") == F.lit("home")) & (F.col("a.home_away") == F.lit("away")))
+        .filter(F.col("h.goals_for") != F.col("a.goals_against"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_shot_events_filtered_and_coalesced(models):
+    fse = models["fact_shot_events"]
+    kinds = {r["event_type"] for r in fse.select("event_type").distinct().collect()}
+    assert kinds <= {"shot-on-goal", "goal", "missed-shot"}
+    assert fse.filter("player_id IS NULL").count() == 0  # COALESCE worked
+    assert fse.filter("shot_result = 'goal' AND is_goal = 0").count() == 0
+
+
+def test_crosswalk_match_classes(models):
+    xw = {r["odds_player_name"]: r for r in models["stg_player_name_crosswalk"].collect()}
+    assert xw["JT Miller"]["player_name"] == "J.T. Miller"
+    assert xw["JT Miller"]["match_strategy"] == "initial_last"
+    assert xw["Léon Draisaitl"]["player_name"] == "Leon Draisaitl"
+    assert xw["Léon Draisaitl"]["match_strategy"] == "accent_normalized"
+    assert xw["TIM STUTZLE"]["player_name"] == "Tim Stutzle"
+    assert xw["TIM STUTZLE"]["match_strategy"] == "exact"  # case-insensitive exact
+    assert "Nonexistent Player" not in xw
+
+
+def test_sog_props_outcomes(models):
+    props = models["fact_player_sog_props_v2"]
+    outcomes = {r["outcome"] for r in props.select("outcome").distinct().collect()}
+    assert "over" in outcomes and "under" in outcomes
+    assert "pending" in outcomes  # FUT game lines
+    assert "unmatched" in outcomes  # Nonexistent Player
+    # one line per (event, player)
+    assert (
+        props.groupBy("event_id", "odds_player_name").count().filter("count > 1").count()
+        == 0
+    )
+    # implied probability within (0, 1) where odds exist
+    bad_prob = props.filter(
+        F.col("over_implied_prob").isNotNull()
+        & ((F.col("over_implied_prob") <= 0) | (F.col("over_implied_prob") >= 1))
+    ).count()
+    assert bad_prob == 0
+
+
+def test_rolling_metrics_shapes(models):
+    tsm = models["team_shot_metrics"].filter("games_played_in_season >= 3")
+    # a 3-game average can never exceed the running max of the inputs
+    bad = tsm.filter(F.col("sog_avg_3") > 100).count()
+    assert bad == 0
+    assert models["player_shot_metrics"].count() > 0
+    assert models["team_shots_against_by_position"].count() > 0
+    assert models["team_shot_locations"].count() > 0
+    assert models["player_shot_locations"].count() > 0
+
+
+def test_bruins_next_opponent(models):
+    rows = models["bruins_next_opponent"].collect()
+    assert len(rows) == 1
+    assert rows[0]["opponent_name"] is not None
+
+
+def test_quality_suite_green(models):
+    results = run_standard_suite(models)
+    failures = [str(r) for r in results if not r.passed]
+    assert not failures, f"quality checks failed: {failures}"
+    assert len(results) >= 18
+
+
+def test_analyst_sql_corpus_runs(spark, models):
+    """SURVEY §3.2: ad-hoc analyst SQL must run via spark.sql over the
+    registered model views (dialect-adjusted analysis queries)."""
+    leaders = spark.sql(
+        """
+        SELECT player_name, SUM(goals) AS goals
+        FROM fact_player_game_stats
+        GROUP BY player_name
+        ORDER BY goals DESC, player_name
+        LIMIT 5
+        """
+    ).collect()
+    assert len(leaders) == 5
+    streak = spark.sql(
+        """
+        SELECT t.team_id, t.game_date, t.shots_on_goal
+        FROM fact_team_game_stats t
+        WHERE (t.team_id, t.game_date) IN (
+            SELECT team_id, MAX(game_date) FROM fact_team_game_stats GROUP BY team_id
+        )
+        """
+    ).collect()
+    assert len(streak) > 0
