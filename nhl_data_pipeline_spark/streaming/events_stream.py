@@ -1,0 +1,102 @@
+"""Structured Streaming over the events table.
+
+The reference handles late/updated data in batch (re-snapshot + W1 dedup,
+SURVEY §2.10); this module is the streaming analog it road-maps ("live
+games"): readStream → watermark → windowed aggregates / dedup → sink.
+`trigger(availableNow=True)` turns any of these into an incremental batch
+job — the same code path a scheduled micro-batch (Airflow cron in the
+reference) would run.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.catalog import load_table
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema pinned from the batch
+    reader; ts normalized ns→µs exactly like catalog.load_table)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # TimestampType (not NTZ): event-time watermarks require TIMESTAMP.
+    # Session timezone is pinned UTC, so wall-clock values match the batch
+    # reader's timestamp_ntz.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Per-type event counts in tumbling windows with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_user_activity(events: DataFrame, window: str = "2 hours",
+                          slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
+    """Sliding-window per-user activity (the rolling-average streaming twin
+    of team_shot_metrics' batch ROWS frames)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("user_id"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-once dedup on event_id within the watermark horizon —
+    the streaming analog of the latest-snapshot batch dedup (W1)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_available_now(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
+    """Execute a streaming plan over all currently-available input and
+    return the result as a batch DataFrame (memory sink)."""
+    name = f"snk_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def run_available_now_complete(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
+    """Same as run_available_now but for aggregated plans (complete mode)."""
+    name = f"snk_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
