@@ -93,3 +93,56 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_topk_numpy(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectorized brute-force cosine top-k via Arrow-batched mapInPandas.
+
+    The throughput path for large k×corpus products: the (small) query set
+    is collected once and closed over as a normalized numpy matrix; each
+    candidate Arrow batch does one float64 matmul against it and emits its
+    local per-query top-k; a final window rank reduces locals to the global
+    top-k. Same contract as cosine_topk; float64 matmul accumulates in a
+    different order than the sequential JVM sum, so cosines can differ in
+    the last ulp — rankings agree except on exact ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec).collect()
+    q_ids = np.array([r[id_col] for r in q_rows])
+    q_mat = np.array([r[vec] for r in q_rows], dtype=np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            c_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ q_mat.T  # (batch, n_queries)
+            top = min(k, sims.shape[0])
+            idx = np.argpartition(-sims, top - 1, axis=0)[:top]  # per query
+            rows = {
+                "query_id": np.repeat(q_ids, top),
+                "neighbor_id": c_ids[idx].T.ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=0).T.ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local = candidates.select(id_col, vec).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

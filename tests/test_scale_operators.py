@@ -1,0 +1,49 @@
+"""Skew salting, approx distinct, vectorized ANN — the scale-path operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.operators.skew import salted_join, top_frequency_keys
+from nhl_data_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_numpy
+from tests.conftest import TEST_SF_DIR
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, TEST_SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, TEST_SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").groupBy("l_orderkey").count()
+    salted = salted_join(li, o, "l_orderkey", n_salts=4).groupBy("l_orderkey").count()
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_top_frequency_keys(spark):
+    e = load_table(spark, TEST_SF_DIR, "events")
+    hot = top_frequency_keys(e, "event_type", min_count=1)
+    assert hot.count() == 5  # all five types at this scale
+
+
+def test_approx_count_distinct_close_to_exact(spark):
+    e = load_table(spark, TEST_SF_DIR, "events")
+    row = e.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_numpy_topk_matches_exact(spark):
+    e = load_table(spark, TEST_SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    c = e.filter(F.col("vec_id") >= 5)
+    exact = cosine_topk(q, c, 5)
+    fast = cosine_topk_numpy(q, c, 5)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact.collect()}
+    fs = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in fast.collect()}
+    assert set(ex) == set(fs)
+    for pair, cos in ex.items():
+        assert abs(cos - fs[pair]) < 1e-9
