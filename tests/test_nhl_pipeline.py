@@ -163,3 +163,25 @@ def test_analyst_sql_corpus_runs(spark, models):
         """
     ).collect()
     assert len(streak) > 0
+
+
+def test_full_analysis_corpus_runs(spark, models):
+    """SURVEY §3.2 acceptance: every analyst query family executes via
+    spark.sql over the registered views and returns a sane shape."""
+    from nhl_data_pipeline_spark.nhl.analysis_corpus import run_corpus
+
+    results = {name: df.collect() for name, df in run_corpus(spark).items()}
+    assert set(results) >= {
+        "latest_team_game", "shot_volume_leaders", "shot_efficiency",
+        "rolling_trends", "hot_streaks", "shot_differential", "home_vs_away",
+        "ml_features_recent", "crosswalk_quality", "unmatched_odds_names",
+        "betting_performance", "top_line_beaters", "daily_over_trend",
+    }
+    assert len(results["latest_team_game"]) == 8  # one row per team
+    assert len(results["home_vs_away"]) > 0
+    assert [r["odds_player_name"] for r in results["unmatched_odds_names"]] == [
+        "Nonexistent Player"
+    ]
+    assert len(results["betting_performance"]) > 0
+    strategies = {r["match_strategy"] for r in results["crosswalk_quality"]}
+    assert strategies == {"exact", "accent_normalized", "initial_last"}
