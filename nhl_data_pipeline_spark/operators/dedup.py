@@ -52,21 +52,22 @@ def shingles_sql(toks_expr: str, n: int = 3) -> str:
 # ---------------------------------------------------------------- minhash
 
 
-def minhash_signature(shingles_col: Column, k: int = 12) -> Column:
+def minhash_signature(shingles_col: str, k: int = 12) -> Column:
     """k-element MinHash signature: per seed, the lexicographic min of
     md5('<seed>|' || shingle). String-min MinHash is engine-portable and
-    preserves the Jaccard-estimation property (any uniform hash works)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles_col,
-                    lambda s, seed=seed: F.md5(F.concat(F.lit(f"{seed}|"), s)),
-                )
-            )
-            for seed in range(k)
-        ]
+    preserves the Jaccard-estimation property (any uniform hash works).
+
+    Built via F.expr with a UNIQUE lambda variable per seed: repeating
+    python-lambda higher-order functions inside one array() makes Spark's
+    sibling lambda variables collide and silently return wrong values
+    (caught by the sf0.1 oracle sweep — the per-seed mins weren't mins).
+    Takes a column NAME so the expression is plain SQL text.
+    """
+    mins = ", ".join(
+        f"array_min(transform({shingles_col}, s{i} -> md5(concat('{i}|', s{i}))))"
+        for i in range(k)
     )
+    return F.expr(f"array({mins})")
 
 
 def minhash_signature_sql(shingles_expr: str, k: int = 12) -> str:
@@ -105,25 +106,28 @@ def lsh_band_keys_sql(sig_expr: str, bands: int, rows: int) -> str:
 _HEX = "0123456789abcdef"
 
 
-def simhash(tokens_col: Column, bits: int = 16) -> Column:
-    """bits-bit SimHash over a tokens array.
+def simhash(tokens_col: str, bits: int = 16) -> Column:
+    """bits-bit SimHash over a tokens array column (by name).
 
     Bit b of each token's md5 is nibble (hex char) b//4, bit b%4. Sum the
     ±1 contributions across tokens; bit is 1 where the sum is positive.
-    Pure integer/string ops — identical in any engine.
+    Pure integer/string ops — identical in any engine. Built as SQL text
+    with unique lambda variables per bit (see minhash_signature for the
+    sibling-lambda collision this avoids).
     """
-    md5s = F.transform(tokens_col, F.md5)
-    out = F.lit(0).cast("bigint")
+    terms = []
     for b in range(bits):
         pos, div = b // 4 + 1, 2 ** (b % 4)
-        bit = lambda h: (  # noqa: E731
-            (F.instr(F.lit(_HEX), F.substring(h, pos, 1)) - 1) / div
-        ).cast("bigint") % 2
-        s = F.aggregate(
-            md5s, F.lit(0).cast("bigint"), lambda acc, h: acc + (bit(h) * 2 - 1)
+        bit = (
+            f"CAST(floor((instr('{_HEX}', substring(md5(t{b}), {pos}, 1)) - 1)"
+            f" / {div}) AS BIGINT) % 2"
         )
-        out = out + F.when(s > 0, F.lit(2**b)).otherwise(F.lit(0)).cast("bigint")
-    return out
+        s = (
+            f"aggregate({tokens_col}, CAST(0 AS BIGINT),"
+            f" (a{b}, t{b}) -> a{b} + ({bit}) * 2 - 1)"
+        )
+        terms.append(f"CASE WHEN ({s}) > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def simhash_sql(toks_expr: str, bits: int = 16) -> str:

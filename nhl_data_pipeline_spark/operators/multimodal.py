@@ -89,3 +89,39 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             "environment; plumbing contract is extract_features()"
         ) from e
     raise NotImplementedError("wire PIL decode here when available")
+
+
+HISTOGRAM_DIM = 16
+
+HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def byte_histogram_features(df: DataFrame) -> DataFrame:
+    """Deterministic stand-in 'decoder': 16-bin byte histogram per payload,
+    L1-normalized, as array<float>.
+
+    This is the full multimodal feature-extraction shape — binary in, fixed
+    -dim embedding out via Arrow batches — with the codec swapped for a
+    dependency-free transform. The output column is contract-compatible
+    with operators.similarity (cosine_topk / neardup), so the
+    decode→featurize→dedup/ANN chain runs end to end today and a real
+    image/audio encoder drops in later.
+    """
+    import numpy as np
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=HISTOGRAM_DIM).astype("float64")
+                total = hist.sum()
+                embs.append((hist / total if total else hist).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
+
+    return df.select("doc_id", "payload").mapInPandas(_featurize, HIST_SCHEMA)

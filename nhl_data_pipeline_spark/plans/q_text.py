@@ -236,7 +236,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = (
         d.filter(F.size(toks) >= 3)
         .select("doc_id", D.shingles(toks, 3).alias("sh"))
-        .select("doc_id", D.minhash_signature(F.col("sh"), _K).alias("sig"))
+        .select("doc_id", D.minhash_signature("sh", _K).alias("sig"))
         .select("doc_id", D.lsh_band_keys(F.col("sig"), _BANDS, _ROWS).alias("bk"))
         .persist()
     )
@@ -272,7 +272,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or probe neighboring buckets for Hamming distance ≤ d at scale).
     """
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", D.simhash(X.tokens(F.col("text")), 16).alias("simhash16"))
+    return d.select("doc_id", X.tokens(F.col("text")).alias("toks")).select(
+        "doc_id", D.simhash("toks", 16).alias("simhash16")
+    )
 
 
 @query(

@@ -47,3 +47,24 @@ def test_numpy_topk_matches_exact(spark):
     assert set(ex) == set(fs)
     for pair, cos in ex.items():
         assert abs(cos - fs[pair]) < 1e-9
+
+
+def test_multimodal_feature_chain_into_ann(spark):
+    """binary payload → byte-histogram features → cosine top-k, end to end."""
+    from nhl_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        byte_histogram_features,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    feats = byte_histogram_features(attach_binary_payload(docs)).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    q = feats.filter(F.col("vec_id") < 3)
+    c = feats.filter(F.col("vec_id") >= 3)
+    top = cosine_topk(q, c, 3).collect()
+    assert len(top) == 9  # 3 queries × top-3
+    assert all(0.0 <= r["cosine"] <= 1.0 + 1e-9 for r in top)  # histograms are nonneg
+    # deterministic across runs
+    again = cosine_topk(q, c, 3).collect()
+    assert top == again
