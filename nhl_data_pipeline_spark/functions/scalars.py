@@ -74,3 +74,16 @@ def dec(col: Column | str, scale: int = 6) -> Column:
     string repr) and DuckDB (nearest on the binary value) diverge.
     """
     return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+def dsum_double(col: Column | str, scale: int = 6) -> Column:
+    """Exact decimal SUM emitted as double via a string bridge.
+
+    decimal→double conversion rounds once the scaled integer exceeds 2^53,
+    and engines round differently (1-ulp divergences caught at sf0.1).
+    decimal→string is exact; string→double parsing is correctly rounded in
+    every engine — so SUM(decimal)→string→double is bit-stable across
+    engines at any magnitude. Matches plans/sqlgen.dsum_expr on the oracle
+    side.
+    """
+    return F.sum(dec(col, scale)).cast("string").cast("double")

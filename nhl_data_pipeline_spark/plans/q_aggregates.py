@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nhl_data_pipeline_spark.catalog import load_table
-from nhl_data_pipeline_spark.functions.scalars import dec
+from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount, bsum, dsum, dsum_expr
 
@@ -50,13 +50,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
-            F.sum(dec(charge, 8)).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(dec("l_discount", 6)).cast("double") / n).alias("avg_disc"),
+            dsum_double("l_quantity").alias("sum_qty"),
+            dsum_double("l_extendedprice").alias("sum_base_price"),
+            dsum_double(disc_price).alias("sum_disc_price"),
+            dsum_double(charge, 8).alias("sum_charge"),
+            (dsum_double("l_quantity") / n).alias("avg_qty"),
+            (dsum_double("l_extendedprice") / n).alias("avg_price"),
+            (dsum_double("l_discount", 6) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )
@@ -198,7 +198,7 @@ def having_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(dec("c_acctbal")).cast("double").alias("total_balance"),
+            dsum_double("c_acctbal").alias("total_balance"),
         )
         .filter(F.col("n_customers") >= 5)
     )

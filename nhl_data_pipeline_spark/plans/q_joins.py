@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table
-from nhl_data_pipeline_spark.functions.scalars import dec, split_part
+from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double, split_part
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum
 
@@ -50,7 +50,7 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(dec(rev)).cast("double").alias("revenue"),
+            dsum_double(rev).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -80,7 +80,7 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     grp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(dec("l_quantity")).cast("double").alias("grp_qty"),
+        dsum_double("l_quantity").alias("grp_qty"),
         F.count(F.lit(1)).alias("grp_lines"),
     )
     return li.join(grp, ["l_orderkey", "l_suppkey"]).select(
@@ -136,7 +136,7 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
         )
         .groupBy("n_name")
-        .agg(F.sum(dec(rev)).cast("double").alias("revenue"))
+        .agg(dsum_double(rev).alias("revenue"))
     )
 
 
@@ -412,7 +412,7 @@ def self_compare_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "click")
         .groupBy("user_id")
         .agg(
-            F.sum(dec("value")).cast("double").alias("click_value"),
+            dsum_double("value").alias("click_value"),
             F.count(F.lit(1)).alias("n_clicks"),
         )
     )
@@ -420,7 +420,7 @@ def self_compare_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(
-            F.sum(dec("value")).cast("double").alias("purchase_value"),
+            dsum_double("value").alias("purchase_value"),
             F.count(F.lit(1)).alias("n_purchases"),
         )
     )

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table
-from nhl_data_pipeline_spark.functions.scalars import dec
+from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import dsum
 
@@ -264,7 +264,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == o.o_orderkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum(dec(rev)).cast("double").alias("revenue"))
+        .agg(dsum_double(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(25)
     )

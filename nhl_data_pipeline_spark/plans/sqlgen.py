@@ -11,8 +11,14 @@ def dsum_expr(expr: str, scale: int = 6) -> str:
     """Order-independent SUM over a double expression, as DOUBLE (no alias).
 
     ``scale`` must be ≥ the expression's true decimal scale so the cast is
-    exact (see functions.scalars.dec)."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    exact (see functions.scalars.dec).
+
+    The decimal→double hop goes THROUGH VARCHAR: when the sum's scaled
+    integer exceeds 2^53, direct decimal→double conversion rounds, and
+    engines differ by an ulp (Spark: correctly-rounded BigDecimal; DuckDB:
+    int128 arithmetic). decimal→text is exact and text→double parsing is
+    correctly rounded everywhere, so the string bridge is engine-stable."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def dsum(expr: str, alias: str, scale: int = 6) -> str:
@@ -22,7 +28,7 @@ def dsum(expr: str, alias: str, scale: int = 6) -> str:
 
 def davg(expr: str, alias: str, scale: int = 6) -> str:
     """Order-independent AVG as exact-decimal SUM / COUNT(*), as DOUBLE."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT(*) AS {alias}"
+    return f"{dsum_expr(expr, scale)} / COUNT(*) AS {alias}"
 
 
 def bcount(alias: str, filter_expr: str | None = None) -> str:
