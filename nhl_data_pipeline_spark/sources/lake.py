@@ -62,3 +62,45 @@ def append_new_only(
     (iceberg/bronze_odds_player_props.py:274-346): anti-join incoming rows
     against already-loaded ids; only the delta is appended."""
     return incoming.join(existing.select(key).distinct(), key, "left_anti")
+
+
+def upsert_latest(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Latest-wins upsert into a parquet table (merge analog without Delta).
+
+    The batch twin of the streaming upsert sink the reference's re-snapshot
+    + W1 dedup pattern implies (SURVEY §2.10): union existing rows with
+    updates, keep the newest row per key by order_cols, rewrite. With a
+    table format this becomes MERGE INTO; the dedup semantics are identical
+    to nhl.staging.latest_snapshot.
+    """
+    import os
+
+    from pyspark.sql.window import Window
+
+    if os.path.isdir(path):
+        current = spark.read.parquet(path)
+        merged = current.unionByName(updates)
+    else:
+        merged = updates
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    latest = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # Rewrite through a staging dir: the plan reads `path`, so writing onto
+    # it in place would truncate inputs mid-read.
+    tmp = f"{path}__staged"
+    latest.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(path)
+    import shutil
+
+    shutil.rmtree(tmp)
+    return spark.read.parquet(path)

@@ -100,3 +100,22 @@ def test_append_new_only(spark):
     incoming = spark.createDataFrame([(2,), (3,), (4,)], "event_id long")
     delta = lake.append_new_only(incoming, existing, "event_id")
     assert sorted(r["event_id"] for r in delta.collect()) == [3, 4]
+
+
+def test_upsert_latest(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    day1 = spark.createDataFrame(
+        [(1, "2024-01-01", "a"), (2, "2024-01-01", "b")],
+        "id long, snap string, val string",
+    )
+    lake.upsert_latest(spark, path, day1, "id", ("snap",))
+    day2 = spark.createDataFrame(
+        [(2, "2024-01-02", "b2"), (3, "2024-01-02", "c")],
+        "id long, snap string, val string",
+    )
+    out = lake.upsert_latest(spark, path, day2, "id", ("snap",))
+    got = {(r["id"], r["val"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}
+    # idempotent re-apply
+    out2 = lake.upsert_latest(spark, path, day2, "id", ("snap",))
+    assert {(r["id"], r["val"]) for r in out2.collect()} == got
