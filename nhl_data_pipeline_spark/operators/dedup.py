@@ -158,3 +158,73 @@ def exact_dedup_keep_min(df: DataFrame, key: Column, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    docs_with_shingles: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via prefix filtering (PPJoin-style).
+
+    Input: (doc_id, sh array). A pair with J ≥ t must share at least one of
+    each side's ⌊(1-t)·n⌋+1 globally-rarest shingles, so candidate
+    generation joins only those prefixes (near-linear in corpus size),
+    then verification computes the true intersection with array_intersect.
+    Output is IDENTICAL to the all-shingles join.
+
+    Crossover: at local bench scale the extra document-frequency rank
+    stages cost more than the all-pairs fan-out they avoid (13s vs 5s at
+    sf0.1, 5k docs / 40-word vocab); at 100 TB the fan-out of the naive
+    join is quadratic in per-shingle frequency while prefix-join cost
+    tracks true duplicate density — this is the plan that survives the
+    scale-up. Keep both; pick by corpus size.
+    """
+    from pyspark.sql import Window as W
+
+    # Prefix length p = floor((1-t)·n)+1. Float (1-t) can land just BELOW
+    # the exact value (1-0.8 = 0.1999…96), shortening the prefix when
+    # (1-t)·n is integral and silently dropping pairs — add epsilon slack
+    # in the safe direction (a longer prefix only adds candidates; the
+    # verify stage keeps the output exact).
+    inv_keep = 1.0 - threshold
+    shl = docs_with_shingles.select(
+        "doc_id", "sh", F.size("sh").cast("bigint").alias("n")
+    ).persist()
+    sh = shl.select("doc_id", "n", F.explode("sh").alias("s"))
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = W.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        sh.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .filter(
+            F.col("pos")
+            <= F.floor(F.lit(inv_keep) * F.col("n") + F.lit(1e-9)) + 1
+        )
+        .select("doc_id", "n", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s")
+    # length-ratio bound: J ≤ min/max ⟹ max·t ≤ min for qualifying pairs
+    ratio_ok = F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+    cand = (
+        a.join(b, ["s"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & ratio_ok)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    va = shl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+                    F.col("n").alias("n_a"))
+    vb = shl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+                    F.col("n").alias("n_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

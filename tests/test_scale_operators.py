@@ -68,3 +68,24 @@ def test_multimodal_feature_chain_into_ann(spark):
     # deterministic across runs
     again = cosine_topk(q, c, 3).collect()
     assert top == again
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    from nhl_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+        shingles,
+    )
+    from nhl_data_pipeline_spark.operators.text import tokens
+    from nhl_data_pipeline_spark.plans.registry import all_queries
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    shl = docs.select(
+        "doc_id", shingles(tokens(F.col("text")), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    fast = {tuple(r) for r in prefix_filtered_jaccard_pairs(shl, 0.8).collect()}
+    naive = {
+        tuple(r)
+        for r in all_queries()["dedup_ngram_jaccard"].fn(spark, TEST_SF_DIR).collect()
+    }
+    assert fast == naive
+    assert len(fast) > 0
