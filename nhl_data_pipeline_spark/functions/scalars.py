@@ -8,6 +8,7 @@ so they stay inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -87,3 +88,32 @@ def dsum_double(col: Column | str, scale: int = 6) -> Column:
     side.
     """
     return F.sum(dec(col, scale)).cast("string").cast("double")
+
+
+def accent_fold_unicode(col: Column | str) -> Column:
+    """General accent folding via NFKD decomposition (Arrow-batched UDF).
+
+    translate() covers the Latin table above JVM-side; this is the
+    general-alphabet path (SURVEY §2.11): unicodedata.normalize strips ALL
+    combining marks, at Pandas-UDF cost. Prefer accent_fold in hot paths.
+    """
+    import unicodedata
+
+    # Module-level-resolvable annotations: with `from __future__ import
+    # annotations`, pandas_udf resolves the string hints via the function's
+    # globals — pd must live there, not in this closure.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: None
+            if x is None
+            else "".join(
+                ch
+                for ch in unicodedata.normalize("NFKD", x)
+                if not unicodedata.combining(ch)
+            )
+        )
+
+    return _fold(F.col(col) if isinstance(col, str) else col)

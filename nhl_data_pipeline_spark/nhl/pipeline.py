@@ -26,19 +26,19 @@ class PipelineResult:
 
 
 # dbt materialization policy (dbt_project.yml:19-33): staging/metric = view,
-# dims/facts = table.
-TABLE_MODELS = frozenset(
-    {
-        "dim_date",
-        "dim_team",
-        "dim_player",
-        "fact_game_results",
-        "fact_player_game_stats",
-        "fact_team_game_stats",
-        "fact_shot_events",
-        "fact_player_sog_props_v2",
-    }
-)
+# dims/facts = table. Fact tables partition by season — the lake layout that
+# gives season-scoped queries partition pruning at 100 TB (mirrors the
+# reference's date=/market= identity partitions, SURVEY §4).
+TABLE_MODELS: dict[str, tuple[str, ...]] = {
+    "dim_date": (),
+    "dim_team": (),
+    "dim_player": (),
+    "fact_game_results": ("season",),
+    "fact_player_game_stats": ("season",),
+    "fact_team_game_stats": ("season",),
+    "fact_shot_events": ("season",),
+    "fact_player_sog_props_v2": (),  # odds grain has no season column
+}
 
 
 def run_pipeline(
@@ -60,7 +60,11 @@ def run_pipeline(
     def emit(name: str, df: DataFrame) -> DataFrame:
         if warehouse_dir and name in TABLE_MODELS:
             path = os.path.join(warehouse_dir, name)
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            parts = TABLE_MODELS[name]
+            if parts:
+                writer = writer.partitionBy(*parts)
+            writer.parquet(path)
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)
         r.models[name] = df

@@ -81,3 +81,21 @@ def test_accent_fold(spark, texts):
     table = str.maketrans(S._ACCENTED, S._FOLDED)
     want = [t.translate(table) for t in texts]
     assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet=S._ACCENTED + "abc XYZ", max_size=15), min_size=1, max_size=15))
+def test_accent_fold_unicode_agrees_on_latin(spark, texts):
+    """The general NFKD pandas-UDF path agrees with the JVM translate path
+    on the Latin alphabet both cover."""
+    from nhl_data_pipeline_spark.functions.scalars import accent_fold_unicode
+
+    df = spark.createDataFrame([(t,) for t in texts], "v string")
+    got = [
+        (r["a"], r["b"])
+        for r in df.select(
+            accent_fold(F.col("v")).alias("a"), accent_fold_unicode("v").alias("b")
+        ).collect()
+    ]
+    for a, b in got:
+        assert a == b
