@@ -317,3 +317,52 @@ def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").alias("nationkey")
     )
     return c.union(s).distinct()
+
+
+@query(
+    "cube_rollup_profile",
+    covers="A-ext-cube",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority, {bcount('n')},
+               {dsum('o_totalprice', 'total')}
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_rollup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets profile (beyond the reference's surface — SURVEY
+    §2.5 notes it has no grouping sets; a 100 TB profiling pipeline wants
+    them: one pass emits every marginal)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum_double("o_totalprice").alias("total"),
+        )
+    )
+
+
+@query(
+    "percentile_profile",
+    covers="A-ext-percentile",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (no median/percentile in
+    the reference — added for profiling parity with modern warehouses).
+    Spark `percentile` ≡ DuckDB `quantile_cont` (linear interpolation,
+    verified bit-equal). At 100 TB prefer approx_percentile (t-digest)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+    )

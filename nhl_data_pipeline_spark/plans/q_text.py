@@ -297,3 +297,61 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_binary_payload(d))
+
+
+@query(
+    "curation_pipeline",
+    covers="LLM-curation,composition",
+    bench=True,
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {X.lang_id_sql('text')} AS lang_hat,
+                   {X.quality_score_sql('text')} AS quality
+            FROM documents
+        ),
+        shl AS (
+            SELECT doc_id, {_SH_SQL} AS sh
+            FROM documents WHERE len({_TOKS}) >= 3
+        ),
+        sh AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s FROM shl),
+        dup_pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        drop_docs AS (
+            SELECT DISTINCT doc_b AS doc_id FROM dup_pairs
+            WHERE CAST(c AS DOUBLE) / (n_a + n_b - c) >= 0.8
+        )
+        SELECT s.doc_id, s.lang_hat, s.quality
+        FROM scored s
+        WHERE s.lang_hat = 'en'
+          AND s.quality >= 0.75
+          AND NOT EXISTS (SELECT 1 FROM drop_docs d WHERE d.doc_id = s.doc_id)
+    """,
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation filter: language ∧ quality ∧ near-dup removal.
+
+    The composed training-data pipeline stage: keep English docs above the
+    quality bar, dropping the higher-id member of every jaccard≥0.8
+    near-dup pair (keep-first policy). Composition of the lang-ID, quality
+    and jaccard operators — one declarative plan, so Catalyst shares the
+    documents scan across branches.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hat = X.lang_id(F.col("text"))
+    q = X.quality_score(F.col("text"))
+    scored = d.select("doc_id", hat.alias("lang_hat"), q.alias("quality"))
+    drop_docs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        scored.filter((F.col("lang_hat") == "en") & (F.col("quality") >= 0.75))
+        .join(drop_docs, "doc_id", "left_anti")
+        .select("doc_id", "lang_hat", "quality")
+    )
