@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the scale posture we claim must be the
+plan Catalyst actually produces.
+
+Each assertion pins a property the 100 TB design depends on — filter/column
+pushdown reaching the parquet scan, small dims broadcast, the jaccard pair
+join staying shuffled-hash, partial (map-side) aggregation, and no
+row-at-a-time Python UDFs anywhere in the registered surface. If a refactor
+regresses one of these, correctness tests stay green but the plan quietly
+degrades; this module catches that.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nhl_data_pipeline_spark.plans.registry import all_queries
+from tests.conftest import TEST_SF_DIR
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    """The string df.explain(mode) prints, captured instead of printed."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def run(spark, name: str):
+    return all_queries()[name].fn(spark, TEST_SF_DIR)
+
+
+def test_filter_and_column_pushdown_reach_scan(spark):
+    df = run(spark, "typed_projection_filter")
+    p = plan_str(df)
+    assert "PushedFilters: [" in p
+    assert "IsNotNull(o_orderstatus)" in p or "EqualTo(o_orderstatus,F)" in p
+    # Column pruning: scan schema must not include unprojected columns.
+    read_schema = next(s for s in p.splitlines() if "ReadSchema" in s)
+    assert "o_comment" not in read_schema
+    assert "o_clerk" not in read_schema
+
+
+def test_small_dims_are_broadcast(spark):
+    p = plan_str(run(spark, "broadcast_dim_join"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jaccard_pair_join_is_shuffled_hash(spark):
+    p = plan_str(run(spark, "dedup_ngram_jaccard"))
+    assert "ShuffledHashJoin" in p
+    # The exact-preserving length prefilter must sit on the join, pruning
+    # pairs before the groupBy shuffle.
+    assert "greatest" in p and "least" in p
+
+
+def test_aggregation_is_partial_then_final(spark):
+    p = plan_str(run(spark, "pricing_summary"), "simple")
+    # Two HashAggregates (partial + final) around one shuffle: map-side
+    # combine is on, so the shuffle carries group rows, not input rows.
+    assert p.count("HashAggregate") >= 2
+    # Codegen view shows the fused subtrees (formatted mode hides them
+    # until AQE finalizes); the agg pipeline must be inside one.
+    assert "WholeStageCodegen" in plan_str(run(spark, "pricing_summary"), "codegen")
+
+
+def test_semi_and_anti_joins_stay_joins(spark):
+    assert "LeftSemi" in plan_str(run(spark, "semi_join_latest_order"))
+    assert "LeftAnti" in plan_str(run(spark, "anti_join_unmatched"))
+
+
+@pytest.mark.parametrize("name", sorted(all_queries()))
+def test_no_row_at_a_time_python_udf(spark, name):
+    """Python in the hot path only ever as Arrow-batched (ArrowEvalPython /
+    MapInPandas / FlatMapGroupsInPandas), never per-row BatchEvalPython."""
+    p = plan_str(run(spark, name), "extended")
+    assert "BatchEvalPython" not in p
