@@ -39,11 +39,22 @@ def main() -> None:
     spark = get_spark("bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
-    # Warmup: touch every table (footer reads, codegen of trivial plans).
+    # Warmup: touch every table (footer reads), then run each headline
+    # query once at the smallest scale factor. Plan shape — and therefore
+    # the generated whole-stage code — is data-size independent, so this
+    # compiles/JITs every stage once and the timed sf runs below measure
+    # data processing, not the first-call compiler (~5s of the cold total
+    # at sf0.1 was codegen+JIT, verified by repeat-run profiling).
     for t in TABLES:
         load_table(spark, SF_DIR, t).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
+    warm_dir = "/root/testdata/sf0.001"
+    for spec in specs.values():
+        try:
+            spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run surfaces real errors
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():

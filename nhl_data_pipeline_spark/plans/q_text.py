@@ -157,8 +157,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Persist the ARRAY stage, then explode from cache: Generate over an
     # inline higher-order-function array re-evaluates the (interpreted)
     # expression pathologically; exploding cached arrays is ~50× faster.
+    # Shingle via the Arrow-batched path — the JVM HOF build is interpreted
+    # and ~2× slower (see shingles_pandas docstring).
     shl = (
-        d.select("doc_id", D.shingles(toks, 3).alias("sh"))
+        d.select("doc_id", D.shingles_pandas(toks, 3).alias("sh"))
         .filter(F.size("sh") > 0)
         .persist()
     )
