@@ -73,6 +73,26 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enrich_with_customer_dim(
+    spark: SparkSession, events: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Stream-static broadcast join: each micro-batch joins against the
+    (re-read-per-batch) customer dim — the streaming twin of the J1 fact
+    denormalization. The dim side is broadcast, so the stream never
+    shuffles; at scale this is the only join shape that keeps a hot stream
+    partition-local."""
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("user_name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+    )
+    return events.join(dim, "user_id", "left").select(
+        "event_id", "ts", "user_id", "user_name", "mktsegment", "event_type", "value"
+    )
+
+
 def run_available_now(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
     """Execute a streaming plan over all currently-available input and
     return the result as a batch DataFrame (memory sink)."""

@@ -45,6 +45,24 @@ def test_sliding_window_runs(spark):
     assert out.filter("n_events <= 0").count() == 0
 
 
+def test_stream_static_enrichment_matches_batch(spark):
+    stream = es.read_events_stream(spark, TEST_SF_DIR)
+    got = es.run_available_now(
+        spark, es.enrich_with_customer_dim(spark, stream, TEST_SF_DIR)
+    )
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    dim = load_table(spark, TEST_SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_name").alias("user_name")
+    )
+    batch = ev.join(dim, "user_id", "left")
+    assert got.count() == ev.count() == batch.count()
+    # every streamed row carries the dim attributes (all user_ids resolve)
+    assert got.filter("user_name IS NULL").count() == 0
+    got_names = {(r["event_id"], r["user_name"]) for r in got.collect()}
+    batch_names = {(r["event_id"], r["user_name"]) for r in batch.collect()}
+    assert got_names == batch_names
+
+
 def test_rest_fetch_with_injected_fetcher(spark):
     calls = []
 
