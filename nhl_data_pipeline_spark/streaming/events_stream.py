@@ -93,6 +93,37 @@ def enrich_with_customer_dim(
     )
 
 
+def upsert_stream(
+    spark: SparkSession,
+    streaming_df: DataFrame,
+    path: str,
+    key: str,
+    order_cols: tuple[str, ...],
+) -> None:
+    """foreachBatch latest-wins merge sink: each micro-batch upserts into a
+    parquet table keyed by `key`, newest row per key winning by
+    `order_cols`. This is the full streaming analog of the reference's
+    re-snapshot + W1 dedup loop (SURVEY §2.10) — late or re-delivered
+    snapshots land in a later micro-batch and overwrite via the same
+    latest-wins rule the batch dedup uses. With Delta/Iceberg the body
+    becomes MERGE INTO; the semantics stay fixed by sources.lake's
+    upsert_latest."""
+    from nhl_data_pipeline_spark.sources.lake import upsert_latest
+
+    def _merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_latest(spark, path, batch_df, key, order_cols)
+
+    q = (
+        streaming_df.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{path}__ckpt")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(spark: SparkSession, streaming_df: DataFrame) -> DataFrame:
     """Execute a streaming plan over all currently-available input and
     return the result as a batch DataFrame (memory sink)."""

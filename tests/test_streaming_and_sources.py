@@ -63,6 +63,19 @@ def test_stream_static_enrichment_matches_batch(spark):
     assert got_names == batch_names
 
 
+def test_streaming_foreachbatch_upsert(spark, tmp_path):
+    target = str(tmp_path / "events_latest")
+    stream = es.read_events_stream(spark, TEST_SF_DIR)
+    es.upsert_stream(spark, stream, target, "event_id", ("ts",))
+    got = spark.read.parquet(target)
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    assert got.count() == ev.select("event_id").distinct().count()
+    # re-running over the same input is idempotent: checkpoint skips
+    # processed files, table unchanged
+    es.upsert_stream(spark, stream, target, "event_id", ("ts",))
+    assert spark.read.parquet(target).count() == got.count()
+
+
 def test_rest_fetch_with_injected_fetcher(spark):
     calls = []
 
