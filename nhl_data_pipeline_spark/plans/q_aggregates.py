@@ -366,3 +366,45 @@ def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.9).alias("p90"),
         F.percentile("value", 0.99).alias("p99"),
     )
+
+
+@query(
+    "set_intersect_nations",
+    covers="U-ext-intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (beyond the reference — SURVEY §2.8 notes none). Planned
+    as a left-semi join after distinct: no row materializes twice."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except_nations",
+    covers="U-ext-except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (beyond the reference). Planned as a left-anti join after
+    distinct — the same shape as the J8 anti-join, reused by Catalyst."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)

@@ -268,3 +268,40 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(25)
     )
+
+
+@query(
+    "lag_lead_rank_orders",
+    covers="W-ext-offset",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               CAST(lag(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+               CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                   AS price_rank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def lag_lead_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/rank windows (beyond the reference — SURVEY §2.6 notes it
+    uses none of them; any order-history analysis needs the offset family).
+    Both windows carry o_orderkey as the unique total-order tiebreak, so
+    offsets and ranks are engine-deterministic. One shuffle on o_custkey
+    serves all three functions (same partitioning)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    price = F.col("o_totalprice").cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        price.alias("total_price"),
+        F.lag(price).over(w).alias("prev_price"),
+        F.lead(price).over(w).alias("next_price"),
+        F.rank().over(wr).cast("bigint").alias("price_rank"),
+    )
