@@ -146,3 +146,106 @@ def cosine_topk_numpy(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+# ------------------------------------------------- hyperplane LSH buckets
+
+
+def hyperplanes(dim: int, planes: int = 8) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix: component i of plane j is the
+    parity of md5(f"{j}|{i}"). Generated driver-side and embedded as
+    literals in both engines, so there is no RNG state to reproduce."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(planes)
+    ]
+
+
+def _plane_lit(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"{c:.1f}D" for c in plane) + ")"
+
+
+def hyperplane_bucket(vec_col: str, dim: int, planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(dot(vec, plane_j)).
+
+    SQL text with UNIQUE lambda variables per plane — repeating
+    python-lambda higher-order functions inside one expression makes
+    Spark's sibling lambda variables collide and silently corrupt values.
+    Dots sum left-to-right in float64, bit-identical to the DuckDB form, so
+    bucket ids agree across engines even for near-zero dots.
+    """
+    terms = []
+    for j, plane in enumerate(hyperplanes(dim, planes)):
+        d = (
+            f"aggregate(zip_with({vec_col}, {_plane_lit(plane)},"
+            f" (x{j}, y{j}) -> CAST(x{j} AS DOUBLE) * y{j}),"
+            f" CAST(0.0 AS DOUBLE), (a{j}, v{j}) -> a{j} + v{j})"
+        )
+        terms.append(f"CASE WHEN {d} > 0.0D THEN {2 ** j}L ELSE 0L END")
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+def hyperplane_bucket_sql(vec_expr: str, dim: int, planes: int = 8) -> str:
+    terms = []
+    for j, plane in enumerate(hyperplanes(dim, planes)):
+        lit = "[" + ", ".join(f"{c:.1f}" for c in plane) + "]"
+        d = (
+            f"list_sum(list_transform(list_zip({vec_expr}, {lit}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+        terms.append(f"CASE WHEN {d} > 0.0 THEN CAST({2 ** j} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def hyperplane_band_buckets(
+    vec_col: str, dim: int, bands: int = 8, rows: int = 3
+) -> Column:
+    """Array of `bands` bucket ids, band b using planes [b·rows, (b+1)·rows).
+
+    A single AND-bucket of k planes has recall p^k (p = 1 − θ/π per plane)
+    — near zero for moderate thresholds. Banding restores it the standard
+    way: candidates agree on ANY band, recall 1 − (1 − p^rows)^bands
+    (≈0.9 at cosine 0.4 with 8×3). Same construction as the MinHash LSH
+    banding; unique lambda variables per plane (sibling-lambda rule)."""
+    all_planes = hyperplanes(dim, bands * rows)
+    band_exprs = []
+    for b in range(bands):
+        terms = []
+        for r in range(rows):
+            j = b * rows + r
+            d = (
+                f"aggregate(zip_with({vec_col}, {_plane_lit(all_planes[j])},"
+                f" (x{j}, y{j}) -> CAST(x{j} AS DOUBLE) * y{j}),"
+                f" CAST(0.0 AS DOUBLE), (a{j}, v{j}) -> a{j} + v{j})"
+            )
+            terms.append(f"CASE WHEN {d} > 0.0D THEN {2 ** r}L ELSE 0L END")
+        band_exprs.append("(" + " + ".join(terms) + ")")
+    return F.expr("array(" + ", ".join(band_exprs) + ")")
+
+
+def hyperplane_band_buckets_sql(
+    vec_expr: str, dim: int, bands: int = 8, rows: int = 3
+) -> str:
+    all_planes = hyperplanes(dim, bands * rows)
+    band_exprs = []
+    for b in range(bands):
+        terms = []
+        for r in range(rows):
+            j = b * rows + r
+            lit = "[" + ", ".join(f"{c:.1f}" for c in all_planes[j]) + "]"
+            d = (
+                f"list_sum(list_transform(list_zip({vec_expr}, {lit}),"
+                f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            )
+            terms.append(
+                f"CASE WHEN {d} > 0.0 THEN CAST({2 ** r} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END"
+            )
+        band_exprs.append("(" + " + ".join(terms) + ")")
+    return "[" + ", ".join(band_exprs) + "]"

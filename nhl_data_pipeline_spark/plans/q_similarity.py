@@ -17,6 +17,8 @@ from nhl_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     dot,
     dot_sql,
+    hyperplane_band_buckets,
+    hyperplane_band_buckets_sql,
     norm_sql,
     with_norm,
 )
@@ -225,6 +227,89 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+_DIM, _LSH_BANDS, _LSH_ROWS = 64, 8, 3
+_BBKT_SQL = hyperplane_band_buckets_sql("embedding", _DIM, _LSH_BANDS, _LSH_ROWS)
+
+
+@query(
+    "embedding_neardup_lsh",
+    covers="LLM-dedup-embedding,LLM-dedup-simhash",
+    oracle=f"""
+        WITH normed AS (
+            SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
+                   {_BBKT_SQL} AS bkts
+            FROM embeddings
+        ),
+        banded AS (
+            SELECT vec_id, unnest(generate_series(1, {_LSH_BANDS})) AS band_idx,
+                   unnest(bkts) AS bucket
+            FROM normed
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a JOIN banded b
+              ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT p.vec_a, p.vec_b, {_COS} AS cosine
+        FROM cand p
+        JOIN normed q ON q.vec_id = p.vec_a
+        JOIN normed c ON c.vec_id = p.vec_b
+        WHERE {_COS} >= 0.4
+    """,
+)
+def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH-gated embedding near-dup pairs — the scale path whose
+    output the exact all-pairs `embedding_cosine_neardup` bounds.
+
+    8 bands x 3 deterministic +/-1 hyperplanes: a pair is a candidate if all
+    3 signs agree in ANY band (recall ~= 1-(1-p^3)^8 ~= 0.9 at cosine 0.4;
+    a single 24-plane AND-bucket would have recall p^24 ~= 0 — banding is
+    what makes sign-LSH usable). Candidates then get the exact cosine
+    verify at the same threshold, so precision is 1. Cost tracks band
+    bucket occupancy, not n^2; at 100 TB raise rows-per-band to keep
+    buckets small and make band_idx+bucket the shuffle key. Same banding
+    construction as dedup_minhash_lsh; bucket ids are bit-stable across
+    engines because dots sum left-to-right in float64.
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bkts", hyperplane_band_buckets("embedding", _DIM, _LSH_BANDS, _LSH_ROWS)
+    ).persist()
+    banded = e.select(
+        "vec_id", F.posexplode("bkts").alias("band_idx", "bucket")
+    )
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), "band_idx", "bucket"
+    )
+    b = banded.select(
+        F.col("vec_id").alias("vec_b"), "band_idx", "bucket"
+    )
+    cand = (
+        a.join(b, ["band_idx", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    q = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(q, "vec_a")
+        .join(c, "vec_b")
         .withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.4)
         .select("vec_a", "vec_b", "cosine")
