@@ -67,6 +67,25 @@ def test_semi_and_anti_joins_stay_joins(spark):
     assert "LeftAnti" in plan_str(run(spark, "anti_join_unmatched"))
 
 
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Hive-layout writes must yield partition-pruned scans: the filter on
+    the partition column lands in PartitionFilters (directory pruning, zero
+    data files touched outside the partition), not merely PushedFilters."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    path = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+    etype = ev.select("event_type").first()[0]
+    back = spark.read.parquet(path).filter(F.col("event_type") == etype)
+    p = plan_str(back)
+    pf_line = next(s for s in p.splitlines() if "PartitionFilters" in s)
+    assert "event_type" in pf_line
+    assert back.count() == ev.filter(F.col("event_type") == etype).count()
+
+
 @pytest.mark.parametrize("name", sorted(all_queries()))
 def test_no_row_at_a_time_python_udf(spark, name):
     """Python in the hot path only ever as Arrow-batched (ArrowEvalPython /
