@@ -1,0 +1,82 @@
+"""Snowflake-dialect compatibility shims for analyst SQL.
+
+The reference's query layer is Snowflake SQL; most of it runs on Spark
+unchanged (verified by the analysis corpus), but `QUALIFY` — the W1
+latest-snapshot idiom used by every staging model (`stg_games.sql:32`,
+SURVEY §2.6 W1) — is a parse error in Spark 4.x (verified: SURVEY §7.3
+risk 1 said "verify, else use subquery"; it does not parse). This module
+rewrites it mechanically to the subquery form so reference worksheets run
+as-is via :func:`spark_sql_compat`.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_QUALIFY_RE = re.compile(r"\bqualify\b", re.IGNORECASE)
+_TAIL_RE = re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
+
+
+def _depth0_spans(sql: str, pattern: re.Pattern) -> list[re.Match]:
+    """Matches of `pattern` at paren depth 0 and outside string literals."""
+    depths = []
+    depth = 0
+    in_str: str | None = None
+    for ch in sql:
+        if in_str:
+            depths.append(-1)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            depths.append(-1)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        depths.append(depth)
+    return [m for m in pattern.finditer(sql) if depths[m.start()] == 0]
+
+
+def rewrite_qualify(sql: str) -> str:
+    """Rewrite a depth-0 ``QUALIFY <pred>`` into the subquery form::
+
+        SELECT * FROM (<query-sans-qualify-and-tail>) __q
+        WHERE <pred>'s windows precomputed as __qualify
+        <tail>
+
+    Exact for the reference's usage (the predicate's window functions
+    reference columns visible in the query's output or its FROM — the
+    subquery preserves the former; ``SELECT *`` models preserve both).
+    Queries without QUALIFY are returned unchanged.
+    """
+    q = _depth0_spans(sql, _QUALIFY_RE)
+    if not q:
+        return sql
+    m = q[0]
+    head = sql[: m.start()].rstrip()
+    rest = sql[m.end() :]
+    tails = _depth0_spans(rest, _TAIL_RE)
+    if tails:
+        pred = rest[: tails[0].start()].strip()
+        tail = rest[tails[0].start() :].strip()
+    else:
+        pred, tail = rest.strip(), ""
+    pred = pred.rstrip(";").strip()
+    return (
+        "SELECT * FROM (\n"
+        f"  SELECT __q.*, ({pred}) AS __qualify FROM (\n{head}\n  ) AS __q\n"
+        ") WHERE __qualify " + (f"\n{tail}" if tail else "")
+    )
+
+
+def spark_sql_compat(spark: SparkSession, sql: str) -> DataFrame:
+    """Run (possibly Snowflake-flavored) SQL on Spark: QUALIFY rewritten,
+    helper column dropped from the result."""
+    rewritten = rewrite_qualify(sql)
+    df = spark.sql(rewritten)
+    return df.drop("__qualify") if rewritten is not sql else df

@@ -1,0 +1,69 @@
+"""QUALIFY dialect shim: Snowflake worksheets run on Spark unchanged.
+
+Spark 4.x does not parse QUALIFY (SURVEY §7.3 risk 1, verified); the shim
+rewrites it to the subquery form with identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.plans.dialect import rewrite_qualify, spark_sql_compat
+from tests.conftest import TEST_SF_DIR
+
+
+def _orders_view(spark):
+    load_table(spark, TEST_SF_DIR, "orders").createOrReplaceTempView("orders_v")
+
+
+def test_qualify_latest_snapshot_pattern(spark):
+    """The W1 idiom (`stg_games.sql:32`): latest row per key via QUALIFY."""
+    _orders_view(spark)
+    got = spark_sql_compat(
+        spark,
+        """
+        SELECT * FROM orders_v
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) = 1
+        """,
+    )
+    o = load_table(spark, TEST_SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    want = o.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+    assert got.columns == o.columns
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_qualify_with_trailing_order_by_limit(spark):
+    _orders_view(spark)
+    got = spark_sql_compat(
+        spark,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders_v
+        QUALIFY RANK() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) <= 2
+        ORDER BY o_custkey, o_orderkey LIMIT 10
+        """,
+    ).collect()
+    assert len(got) == 10
+    # ordered by custkey then orderkey
+    keys = [(r.o_custkey, r.o_orderkey) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_no_qualify_passthrough(spark):
+    _orders_view(spark)
+    sql = "SELECT count(*) AS n FROM orders_v"
+    assert rewrite_qualify(sql) is sql
+    assert spark_sql_compat(spark, sql).first()["n"] > 0
+
+
+def test_qualify_inside_string_or_parens_not_rewritten(spark):
+    sql = "SELECT 'qualify' AS word, (SELECT 1) AS one FROM range(1)"
+    assert rewrite_qualify(sql) is sql
