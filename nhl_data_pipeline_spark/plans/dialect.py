@@ -7,6 +7,13 @@ SURVEY §2.6 W1) — is a parse error in Spark 4.x (verified: SURVEY §7.3
 risk 1 said "verify, else use subquery"; it does not parse). This module
 rewrites it mechanically to the subquery form so reference worksheets run
 as-is via :func:`spark_sql_compat`.
+
+The rest of the reference's Snowflake surface parses natively in Spark 4
+(probed, not assumed): SPLIT_PART with negative index, NVL, DATEADD,
+TO_CHAR, LEN, `- INTERVAL '15' DAY`. Two residuals: IFF (Spark spells it
+`if` — rewritten here) and DAYOFWEEK (parses but is 1=Sunday vs
+Snowflake's 0=Sunday — a silent semantic trap no rewrite can fix safely;
+use `functions.scalars.sunday_zero_dow`).
 """
 
 from __future__ import annotations
@@ -74,9 +81,20 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
+_IFF_RE = re.compile(r"\biff\s*\(", re.IGNORECASE)
+
+
+def rewrite_iff(sql: str) -> str:
+    """``IFF(c, a, b)`` → ``if(c, a, b)`` (same arity/semantics)."""
+    if not _IFF_RE.search(sql):
+        return sql
+    return _IFF_RE.sub("if(", sql)
+
+
 def spark_sql_compat(spark: SparkSession, sql: str) -> DataFrame:
-    """Run (possibly Snowflake-flavored) SQL on Spark: QUALIFY rewritten,
-    helper column dropped from the result."""
-    rewritten = rewrite_qualify(sql)
+    """Run (possibly Snowflake-flavored) SQL on Spark: QUALIFY and IFF
+    rewritten, helper column dropped from the result."""
+    rewritten = rewrite_iff(rewrite_qualify(sql))
+    had_qualify = "__qualify" in rewritten
     df = spark.sql(rewritten)
-    return df.drop("__qualify") if rewritten is not sql else df
+    return df.drop("__qualify") if had_qualify else df

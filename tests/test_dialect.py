@@ -67,3 +67,15 @@ def test_no_qualify_passthrough(spark):
 def test_qualify_inside_string_or_parens_not_rewritten(spark):
     sql = "SELECT 'qualify' AS word, (SELECT 1) AS one FROM range(1)"
     assert rewrite_qualify(sql) is sql
+
+
+def test_iff_rewrite(spark):
+    got = spark_sql_compat(
+        spark, "SELECT IFF(1 = 1, 'yes', 'no') AS v FROM range(1)"
+    ).first()["v"]
+    assert got == "yes"
+    # word boundaries respected: a column named tariff_( would be absurd,
+    # but `diff(` must not become `dif(`
+    from nhl_data_pipeline_spark.plans.dialect import rewrite_iff
+
+    assert rewrite_iff("SELECT sniff('x')") == "SELECT sniff('x')"
