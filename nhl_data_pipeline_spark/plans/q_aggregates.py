@@ -265,23 +265,31 @@ def null_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "union_align_rename",
-    covers="U1",
-    oracle="""
-        SELECT user_id, 'click' AS metric_source, value AS metric_value, event_id
-        FROM events WHERE event_type = 'click'
-        UNION ALL
-        SELECT user_id, 'purchase' AS metric_source, value AS metric_value, event_id
-        FROM events WHERE event_type = 'purchase'
+    "union_ops",
+    covers="U1,U2",
+    oracle=f"""
+        SELECT user_id, metric_source, metric_value, {bcount('n_copies')}
+        FROM (
+            SELECT user_id, 'click' AS metric_source, value AS metric_value
+            FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id, 'purchase' AS metric_source, value AS metric_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        GROUP BY user_id, metric_source, metric_value
     """,
 )
-def union_align_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL with columns renamed into alignment.
+def union_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL with rename-alignment (U1), then deduplicated (U2).
 
     Analog of the 4-way home/away×position union
-    (`stg_player_game_stats.sql:29-57`) and the rename-for-compatibility
-    union (`team_shot_locations.sql:117`). unionByName guards against the
-    positional-union column-swap bug.
+    (`stg_player_game_stats.sql:29-57`), the rename-for-compatibility union
+    (`team_shot_locations.sql:117`), and dim_team's deduplicating UNION
+    (`dim_team.sql:21`). unionByName guards against the positional-union
+    column-swap bug; the groupBy-all-columns dedup keeps the UNION ALL
+    multiplicity observable as n_copies (so both the ALL and the DISTINCT
+    semantics are exercised in one plan: Union → two-phase hash aggregate,
+    map-side partials combine before the shuffle).
     """
     e = load_table(spark, sf_dir, "events")
 
@@ -290,33 +298,14 @@ def union_align_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.lit(event_type).alias("metric_source"),
             F.col("value").alias("metric_value"),
-            "event_id",
         )
 
-    return side("click").unionByName(side("purchase"))
-
-
-@query(
-    "union_dedup",
-    covers="U2",
-    oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
-        UNION
-        SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (deduplicating) — union().distinct().
-
-    Analog of `dim_team.sql:21`.
-    """
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+    return (
+        side("click")
+        .unionByName(side("purchase"))
+        .groupBy("user_id", "metric_source", "metric_value")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.union(s).distinct()
 
 
 @query(
@@ -369,42 +358,35 @@ def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "set_intersect_nations",
-    covers="U-ext-intersect",
+    "set_ops_nations",
+    covers="U-ext-intersect,U-ext-except",
     oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
-        INTERSECT
-        SELECT s_nationkey FROM supplier
+        SELECT nationkey, 'intersect' AS op FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey FROM supplier
+        )
+        UNION ALL
+        SELECT nationkey, 'except' AS op FROM (
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey FROM supplier
+        )
     """,
 )
-def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (beyond the reference — SURVEY §2.8 notes none). Planned
-    as a left-semi join after distinct: no row materializes twice."""
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT in one tagged result (beyond the reference —
+    SURVEY §2.8 notes it has neither). INTERSECT plans as a left-semi join
+    after distinct, EXCEPT as a left-anti join (the J8 shape, reused by
+    Catalyst); both sides share the same two scans, and the tag column keeps
+    the two set operations separately checkable in one oracle row set."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.intersect(s)
-
-
-@query(
-    "set_except_nations",
-    covers="U-ext-except",
-    oracle="""
-        SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT
-        SELECT s_nationkey FROM supplier
-    """,
-)
-def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (beyond the reference). Planned as a left-anti join after
-    distinct — the same shape as the J8 anti-join, reused by Catalyst."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+    return (
+        c.intersect(s).withColumn("op", F.lit("intersect"))
+        .unionByName(c.subtract(s).withColumn("op", F.lit("except")))
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)

@@ -230,8 +230,8 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "date_functions",
-    covers="§2.9-date",
+    "date_interval_functions",
+    covers="§2.9-date,§2.9-interval,P3",
     oracle="""
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS INT) AS yr,
@@ -245,18 +245,25 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP) AS plus_week_ts,
                o_orderdate AS order_ts
         FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-09-02 00:00:00' - INTERVAL 400 DAY
     """,
 )
-def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part family with the Snowflake DAYOFWEEK(0=Sunday) base.
+def date_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part family with the Snowflake DAYOFWEEK(0=Sunday) base, over an
+    INTERVAL-arithmetic recency filter.
 
-    Analog of the dim_date derivations (`dim_date.sql:45-56`): Spark's
-    dayofweek() is 1-based Sunday, Snowflake's 0-based — sunday_zero_dow
-    pins the reference semantics (also matches DuckDB's 'dow').
+    Analog of the dim_date derivations (`dim_date.sql:45-56`) and the
+    `CURRENT_DATE - INTERVAL '15 days'` recency filter
+    (`team_shot_example_queries.sql:193`; "today" is an injected constant
+    per the reproducibility rule in SURVEY §7.3.4). Spark's dayofweek() is
+    1-based Sunday, Snowflake's 0-based — sunday_zero_dow pins the reference
+    semantics (also matches DuckDB's 'dow'). The interval filter folds to a
+    literal and reaches the parquet scan as a pushed predicate.
     """
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
-    return o.select(
+    anchor = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+    return o.filter(d >= anchor - F.expr("INTERVAL 400 DAY")).select(
         "o_orderkey",
         F.year(d).alias("yr"),
         F.month(d).alias("mo"),
@@ -272,49 +279,34 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "season_derivation",
-    covers="§2.9-season,A1",
-    oracle=f"""
-        SELECT CASE WHEN month(o_orderdate) >= 10
-                    THEN year(o_orderdate) * 10000 + (year(o_orderdate) + 1)
-                    ELSE (year(o_orderdate) - 1) * 10000 + year(o_orderdate)
-               END AS season_code,
-               {bcount('n_orders')}
-        FROM orders
-        GROUP BY 1
-    """,
-)
-def season_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NHL season-code derivation (Oct→new season) applied as a grouping key.
-
-    Shared helper per `dim_date.sql:62-71` / `player_shot_metrics.sql:17-21`.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.groupBy(nhl_season_code(F.col("o_orderdate")).alias("season_code"))
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-    )
-
-
-@query(
-    "date_spine",
-    covers="W7,§2.9-generator",
+    "date_spine_seasons",
+    covers="W7,§2.9-generator,§2.9-season",
     oracle="""
         SELECT range AS id,
                CAST(DATE '2020-01-01' + CAST(range AS INT) AS TIMESTAMP) AS spine_ts,
                CAST(year(DATE '2020-01-01' + CAST(range AS INT)) AS INT) AS yr,
                CAST(quarter(DATE '2020-01-01' + CAST(range AS INT)) AS INT) AS qtr,
                CASE WHEN date_part('dow', DATE '2020-01-01' + CAST(range AS INT)) IN (0, 6)
-                    THEN TRUE ELSE FALSE END AS is_weekend
+                    THEN TRUE ELSE FALSE END AS is_weekend,
+               CASE WHEN month(DATE '2020-01-01' + CAST(range AS INT)) >= 10
+                    THEN year(DATE '2020-01-01' + CAST(range AS INT)) * 10000
+                         + (year(DATE '2020-01-01' + CAST(range AS INT)) + 1)
+                    ELSE (year(DATE '2020-01-01' + CAST(range AS INT)) - 1) * 10000
+                         + year(DATE '2020-01-01' + CAST(range AS INT))
+               END AS season_code
         FROM range(0, 2500)
     """,
 )
-def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generated 2,500-day date spine with calendar flags.
+def date_spine_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated 2,500-day date spine with calendar flags + NHL season code.
 
     Replaces Snowflake `TABLE(GENERATOR(ROWCOUNT=>2500))` + `SEQ4()`
     (`dim_date.sql:12-28`) with `spark.range` — a parallel, shuffle-free
-    source. dim_date's is_weekend-style flags (`dim_date.sql:84-110`).
+    source — and applies dim_date's is_weekend-style flags
+    (`dim_date.sql:84-110`) plus the shared NHL season-code derivation
+    (Oct→new season; `dim_date.sql:62-71` / `player_shot_metrics.sql:17-21`)
+    exactly as the reference's dim_date builds its season column off the
+    generated spine.
     """
     spine = spark.range(0, 2500)
     d = F.date_add(F.lit("2020-01-01").cast("date"), F.col("id").cast("int"))
@@ -325,31 +317,5 @@ def date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year(d).alias("yr"),
         F.quarter(d).alias("qtr"),
         dow.isin(0, 6).alias("is_weekend"),
-    )
-
-
-@query(
-    "interval_filter",
-    covers="§2.9-interval,P3",
-    oracle="""
-        SELECT l_orderkey, l_linenumber, l_shipdate AS ship_ts
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1998-09-02 00:00:00' - INTERVAL 15 DAY
-    """,
-)
-def interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERVAL-arithmetic recency filter with an injected anchor date.
-
-    Analog of `CURRENT_DATE - INTERVAL '15 days'`
-    (`team_shot_example_queries.sql:193`); "today" is an injected constant
-    per the reproducibility rule in SURVEY §7.3.4.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    anchor = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
-    return li.filter(
-        F.col("l_shipdate") >= anchor - F.expr("INTERVAL 15 DAY")
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.col("l_shipdate").alias("ship_ts"),
+        nhl_season_code(d).alias("season_code"),
     )

@@ -48,42 +48,34 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_lang_id",
-    covers="LLM-text,lang-id",
+    "text_lang_quality",
+    covers="LLM-text,lang-id,quality-scoring",
     oracle=f"""
         SELECT doc_id, lang,
                {X.lang_id_sql('text')} AS lang_hat,
-               CASE WHEN {X.lang_id_sql('text')} = lang THEN TRUE ELSE FALSE END AS agrees
-        FROM documents
-    """,
-)
-def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language-ID heuristic vs the labeled lang column."""
-    d = load_table(spark, sf_dir, "documents")
-    hat = X.lang_id(F.col("text"))
-    return d.select(
-        "doc_id",
-        "lang",
-        hat.alias("lang_hat"),
-        (hat == F.col("lang")).alias("agrees"),
-    )
-
-
-@query(
-    "text_quality_score",
-    covers="LLM-text,quality-scoring",
-    oracle=f"""
-        SELECT doc_id,
+               CASE WHEN {X.lang_id_sql('text')} = lang THEN TRUE ELSE FALSE END AS agrees,
                {X.quality_score_sql('text')} AS quality,
                CASE WHEN {X.quality_score_sql('text')} >= 0.75 THEN TRUE ELSE FALSE END AS keep
         FROM documents
     """,
 )
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Curation quality score (length + non-stopword mass + diversity)."""
+def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation profile: stopword-hit language-ID heuristic vs
+    the labeled lang column, plus the quality score (length + non-stopword
+    mass + diversity) with its keep threshold. One scan, one projection, all
+    JVM higher-order functions — the two signals share the tokenization
+    subtree, which Catalyst dedupes via common-subexpression elimination."""
     d = load_table(spark, sf_dir, "documents")
+    hat = X.lang_id(F.col("text"))
     q = X.quality_score(F.col("text"))
-    return d.select("doc_id", q.alias("quality"), (q >= 0.75).alias("keep"))
+    return d.select(
+        "doc_id",
+        "lang",
+        hat.alias("lang_hat"),
+        (hat == F.col("lang")).alias("agrees"),
+        q.alias("quality"),
+        (q >= 0.75).alias("keep"),
+    )
 
 
 @query(

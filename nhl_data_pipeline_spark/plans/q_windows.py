@@ -152,60 +152,60 @@ def rolling_avg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "running_total",
-    covers="W4",
+    "order_history_windows",
+    covers="W4,W5,W6,W-ext-offset",
     oracle="""
         SELECT o_custkey, o_orderkey, o_orderdate AS order_ts,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS lifetime_spend
+               CAST(o_totalprice AS DOUBLE) AS total_price,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER wrun AS DOUBLE)
+                   AS lifetime_spend,
+               CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS total_orders,
+               CAST(lag(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
+               CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price,
+               CAST(rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                   AS price_rank
         FROM orders
+        WINDOW
+          w    AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
 )
-def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) total per entity over event time."""
+def order_history_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity order-history window suite: running total (W4), sequence
+    numbering (W5), frameless windowed COUNT (W6), and lag/lead/rank offsets
+    (beyond the reference — SURVEY §2.6 notes it uses none).
+
+    Analogs: season-to-date UNBOUNDED PRECEDING frame
+    (`team_shot_metrics.sql:66-77`), games_played_in_season counter
+    (`team_shot_metrics.sql:80-83`), `COUNT(*) OVER (PARTITION BY ...)`
+    (`player_shot_metrics.sql:66`). Every window is partitioned by
+    o_custkey, so ONE shuffle + one sort serves all six functions (the
+    rank window re-sorts within the same partitioning, no extra exchange);
+    o_orderkey is the unique total-order tiebreak making offsets and ranks
+    engine-deterministic.
+    """
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wcnt = Window.partitionBy("o_custkey")
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
     )
+    price = F.col("o_totalprice").cast("double")
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.col("o_orderdate").alias("order_ts"),
-        F.sum(dec("o_totalprice")).over(w).cast("double").alias("lifetime_spend"),
-    )
-
-
-@query(
-    "sequence_and_windowed_count",
-    covers="W5,W6",
-    oracle="""
-        SELECT o_custkey, o_orderkey,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ) AS INT) AS order_seq,
-               CAST(COUNT(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS total_orders
-        FROM orders
-    """,
-)
-def sequence_and_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence numbering + frameless windowed COUNT.
-
-    Analogs of games_played_in_season (`team_shot_metrics.sql:80-83`) and
-    `COUNT(*) OVER (PARTITION BY team_id, season)`
-    (`player_shot_metrics.sql:66`).
-    """
-    o = load_table(spark, sf_dir, "orders")
-    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wcnt = Window.partitionBy("o_custkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.row_number().over(wseq).alias("order_seq"),
+        price.alias("total_price"),
+        F.sum(dec("o_totalprice")).over(wrun).cast("double").alias("lifetime_spend"),
+        F.row_number().over(w).alias("order_seq"),
         F.count(F.lit(1)).over(wcnt).alias("total_orders"),
+        F.lag(price).over(w).alias("prev_price"),
+        F.lead(price).over(w).alias("next_price"),
+        F.rank().over(wr).cast("bigint").alias("price_rank"),
     )
 
 
@@ -270,38 +270,3 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lag_lead_rank_orders",
-    covers="W-ext-offset",
-    oracle="""
-        SELECT o_custkey, o_orderkey,
-               CAST(o_totalprice AS DOUBLE) AS total_price,
-               CAST(lag(o_totalprice)  OVER w AS DOUBLE) AS prev_price,
-               CAST(lead(o_totalprice) OVER w AS DOUBLE) AS next_price,
-               CAST(rank() OVER (PARTITION BY o_custkey
-                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
-                   AS price_rank
-        FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-    """,
-)
-def lag_lead_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead/rank windows (beyond the reference — SURVEY §2.6 notes it
-    uses none of them; any order-history analysis needs the offset family).
-    Both windows carry o_orderkey as the unique total-order tiebreak, so
-    offsets and ranks are engine-deterministic. One shuffle on o_custkey
-    serves all three functions (same partitioning)."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wr = Window.partitionBy("o_custkey").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    price = F.col("o_totalprice").cast("double")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        price.alias("total_price"),
-        F.lag(price).over(w).alias("prev_price"),
-        F.lead(price).over(w).alias("next_price"),
-        F.rank().over(wr).cast("bigint").alias("price_rank"),
-    )
