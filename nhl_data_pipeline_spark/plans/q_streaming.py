@@ -1,0 +1,58 @@
+"""Streaming↔batch equivalence as an oracle-checked registered query.
+
+The reference handles late/updated data in batch (re-snapshot + W1 dedup,
+SURVEY §2.10); the streaming module is its Structured Streaming analog.
+This query EXECUTES the streaming plan (readStream → watermark → tumbling
+window aggregate → memory sink, ``trigger(availableNow=True)``) and returns
+the sink contents as a batch DataFrame, so the driver's DuckDB oracle
+hash-compares a real streaming run against plain batch SQL — the strongest
+form of the streaming↔batch equivalence the pytest suite asserts locally.
+
+Determinism notes (why this can be hash-exact):
+- session timezone is pinned UTC and windows are epoch-aligned, so
+  window bounds are pure integer arithmetic on epoch seconds;
+- total_value uses the decimal-exact sum idiom — micro-batch accumulation
+  order cannot perturb the float result;
+- the watermark is set far wider than the data's time span, so no input
+  row can be dropped as late regardless of how availableNow splits the
+  input into micro-batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nhl_data_pipeline_spark.plans.registry import query
+from nhl_data_pipeline_spark.streaming import events_stream as es
+
+
+@query(
+    "streaming_tumbling_counts",
+    covers="§2.10-streaming,A1,W7",
+    oracle="""
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                 + CAST(floor(epoch(ts) / 3600) AS BIGINT) * INTERVAL '1 hour'
+                 AS window_start,
+               TIMESTAMP '1970-01-01 00:00:00'
+                 + (CAST(floor(epoch(ts) / 3600) AS BIGINT) + 1) * INTERVAL '1 hour'
+                 AS window_end,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour per-type counts computed BY THE STREAMING ENGINE,
+    hash-checked against batch SQL.
+
+    The streaming twin of the reference's scheduled batch re-aggregation
+    (SURVEY §2.10, Airflow cron in the reference); `availableNow` is exactly
+    the scheduled-micro-batch execution mode. At scale the stateful
+    aggregation shuffles on (window, event_type) with partial aggregation in
+    each micro-batch; state size is bounded by the watermark horizon.
+    """
+    stream = es.read_events_stream(spark, sf_dir)
+    agg = es.tumbling_counts(stream, window="1 hour", watermark="3650 days")
+    return es.run_available_now_complete(spark, agg)

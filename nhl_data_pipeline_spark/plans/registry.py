@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
         q_nhl,
         q_projection,
         q_similarity,
+        q_streaming,
         q_text,
         q_windows,
     )

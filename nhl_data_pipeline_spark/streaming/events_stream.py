@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.functions.scalars import dec
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,7 +40,12 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        # decimal-exact sum: micro-batch accumulation order must not change
+        # the float result (registry parity rule)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
