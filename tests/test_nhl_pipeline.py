@@ -185,3 +185,18 @@ def test_full_analysis_corpus_runs(spark, models):
     assert len(results["betting_performance"]) > 0
     strategies = {r["match_strategy"] for r in results["crosswalk_quality"]}
     assert strategies == {"exact", "accent_normalized", "initial_last"}
+
+
+def test_committed_bronze_parquet_matches_fixtures(spark, bronze):
+    """The committed bronze_fixtures parquet (consumed by nhl_pipeline_e2e
+    and its DuckDB oracle) must stay byte-identical in content to the
+    in-memory fixtures — regenerate via tools/gen_bronze_fixtures.py after
+    any fixtures.py change."""
+    from nhl_data_pipeline_spark.plans.q_nhl import BRONZE_DIR
+
+    for name, df in bronze.items():
+        committed = spark.read.parquet(f"{BRONZE_DIR}/{name}")
+        assert committed.schema == df.schema, name
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, committed.collect()))
+        assert a == b, f"{name}: committed parquet drifted from fixtures"
