@@ -150,3 +150,64 @@ def test_upsert_latest(spark, tmp_path):
     # idempotent re-apply
     out2 = lake.upsert_latest(spark, path, day2, "id", ("snap",))
     assert {(r["id"], r["val"]) for r in out2.collect()} == got
+
+
+def test_upsert_latest_partition_scoped(spark, tmp_path):
+    """Partition-scoped upsert rewrites ONLY affected partitions: untouched
+    partition directories keep their files byte-for-byte (same inode/mtime),
+    and a key whose latest row moves partition is removed from its old one."""
+    import os
+
+    path = str(tmp_path / "ptbl")
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "d1", "a"),
+            (2, "2024-01-01", "d1", "b"),
+            (3, "2024-01-01", "d2", "c"),
+            (4, "2024-01-01", "d3", "d"),
+        ],
+        "id long, snap string, day string, val string",
+    )
+    lake.upsert_latest(spark, path, base, "id", ("snap",), partition_col="day")
+
+    def files(part):
+        d = os.path.join(path, f"day={part}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_ino, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    d3_before = files("d3")
+
+    # id=2 updated in place (d1); id=3 MOVES from d2 to d1; d3 untouched.
+    upd = spark.createDataFrame(
+        [(2, "2024-01-02", "d1", "b2"), (3, "2024-01-02", "d1", "c2")],
+        "id long, snap string, day string, val string",
+    )
+    out = lake.upsert_latest(spark, path, upd, "id", ("snap",), partition_col="day")
+    got = {(r["id"], r["day"], r["val"]) for r in out.collect()}
+    assert got == {
+        (1, "d1", "a"),
+        (2, "d1", "b2"),
+        (3, "d1", "c2"),
+        (4, "d3", "d"),
+    }
+    # old-partition copy of the moved key is gone (d2 was rewritten empty)
+    assert out.filter("day = 'd2'").count() == 0
+    # untouched partition kept the exact same files
+    assert files("d3") == d3_before
+
+
+def test_upsert_latest_tie_determinism(spark, tmp_path):
+    """order_cols ties resolve deterministically (row-hash tiebreak): the
+    same inputs always keep the same survivor."""
+    path1, path2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01", "x"), (1, "2024-01-01", "y")],
+        "id long, snap string, val string",
+    )
+    a = lake.upsert_latest(spark, path1, rows, "id", ("snap",)).collect()
+    b = lake.upsert_latest(spark, path2, rows, "id", ("snap",)).collect()
+    assert len(a) == len(b) == 1
+    assert a[0]["val"] == b[0]["val"]
