@@ -117,10 +117,13 @@ def _binned(col: str) -> F.Column:
     return (F.round(F.abs(F.col(col)) / 5) * 5).cast("int")
 
 
-def team_shot_locations(fact_shot_events: DataFrame) -> DataFrame:
+def team_shot_locations(
+    fact_shot_events: DataFrame, dim_team: DataFrame | None = None
+) -> DataFrame:
     """Offense + defense shot-location profile per team: 5-ft bins, shot-type
     breakdown, UNION of the two perspectives with aligned column names
-    (team_shot_locations.sql:17-157 incl. the :117 rename-for-union)."""
+    (team_shot_locations.sql:17-157 incl. the :117 rename-for-union);
+    team_abbrev denormalized via broadcast dim join (:129)."""
     shots = fact_shot_events.filter(
         F.col("x_coord").isNotNull() & F.col("y_coord").isNotNull()
     )
@@ -147,20 +150,31 @@ def team_shot_locations(fact_shot_events: DataFrame) -> DataFrame:
             .withColumn("perspective", F.lit(perspective))
         )
 
-    return profile("team_id", "offense").unionByName(profile("opponent_team_id", "defense"))
+    out = profile("team_id", "offense").unionByName(
+        profile("opponent_team_id", "defense")
+    )
+    if dim_team is not None:
+        abbrevs = dim_team.select("team_id", "team_abbrev")
+        out = out.join(F.broadcast(abbrevs), "team_id", "left")
+    return out
 
 
-def player_shot_locations(fact_shot_events: DataFrame) -> DataFrame:
+def player_shot_locations(
+    fact_shot_events: DataFrame, dim_team: DataFrame | None = None
+) -> DataFrame:
     """Per-player shot location bins (player_shot_locations.sql:21-113):
-    null-coord filter, 5-ft bins, shot-type conditional counts."""
+    null-coord filter, 5-ft bins, shot-type conditional counts; the
+    shooting team's id/abbrev kept on the grain (:18,:129) so the
+    Bruins-filtered Tableau extracts can slice on team."""
     shots = fact_shot_events.filter(
         F.col("x_coord").isNotNull()
         & F.col("y_coord").isNotNull()
         & F.col("player_id").isNotNull()
     )
-    return shots.groupBy(
+    out = shots.groupBy(
         "player_id",
         "player_name",
+        "team_id",
         "season",
         _binned("x_coord").alias("x_bin"),
         _binned("y_coord").alias("y_bin"),
@@ -170,6 +184,69 @@ def player_shot_locations(fact_shot_events: DataFrame) -> DataFrame:
         F.sum("is_on_goal").alias("shots_on_goal"),
         F.sum(F.when(F.col("shot_type") == "wrist", 1).otherwise(0)).alias("wrist_shots"),
         F.sum(F.when(F.col("shot_type") == "slap", 1).otherwise(0)).alias("slap_shots"),
+    )
+    if dim_team is not None:
+        abbrevs = dim_team.select("team_id", "team_abbrev")
+        out = out.join(F.broadcast(abbrevs), "team_id", "left")
+    return out
+
+
+def bruins_team_shot_locations(team_shot_locations: DataFrame) -> DataFrame:
+    """Bruins-only team shot locations (bruins_team_shot_locations.sql:9-12):
+    thin filter over team_shot_locations for the Sheets/Tableau row cap —
+    both perspectives kept (offense = shots BY the Bruins, defense = shots
+    AGAINST them, since the defense rows carry the defending team's id)."""
+    return team_shot_locations.filter(F.col("team_abbrev") == "BOS")
+
+
+def bruins_player_shot_locations(player_shot_locations: DataFrame) -> DataFrame:
+    """Bruins-only player shot locations
+    (bruins_player_shot_locations.sql:9-12)."""
+    return player_shot_locations.filter(F.col("team_abbrev") == "BOS")
+
+
+def bruins_shot_events(fact_shot_events: DataFrame, dim_team: DataFrame) -> DataFrame:
+    """Bruins-involved shot events (bruins_shot_events.sql:9-13): shots by
+    Bruins players AND shots against the Bruins. The reference filters on
+    home/away abbrev; here BOS's id is resolved from dim_team and applied
+    as a 1-row broadcast cross join (J7 scalar pattern) so no id is
+    hardcoded and the fact side never shuffles."""
+    bos = F.broadcast(
+        dim_team.filter(F.col("team_abbrev") == "BOS")
+        .select(F.col("team_id").alias("_bos_id"))
+        .limit(1)
+    )
+    return (
+        fact_shot_events.crossJoin(bos)
+        .filter(
+            (F.col("team_id") == F.col("_bos_id"))
+            | (F.col("opponent_team_id") == F.col("_bos_id"))
+        )
+        .drop("_bos_id")
+    )
+
+
+def bruins_opponent_shot_locations(
+    team_shot_locations: DataFrame, bruins_next_opponent: DataFrame
+) -> DataFrame:
+    """Shot locations for the Bruins' next opponent — offensive shots only,
+    i.e. where the opponent shoots FROM (bruins_opponent_shot_locations.sql:
+    14-24 incl. the :21 perspective swap: the filter keys on the OPPONENT's
+    offense rows, not the Bruins'). The 1-row next_opponent is broadcast
+    cross-joined, so this auto-updates with the schedule."""
+    nxt = F.broadcast(
+        bruins_next_opponent.select(
+            F.col("opponent_team_id").alias("_opp_id"),
+            F.col("opponent_name").alias("context_label"),
+        ).limit(1)
+    )
+    return (
+        team_shot_locations.crossJoin(nxt)
+        .filter(
+            (F.col("team_id") == F.col("_opp_id"))
+            & (F.col("perspective") == "offense")
+        )
+        .drop("_opp_id")
     )
 
 

@@ -101,11 +101,20 @@ def run_pipeline(
         "team_shots_against_by_position",
         metrics.team_shots_against_by_position(fpgs, ftgs),
     )
-    emit("team_shot_locations", metrics.team_shot_locations(fse))
-    emit("player_shot_locations", metrics.player_shot_locations(fse))
-    emit(
+    tsl = emit("team_shot_locations", metrics.team_shot_locations(fse, dim_team))
+    psl = emit("player_shot_locations", metrics.player_shot_locations(fse, dim_team))
+    bno = emit(
         "bruins_next_opponent",
         metrics.bruins_next_opponent(stg_sched, dim_team, today="2024-11-13"),
+    )
+
+    # Bruins-filtered Tableau extracts (bruins_*.sql — the Sheets row cap)
+    emit("bruins_team_shot_locations", metrics.bruins_team_shot_locations(tsl))
+    emit("bruins_player_shot_locations", metrics.bruins_player_shot_locations(psl))
+    emit("bruins_shot_events", metrics.bruins_shot_events(fse, dim_team))
+    emit(
+        "bruins_opponent_shot_locations",
+        metrics.bruins_opponent_shot_locations(tsl, bno),
     )
 
     # odds vertical

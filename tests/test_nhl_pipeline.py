@@ -200,3 +200,51 @@ def test_committed_bronze_parquet_matches_fixtures(spark, bronze):
         a = sorted(map(tuple, df.collect()))
         b = sorted(map(tuple, committed.collect()))
         assert a == b, f"{name}: committed parquet drifted from fixtures"
+
+
+def test_bruins_filtered_models(models):
+    """The four Bruins Tableau extracts are exact filters of their parents
+    (bruins_*.sql): same rows, no more, no fewer."""
+    tsl = models["team_shot_locations"]
+    psl = models["player_shot_locations"]
+    fse = models["fact_shot_events"]
+
+    bos_id = (
+        models["dim_team"].filter(F.col("team_abbrev") == "BOS").collect()[0]["team_id"]
+    )
+
+    # team locations: both perspectives for BOS
+    got = models["bruins_team_shot_locations"]
+    want = tsl.filter(F.col("team_abbrev") == "BOS")
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert {r["perspective"] for r in got.collect()} == {"offense", "defense"}
+
+    # player locations: BOS shooters only
+    gotp = models["bruins_player_shot_locations"]
+    assert gotp.count() > 0
+    assert gotp.filter(F.col("team_id") != bos_id).count() == 0
+    assert gotp.count() == psl.filter(F.col("team_id") == bos_id).count()
+
+    # shot events: BOS on either side of the event
+    gote = models["bruins_shot_events"]
+    wante = fse.filter(
+        (F.col("team_id") == bos_id) | (F.col("opponent_team_id") == bos_id)
+    )
+    assert gote.count() == wante.count() > 0
+    assert gote.exceptAll(wante).count() == 0
+
+    # opponent locations: next opponent's OFFENSE rows only (the :21
+    # perspective swap), labeled with the opponent's name
+    bno = models["bruins_next_opponent"].collect()
+    assert len(bno) == 1
+    opp_id, opp_name = bno[0]["opponent_team_id"], bno[0]["opponent_name"]
+    goto = models["bruins_opponent_shot_locations"]
+    rows = goto.collect()
+    assert len(rows) > 0
+    assert all(r["team_id"] == opp_id for r in rows)
+    assert all(r["perspective"] == "offense" for r in rows)
+    assert all(r["context_label"] == opp_name for r in rows)
+    assert len(rows) == tsl.filter(
+        (F.col("team_id") == opp_id) & (F.col("perspective") == "offense")
+    ).count()
