@@ -50,11 +50,13 @@ def main() -> None:
             "overwrite"
         ).save()
     warm_dir = "/root/testdata/sf0.001"
-    for spec in specs.values():
+    for name, spec in specs.items():
         try:
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass  # warmup is best-effort; the timed run surfaces real errors
+        except Exception as exc:  # noqa: BLE001
+            # Surface it: a query broken at warmup would otherwise silently
+            # shift its codegen/JIT cost into the timed run below.
+            print(f"WARNING: warmup failed for {name}: {exc!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
@@ -70,9 +72,47 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "dedup_scale_probe": _dedup_scale_probe(spark),
             }
         )
     )
+
+
+def _dedup_scale_probe(spark) -> dict:
+    """Empirical crossover evidence for the near-dup family
+    (operators/dedup.py:205-212): time the naive all-shingle join, the
+    PPJoin prefix-filtered exact variant, and MinHash-LSH at two corpus
+    sizes. The naive join wins small (fewer stages); its cost grows with
+    per-shingle frequency squared while PPJoin/LSH track duplicate density
+    — the ordering inverts as the corpus grows."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.operators import dedup as D
+    from nhl_data_pipeline_spark.operators import text as X
+
+    out: dict[str, dict[str, float]] = {}
+    for sf_dir in ("/root/testdata/sf0.01", SF_DIR):
+        probe: dict[str, float] = {}
+        qs = all_queries()
+
+        def timed(label: str, df) -> None:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            probe[label] = round(time.perf_counter() - t0, 3)
+
+        timed("ngram_jaccard_naive", qs["dedup_ngram_jaccard"].fn(spark, sf_dir))
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        shl = (
+            D.exploded_distinct_shingles(docs, X.tokens(F.col("text")), 3)
+            .groupBy("doc_id")
+            .agg(F.collect_list("s").alias("sh"))
+        )
+        timed("ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
+        timed("minhash_lsh", qs["dedup_minhash_lsh"].fn(spark, sf_dir))
+        out[Path(sf_dir).name] = probe
+    return out
 
 
 if __name__ == "__main__":

@@ -130,14 +130,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.8).
 
     Plan shape for scale:
-    - the shingle-set size rides along the explode (size(sh)), so no
-      sizes-aggregate join is needed afterwards;
+    - the exploded shingle table is produced ENTIRELY in whole-stage
+      codegen: posexplode the token array, then lead(tok,1)/lead(tok,2)
+      windows over (doc_id, pos) concat consecutive triples. This replaced
+      an Arrow-batched pandas-UDF array builder — 3-4× faster here and no
+      Python workers at all (the JVM higher-order-function build is
+      interpreted, slower still); the shingle count n rides along as a
+      frameless windowed COUNT minus 2, so no sizes-aggregate join either;
     - the pair join carries an exact-preserving length prefilter
       (J ≤ min/max, so 4·max(n_a,n_b) ≤ 5·min(n_a,n_b) is implied by
       J ≥ 0.8) that prunes pairs before the groupBy shuffle;
-    - the exploded shingle table is persisted: it feeds both join sides, and
-      recomputing interpreted higher-order-function arrays per consumer
-      costs far more than caching 20 bytes/row;
+    - the exploded shingle table is persisted: it feeds both join sides —
+      one window computation instead of two;
     - at 100 TB additionally drop ultra-frequent shingles pre-join
       (stop-shingles) and/or gate with the MinHash-LSH candidates — this
       exact form is the verifier stage.
@@ -145,20 +149,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = X.tokens(F.col("text"))
-    # Persist the ARRAY stage, then explode from cache: Generate over an
-    # inline higher-order-function array re-evaluates the (interpreted)
-    # expression pathologically; exploding cached arrays is ~50× faster.
-    # Shingle via the Arrow-batched path — the JVM HOF build is interpreted
-    # and ~2× slower (see shingles_pandas docstring).
-    shl = (
-        d.select("doc_id", D.shingles_pandas(toks, 3).alias("sh"))
-        .filter(F.size("sh") > 0)
-        .persist()
-    )
-    sh = shl.select(
-        "doc_id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("s")
-    )
+    sh = D.exploded_distinct_shingles(d, X.tokens(F.col("text")), 3).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
     # shuffle_hash: skips the sort-merge sort on the wide string key (~40%
     # faster here); the per-partition build side is narrow (doc_id, n, s)
