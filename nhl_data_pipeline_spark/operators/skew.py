@@ -27,7 +27,17 @@ def salted_join(
     The salt is derived deterministically from the big side's full row hash
     (pmod(hash(*cols), n)), so results are reproducible. Output equals the
     plain join (verified in tests) minus the `salt` plumbing column.
+
+    Only join types that never emit unmatched SMALL-side rows are allowed:
+    the small side exists n_salts times, so 'right'/'full' (or right-side
+    semi/anti) would emit each unmatched small-side row n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "cross"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; {how!r} would duplicate "
+            f"unmatched small-side rows n_salts times"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(

@@ -27,25 +27,40 @@ _TAIL_RE = re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
 
 
 def _depth0_spans(sql: str, pattern: re.Pattern) -> list[re.Match]:
-    """Matches of `pattern` at paren depth 0 and outside string literals."""
+    """Matches of `pattern` at paren depth 0 and outside string literals.
+
+    Handles the SQL doubled-quote escape: inside 'it''s', the '' pair is a
+    literal quote, not a close-then-open — without the peek-ahead the
+    tracker would desync and a later QUALIFY/ORDER BY/LIMIT inside a string
+    could be treated as depth-0 SQL.
+    """
     depths = []
     depth = 0
     in_str: str | None = None
-    for ch in sql:
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
         if in_str:
-            depths.append(-1)
             if ch == in_str:
+                if i + 1 < n and sql[i + 1] == in_str:  # '' / "" escape
+                    depths.extend((-1, -1))
+                    i += 2
+                    continue
                 in_str = None
+            depths.append(-1)
+            i += 1
             continue
         if ch in ("'", '"'):
             in_str = ch
             depths.append(-1)
+            i += 1
             continue
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         depths.append(depth)
+        i += 1
     return [m for m in pattern.finditer(sql) if depths[m.start()] == 0]
 
 

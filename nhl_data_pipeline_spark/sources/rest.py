@@ -82,14 +82,35 @@ def fetch_paginated(
 ) -> DataFrame:
     """start/limit pagination loop until a short page
     (fetch_stats_skater_reports.py:42-140): each page's items land as one
-    envelope row; union happens in createDataFrame once, not per page."""
+    envelope row; union happens in createDataFrame once, not per page.
+
+    Completion honesty: a payload MISSING items_key (error-shaped response)
+    raises instead of reading as an empty short page, and exhausting
+    max_pages without a short page warns — both would otherwise present a
+    truncated ingest as complete.
+    """
+    import warnings
+
     rows = []
     now = datetime.now(timezone.utc).isoformat()
+    complete = False
     for page in range(max_pages):
         url = url_template.format(start=page * page_size, limit=page_size)
         payload = fetch_fn(url)
-        items = payload.get(items_key, [])
+        if items_key not in payload:
+            raise ValueError(
+                f"paginated fetch: page {page} payload has no {items_key!r} "
+                f"key (error-shaped response?): {sorted(payload)[:8]}"
+            )
+        items = payload[items_key]
         rows.append((now, url, json.dumps(payload)))
         if len(items) < page_size:
+            complete = True
             break
+    if not complete:
+        warnings.warn(
+            f"paginated fetch stopped at max_pages={max_pages} without a "
+            f"short page — result is likely TRUNCATED",
+            stacklevel=2,
+        )
     return spark.createDataFrame(rows, ENVELOPE)

@@ -79,3 +79,23 @@ def test_iff_rewrite(spark):
     from nhl_data_pipeline_spark.plans.dialect import rewrite_iff
 
     assert rewrite_iff("SELECT sniff('x')") == "SELECT sniff('x')"
+
+
+def test_qualify_untouched_inside_doubled_quote_escape():
+    """'it''s' must not desync the string tracker: the QUALIFY inside the
+    literal stays literal, and a REAL depth-0 QUALIFY after it still
+    rewrites correctly."""
+    from nhl_data_pipeline_spark.plans.dialect import rewrite_qualify
+
+    sql = "SELECT 'it''s a qualify trap' AS note, x FROM t"
+    assert rewrite_qualify(sql) == sql
+
+    sql2 = (
+        "SELECT 'don''t qualify here' AS note, x, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn "
+        "FROM t QUALIFY rn = 1"
+    )
+    out = rewrite_qualify(sql2)
+    assert out != sql2, "the depth-0 QUALIFY must be rewritten"
+    assert "QUALIFY rn = 1" not in out
+    assert "don''t qualify here" in out, "the literal must survive intact"

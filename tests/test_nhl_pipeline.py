@@ -248,3 +248,24 @@ def test_bruins_filtered_models(models):
     assert len(rows) == tsl.filter(
         (F.col("team_id") == opp_id) & (F.col("perspective") == "offense")
     ).count()
+
+
+def test_extract_final_game_ids_first_seen_cap(spark):
+    """Selection mirrors gamecenter_selection.py: final states only,
+    10-digit ids, dedup, and the cap keeps the EARLIEST-listed games."""
+    from nhl_data_pipeline_spark.nhl.staging import extract_final_game_ids
+
+    rows = spark.createDataFrame(
+        [
+            (2024020103, "OFF", "2024-11-03"),
+            (2024020101, "OFF", "2024-11-01"),
+            (2024020101, "OFF", "2024-11-02"),  # re-listed: dedup to one
+            (2024020102, "LIVE", "2024-11-01"),  # not final
+            (999, "OFF", "2024-11-01"),  # not a 10-digit id
+            (2024020104, "FINAL", "2024-11-02"),
+        ],
+        "game_id long, game_state string, game_date string",
+    ).withColumn("game_date", F.to_date("game_date"))
+    got = [r["game_id"] for r in extract_final_game_ids(rows, max_games=2).collect()]
+    # earliest-listed finals win the cap: 101 (11-01) then 104 (11-02)
+    assert got == [2024020101, 2024020104]

@@ -89,3 +89,17 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
     }
     assert fast == naive
     assert len(fast) > 0
+
+
+def test_salted_join_rejects_right_outer(spark):
+    """Outer-on-the-small-side joins would emit unmatched small-side rows
+    n_salts times; the operator refuses them."""
+    import pytest as _pytest
+
+    li = load_table(spark, TEST_SF_DIR, "lineitem").select("l_orderkey")
+    o = load_table(spark, TEST_SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(li, o, "l_orderkey", n_salts=4, how=how)

@@ -211,3 +211,32 @@ def test_upsert_latest_tie_determinism(spark, tmp_path):
     b = lake.upsert_latest(spark, path2, rows, "id", ("snap",)).collect()
     assert len(a) == len(b) == 1
     assert a[0]["val"] == b[0]["val"]
+
+
+def test_fetch_paginated_honesty(spark):
+    """Missing items_key raises (error-shaped payload must not read as a
+    complete short page); exhausting max_pages without a short page warns."""
+    import warnings
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no 'data' key"):
+        rest.fetch_paginated(
+            spark,
+            "http://x/api?start={start}&limit={limit}",
+            lambda url: {"error": "rate limited"},
+            page_size=10,
+        )
+
+    full = lambda url: {"data": list(range(10))}  # noqa: E731
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = rest.fetch_paginated(
+            spark,
+            "http://x/api?start={start}&limit={limit}",
+            full,
+            page_size=10,
+            max_pages=3,
+        )
+        assert df.count() == 3
+        assert any("TRUNCATED" in str(x.message) for x in w)
