@@ -214,20 +214,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    toks = X.tokens(F.col("text"))
-    # Persist the band-keys ARRAY stage (one 4-element array per doc), then
-    # explode from cache — same Generate-over-inline-HOF pathology as the
-    # jaccard query; both join sides then read the cached narrow rows.
-    keys = (
-        d.filter(F.size(toks) >= 3)
-        .select("doc_id", D.shingles(toks, 3).alias("sh"))
-        .select("doc_id", D.minhash_signature("sh", _K).alias("sig"))
-        .select("doc_id", D.lsh_band_keys(F.col("sig"), _BANDS, _ROWS).alias("bk"))
-        .persist()
+    # Signature via aggregation, not array HOFs: over the codegen-built
+    # exploded shingle table, sig[i] is simply MIN(md5('<i>|' || s)) — k
+    # plain min aggregates (lexicographic string min ≡ array_min of the
+    # md5s, so values are bit-identical to the array formulation and the
+    # same oracle applies). The groupBy(doc_id) reuses the shingle stage's
+    # doc_id hash partitioning — no exchange — and nothing here leaves
+    # whole-stage codegen. Band keys are md5s over plain signature columns
+    # (no lambdas → no sibling-collision risk, no interpreted eval).
+    sh = D.exploded_distinct_shingles(d, X.tokens(F.col("text")), 3)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(_K)
+        ]
     )
-    bands = keys.select(
-        "doc_id", F.posexplode("bk").alias("band_idx0", "band_key")
-    ).select("doc_id", (F.col("band_idx0") + 1).alias("band_idx"), "band_key")
+    band_key = lambda b: F.md5(  # noqa: E731
+        F.concat_ws("|", *[F.col(f"h{b * _ROWS + r}") for r in range(_ROWS)])
+    )
+    bands = (
+        sigs.select(
+            "doc_id",
+            F.posexplode(F.array(*[band_key(b) for b in range(_BANDS)])).alias(
+                "band_idx0", "band_key"
+            ),
+        )
+        .select("doc_id", (F.col("band_idx0") + 1).alias("band_idx"), "band_key")
+        .persist()  # feeds both self-join sides
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )
