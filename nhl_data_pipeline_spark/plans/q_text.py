@@ -269,10 +269,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Join-free near-dup bucketing: one value per doc, cluster by equality
     (or probe neighboring buckets for Hamming distance ≤ d at scale).
+    Computed via the explode + sum-aggregate form (codegen, md5 once per
+    token, measured 2.6× over the interpreted array fold — see simhash_exploded).
     """
-    d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", X.tokens(F.col("text")).alias("toks")).select(
-        "doc_id", D.simhash("toks", 16).alias("simhash16")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return D.simhash_exploded(
+        d.select("doc_id", X.tokens(F.col("text")).alias("toks")),
+        F.col("toks"),
+        16,
     )
 
 
