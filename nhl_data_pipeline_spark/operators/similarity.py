@@ -148,6 +148,70 @@ def cosine_topk_numpy(
     )
 
 
+def cosine_allpairs_numpy(
+    df: DataFrame,
+    threshold: float,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, vectorized AND bit-identical to
+    the sequential JVM fold (unlike the matmul top-k above).
+
+    The JVM/DuckDB dot is `0.0 + a₀b₀ + a₁b₁ + …` left-to-right in float64;
+    matmul/np.dot use SIMD pairwise summation, which differs in the last
+    ulp. Here the accumulation is an explicit loop over DIMENSIONS —
+    `acc += A[:, k] * B[:, k]` — i.e. sequential adds in index order,
+    vectorized across PAIRS, so every intermediate is the same IEEE op the
+    fold performs and the cosine bits (and therefore the ≥-threshold pair
+    SET) match exactly. Norms use the same per-dimension loop under sqrt.
+
+    One side is collected and closed over (this is the O(n²) exact
+    baseline — it presumes one broadcastable side, exactly like the BNLJ
+    it replaces; the scale path is the banded hyperplane LSH). Each Arrow
+    batch scores batch×n pairs at C speed and emits only survivors, with
+    the id< guard dropping mirrored/self pairs.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec).collect()
+    b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    b_mat = np.array([r[vec] for r in rows], dtype=np.float64)  # f32→f64 exact
+    dim = b_mat.shape[1]
+
+    def seq_sq_norm(m: np.ndarray) -> np.ndarray:
+        acc = np.zeros(m.shape[0])
+        for k in range(dim):
+            acc += m[:, k] * m[:, k]
+        return acc
+
+    b_nrm = np.sqrt(seq_sq_norm(b_mat))
+
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf[vec]), dtype=np.float64)
+            a_nrm = np.sqrt(seq_sq_norm(a_mat))
+            acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+            for k in range(dim):
+                acc += a_mat[:, k : k + 1] * b_mat[None, :, k]
+            cos = acc / (a_nrm[:, None] * b_nrm[None, :])
+            ai, bi = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": b_ids[bi],
+                    "cosine": cos[ai, bi],
+                }
+            )
+
+    return df.select(id_col, vec).mapInPandas(score, out_schema)
+
+
 # ------------------------------------------------- hyperplane LSH buckets
 
 
