@@ -293,6 +293,63 @@ def hyperplane_band_buckets(
     return F.expr("array(" + ", ".join(band_exprs) + ")")
 
 
+def hyperplane_banded_numpy(
+    df: DataFrame,
+    dim: int,
+    bands: int = 8,
+    rows: int = 3,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, band_idx, bucket) rows — the exploded form of
+    :func:`hyperplane_band_buckets` — computed per Arrow batch with the
+    bit-exact per-dimension accumulation loop (see cosine_allpairs_numpy):
+    each plane dot is sequential float64 adds in index order, vectorized
+    across vectors, so the sign tests — and therefore every bucket id —
+    match the interpreted JVM fold and the DuckDB oracle exactly. Replaces
+    bands×rows interpreted aggregate/zip_with folds per vector. band_idx
+    is 1-based (posexplode parity with the array form).
+
+    Measured at sf0.1 the registered query keeps the array form: there the
+    candidate-pair join dominates (bucket occupancy at small corpus), so
+    swapping the bucketize stage is a wash warm and costs Python worker
+    startup cold. This form wins when bucketize itself is the bottleneck —
+    wide vectors, many planes, corpus ≫ bucket count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(hyperplanes(dim, bands * rows), dtype=np.float64)
+
+    out_schema = f"{id_col} long, band_idx int, bucket long"
+
+    def bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec]), dtype=np.float64)
+            acc = np.zeros((v.shape[0], planes.shape[0]))
+            for k in range(dim):
+                acc += v[:, k : k + 1] * planes[None, :, k]
+            bits = (acc > 0.0).astype(np.int64)
+            out_ids, out_band, out_bucket = [], [], []
+            for b in range(bands):
+                bucket = sum(bits[:, b * rows + r] << r for r in range(rows))
+                out_ids.append(ids)
+                out_band.append(np.full(ids.shape, b + 1, dtype=np.int32))
+                out_bucket.append(bucket)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "band_idx": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket),
+                }
+            )
+
+    return df.select(id_col, vec).mapInPandas(bucketize, out_schema)
+
+
 def hyperplane_band_buckets_sql(
     vec_expr: str, dim: int, bands: int = 8, rows: int = 3
 ) -> str:
