@@ -308,7 +308,7 @@ def hyperplane_banded_numpy(
     across vectors, so the sign tests — and therefore every bucket id —
     match the interpreted JVM fold and the DuckDB oracle exactly. Replaces
     bands×rows interpreted aggregate/zip_with folds per vector. band_idx
-    is 1-based (posexplode parity with the array form).
+    is 0-based, matching posexplode over the array form.
 
     Measured at sf0.1 the registered query keeps the array form: there the
     candidate-pair join dominates (bucket occupancy at small corpus), so
@@ -337,7 +337,7 @@ def hyperplane_banded_numpy(
             for b in range(bands):
                 bucket = sum(bits[:, b * rows + r] << r for r in range(rows))
                 out_ids.append(ids)
-                out_band.append(np.full(ids.shape, b + 1, dtype=np.int32))
+                out_band.append(np.full(ids.shape, b, dtype=np.int32))
                 out_bucket.append(bucket)
             yield pd.DataFrame(
                 {
