@@ -63,3 +63,90 @@ def test_export_sheets_stub_gated(spark):
     small = spark.range(3)
     with pytest.raises(NotImplementedError):
         export.export_sheets(small, "ss", "ws")
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_merge_into_update_insert_delete(spark, tmp_path):
+    path = str(tmp_path / "vt_merge")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    v0 = versioned.merge_into(spark, path, base, on=["id"])
+    assert v0 == 0
+
+    # update id=2, insert id=4 — one commit, new version
+    upd = spark.createDataFrame([(2, "b2"), (4, "d")], "id long, val string")
+    v1 = versioned.merge_into(spark, path, upd, on=["id"])
+    assert v1 == 1
+    assert _rows(versioned.read_version(spark, path)) == {
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d")
+    }
+    # time travel: the pre-merge snapshot is intact
+    assert _rows(versioned.read_version(spark, path, 0)) == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+    # matched delete, unmatched ignored
+    dels = spark.createDataFrame([(1, None), (9, None)], "id long, val string")
+    versioned.merge_into(
+        spark, path, dels, on=["id"],
+        when_matched="delete", when_not_matched="ignore",
+    )
+    assert _rows(versioned.read_version(spark, path)) == {
+        (2, "b2"), (3, "c"), (4, "d")
+    }
+
+    # matched ignore keeps the target's row
+    ign = spark.createDataFrame([(3, "ZZZ")], "id long, val string")
+    versioned.merge_into(
+        spark, path, ign, on=["id"],
+        when_matched="ignore", when_not_matched="ignore",
+    )
+    assert (3, "c") in _rows(versioned.read_version(spark, path))
+
+
+def test_merge_commit_retry_on_collision(spark, tmp_path):
+    """A racer committing between merge-read and merge-write must not be
+    overwritten: the pinned errorifexists write collides and the retry
+    re-merges on top of the racer's snapshot."""
+    import os
+
+    path = str(tmp_path / "vt_race")
+    versioned.write_version(
+        spark.createDataFrame([(1, "a")], "id long, val string"), path
+    )
+    # simulate the racer: v=1 already exists when our merge tries to commit
+    racer = spark.createDataFrame([(7, "racer")], "id long, val string")
+    racer.write.parquet(os.path.join(path, "v=1"))
+
+    v = versioned.merge_into(
+        spark, path,
+        spark.createDataFrame([(2, "mine")], "id long, val string"),
+        on=["id"],
+    )
+    assert v == 2
+    got = _rows(versioned.read_version(spark, path))
+    assert (7, "racer") in got and (2, "mine") in got  # nothing lost
+
+
+def test_compact_and_expire(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "vt_compact")
+    df = spark.range(100).repartition(8).withColumn("x", F.col("id") * 2)
+    versioned.write_version(df, path)
+    v = versioned.compact(spark, path, target_files=1)
+    vdir = os.path.join(path, f"v={v}")
+    files = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert _rows(versioned.read_version(spark, path, v)) == _rows(
+        versioned.read_version(spark, path, 0)
+    )
+
+    expired = versioned.expire_versions(path, keep_last=1)
+    assert expired == [0]
+    with pytest.raises(ValueError, match="not in"):
+        versioned.read_version(spark, path, 0)
