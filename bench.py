@@ -40,19 +40,20 @@ def main() -> None:
     specs = {n: s for n, s in all_queries().items() if s.bench}
 
     # Warmup: touch every table (footer reads), then run each headline
-    # query once at the smallest scale factor. Plan shape — and therefore
-    # the generated whole-stage code — is data-size independent, so this
-    # compiles/JITs every stage once and the timed sf runs below measure
-    # data processing, not the first-call compiler (~5s of the cold total
-    # at sf0.1 was codegen+JIT, verified by repeat-run profiling).
+    # query once AT THE TARGET SF. Warming at a smaller sf is not enough:
+    # AQE picks different runtime join strategies by actual size (everything
+    # broadcasts at sf0.001; the big joins stay sort-merge at sf0.1), so the
+    # small-sf warmup compiles the wrong whole-stage code and the first
+    # target-sf run pays ~0.5-2s of codegen/JIT per query (verified by
+    # repeat-run profiling). Warming at the target compiles every runtime
+    # plan variant the timed runs will execute.
     for t in TABLES:
         load_table(spark, SF_DIR, t).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
-    warm_dir = "/root/testdata/sf0.001"
     for name, spec in specs.items():
         try:
-            spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
             # Surface it: a query broken at warmup would otherwise silently
             # shift its codegen/JIT cost into the timed run below.
@@ -60,6 +61,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
+        # Drop every persisted intermediate the warmup (or a previous timed
+        # query) left behind, so each timed run recomputes ALL of its own
+        # work — no data reuse across queries, no CacheManager hits on
+        # plan-equivalent persists. JVM codegen/JIT stays warm (it is keyed
+        # on generated source, not cached data), which is the point.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
