@@ -133,46 +133,41 @@ def hit_rate_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "distinct_projection",
-    covers="A5",
-    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
-)
-def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SELECT DISTINCT dedup of a projection.
-
-    Analog of dim_team's DISTINCT + the crosswalk's distinct odds names
-    (`dim_team.sql:11-30`, `stg_player_name_crosswalk.sql:52-64`). Planned as
-    a hash aggregate with map-side partials.
-    """
-    return load_table(spark, sf_dir, "customer").select(
-        "c_nationkey", "c_mktsegment"
-    ).distinct()
-
-
-@query(
-    "count_distinct_exact",
-    covers="A6",
+    "distinct_counts",
+    covers="A5,A6",
     oracle=f"""
-        SELECT event_type,
-               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
-               {bcount('n_events')}
-        FROM events
-        GROUP BY event_type
+        WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+        SELECT d.event_type, d.user_id, u.unique_users, u.n_events
+        FROM d JOIN (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+                   {bcount('n_events')}
+            FROM events
+            GROUP BY event_type
+        ) u USING (event_type)
     """,
 )
-def count_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact COUNT(DISTINCT) per group.
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT dedup (A5) + exact COUNT(DISTINCT) per group (A6),
+    one result: every distinct (event_type, user_id) pair annotated with
+    its group's exact distinct-user and event counts.
 
-    Analog of the bronze validation profile (`query/validate_bronze.py:65-84`).
-    Spark expands this to a two-phase aggregate. At 100 TB, prefer
-    approx_count_distinct (HLL) unless exactness is contractual — the exact
-    form shuffles every distinct (group, user) pair.
+    Analogs: dim_team's DISTINCT + the crosswalk's distinct odds names
+    (`dim_team.sql:11-30`, `stg_player_name_crosswalk.sql:52-64`) and the
+    bronze validation profile (`query/validate_bronze.py:65-84`). The
+    distinct set is a hash aggregate with map-side partials; the
+    countDistinct expands to Spark's two-phase distinct aggregate; the
+    5-row counts side broadcasts back onto the distinct set. At 100 TB,
+    prefer approx_count_distinct (HLL) unless exactness is contractual —
+    the exact form shuffles every distinct (group, user) pair.
     """
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    d = e.select("event_type", "user_id").distinct()
+    u = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("unique_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    return d.join(u, "event_type")
 
 
 @query(
@@ -265,10 +260,11 @@ def null_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "union_ops",
-    covers="U1,U2",
+    "set_operations",
+    covers="U1,U2,U-ext-intersect,U-ext-except",
     oracle=f"""
-        SELECT user_id, metric_source, metric_value, {bcount('n_copies')}
+        SELECT user_id AS grp_key, metric_source AS op, metric_value,
+               {bcount('n_copies')}
         FROM (
             SELECT user_id, 'click' AS metric_source, value AS metric_value
             FROM events WHERE event_type = 'click'
@@ -277,19 +273,41 @@ def null_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events WHERE event_type = 'purchase'
         )
         GROUP BY user_id, metric_source, metric_value
+        UNION ALL
+        SELECT CAST(nationkey AS BIGINT), op,
+               CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+        FROM (
+            SELECT nationkey, 'intersect' AS op FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                INTERSECT
+                SELECT s_nationkey FROM supplier
+            )
+            UNION ALL
+            SELECT nationkey, 'except' AS op FROM (
+                SELECT c_nationkey AS nationkey FROM customer
+                EXCEPT
+                SELECT s_nationkey FROM supplier
+            )
+        )
     """,
 )
-def union_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL with rename-alignment (U1), then deduplicated (U2).
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operation family in one tagged result: UNION ALL with
+    rename-alignment (U1), deduplicating UNION (U2), and the INTERSECT /
+    EXCEPT dialect extensions (beyond the reference — SURVEY §2.8 notes it
+    has neither), each branch tagged in `op`.
 
-    Analog of the 4-way home/away×position union
+    Analogs: the 4-way home/away×position union
     (`stg_player_game_stats.sql:29-57`), the rename-for-compatibility union
     (`team_shot_locations.sql:117`), and dim_team's deduplicating UNION
     (`dim_team.sql:21`). unionByName guards against the positional-union
     column-swap bug; the groupBy-all-columns dedup keeps the UNION ALL
-    multiplicity observable as n_copies (so both the ALL and the DISTINCT
-    semantics are exercised in one plan: Union → two-phase hash aggregate,
-    map-side partials combine before the shuffle).
+    multiplicity observable as n_copies (ALL and DISTINCT semantics in one
+    plan: Union → two-phase hash aggregate, map-side partials combine
+    before the shuffle). INTERSECT plans as a left-semi join after
+    distinct, EXCEPT as a left-anti join (the J8 shape, reused by
+    Catalyst); both share the same two scans. The final stitch is itself a
+    rename-alignment union over disjoint shapes (nulled measure columns).
     """
     e = load_table(spark, sf_dir, "events")
 
@@ -300,12 +318,36 @@ def union_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("metric_value"),
         )
 
-    return (
+    uni = (
         side("click")
         .unionByName(side("purchase"))
         .groupBy("user_id", "metric_source", "metric_value")
         .agg(F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.col("user_id").alias("grp_key"),
+            F.col("metric_source").alias("op"),
+            "metric_value",
+            "n_copies",
+        )
     )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    sets = (
+        c.intersect(s)
+        .withColumn("op", F.lit("intersect"))
+        .unionByName(c.subtract(s).withColumn("op", F.lit("except")))
+        .select(
+            F.col("nationkey").cast("bigint").alias("grp_key"),
+            "op",
+            F.lit(None).cast("double").alias("metric_value"),
+            F.lit(None).cast("bigint").alias("n_copies"),
+        )
+    )
+    return uni.unionByName(sets)
 
 
 @query(
@@ -357,36 +399,3 @@ def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "set_ops_nations",
-    covers="U-ext-intersect,U-ext-except",
-    oracle="""
-        SELECT nationkey, 'intersect' AS op FROM (
-            SELECT c_nationkey AS nationkey FROM customer
-            INTERSECT
-            SELECT s_nationkey FROM supplier
-        )
-        UNION ALL
-        SELECT nationkey, 'except' AS op FROM (
-            SELECT c_nationkey AS nationkey FROM customer
-            EXCEPT
-            SELECT s_nationkey FROM supplier
-        )
-    """,
-)
-def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT + EXCEPT in one tagged result (beyond the reference —
-    SURVEY §2.8 notes it has neither). INTERSECT plans as a left-semi join
-    after distinct, EXCEPT as a left-anti join (the J8 shape, reused by
-    Catalyst); both sides share the same two scans, and the tag column keeps
-    the two set operations separately checkable in one oracle row set."""
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return (
-        c.intersect(s).withColumn("op", F.lit("intersect"))
-        .unionByName(c.subtract(s).withColumn("op", F.lit("except")))
-    )

@@ -10,8 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.operators import cluster as C
 from nhl_data_pipeline_spark.operators import dedup as D
 from nhl_data_pipeline_spark.operators import multimodal as M
 from nhl_data_pipeline_spark.operators import text as X
@@ -21,37 +23,16 @@ _TOKS = "string_split_regex(text, '\\s+')"
 
 
 @query(
-    "text_token_stats",
-    covers="LLM-text,token-counting",
+    "text_profile",
+    covers="LLM-text,token-counting,lang-id,quality-scoring",
     bench=True,
     oracle=f"""
         SELECT doc_id, n_chars,
                CAST(len({_TOKS}) AS INT) AS n_tokens,
                CAST(len(list_distinct({_TOKS})) AS INT) AS n_unique_tokens,
                CAST(length(text) AS INT) AS text_len,
-               CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS unique_ratio
-        FROM documents
-    """,
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + lexical-diversity stats, one pass, no UDFs."""
-    d = load_table(spark, sf_dir, "documents")
-    t = X.tokens(F.col("text"))
-    return d.select(
-        "doc_id",
-        "n_chars",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
-        F.length("text").alias("text_len"),
-        X.unique_ratio(F.col("text")).alias("unique_ratio"),
-    )
-
-
-@query(
-    "text_lang_quality",
-    covers="LLM-text,lang-id,quality-scoring",
-    oracle=f"""
-        SELECT doc_id, lang,
+               CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS unique_ratio,
+               lang,
                {X.lang_id_sql('text')} AS lang_hat,
                CASE WHEN {X.lang_id_sql('text')} = lang THEN TRUE ELSE FALSE END AS agrees,
                {X.quality_score_sql('text')} AS quality,
@@ -59,17 +40,26 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     """,
 )
-def text_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document curation profile: stopword-hit language-ID heuristic vs
-    the labeled lang column, plus the quality score (length + non-stopword
-    mass + diversity) with its keep threshold. One scan, one projection, all
-    JVM higher-order functions — the two signals share the tokenization
-    subtree, which Catalyst dedupes via common-subexpression elimination."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis profile, one scan, one projection, no
+    UDFs: token counting + lexical diversity, the stopword-hit language-ID
+    heuristic vs the labeled lang column, and the quality score (length +
+    non-stopword mass + diversity) with its keep threshold. All signals
+    share the tokenization subtree, which Catalyst dedupes via
+    common-subexpression elimination — profiling a corpus is ONE pass
+    however many signals ride along (formerly two registered queries,
+    text_token_stats + text_lang_quality, merged row-for-row)."""
     d = load_table(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
     hat = X.lang_id(F.col("text"))
     q = X.quality_score(F.col("text"))
     return d.select(
         "doc_id",
+        "n_chars",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.length("text").alias("text_len"),
+        X.unique_ratio(F.col("text")).alias("unique_ratio"),
         "lang",
         hat.alias("lang_hat"),
         (hat == F.col("lang")).alias("agrees"),
@@ -365,4 +355,192 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter((F.col("lang_hat") == "en") & (F.col("quality") >= 0.75))
         .join(drop_docs, "doc_id", "left_anti")
         .select("doc_id", "lang_hat", "quality")
+    )
+
+
+_PAIRS_SQL = f"""
+        shl AS (
+            SELECT doc_id, {_SH_SQL} AS sh
+            FROM documents WHERE len({_TOKS}) >= 3
+        ),
+        shx AS (
+            SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS s FROM shl
+        ),
+        commonx AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS n_a, b.n AS n_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM shx a JOIN shx b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM commonx
+            WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.8
+        )
+"""
+
+
+@query(
+    "dedup_duplicate_clusters",
+    covers="LLM-dedup-clusters,iterative-cc",
+    oracle=f"""
+        WITH RECURSIVE
+        {_PAIRS_SQL},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION
+            SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(a, b) AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (
+            SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+            FROM reach GROUP BY a
+        )
+        SELECT l.doc_id, l.cluster_id,
+               CAST(sz.n AS BIGINT) AS cluster_size,
+               l.doc_id = l.cluster_id AS is_keeper
+        FROM labels l
+        JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1) sz
+          USING (cluster_id)
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: transitive closure with a
+    canonical keeper per cluster (min doc_id).
+
+    The step every real curation pipeline needs after pair generation —
+    pairwise "drop doc_b" under-drops transitive groups (a~b, b~c keeps
+    both a and c even when the cluster is one document three ways). Runs
+    the iterative min-label-propagation connected-components operator
+    (operators/cluster.py — distributed join+agg per round, lineage
+    truncated per round, O(diameter) rounds) over the exact-jaccard pairs.
+    The DuckDB oracle computes the same closure as a recursive CTE, so the
+    iterative operator is hash-checked end to end, not rows-only.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    return C.duplicate_clusters(pairs, "doc_a", "doc_b")
+
+
+_STRATA_RATES = {"en": "1400", "de": "4000", "fr": "4000"}  # hex16 of 65536
+_DEFAULT_RATE = "8000"
+
+
+@query(
+    "stratified_sample",
+    covers="LLM-sampling,P3",
+    oracle=f"""
+        SELECT doc_id, lang, sample_key
+        FROM (
+            SELECT doc_id, lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
+            FROM documents
+        )
+        WHERE sample_key < CASE lang
+            {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _STRATA_RATES.items())}
+            ELSE '{_DEFAULT_RATE}' END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: a training-mix downsampler.
+
+    Each language stratum keeps a different fraction (en ~7.8%, de/fr
+    ~25%, others 50%) — the "rebalance the language mix" primitive of a
+    pretraining-data pipeline. The sample decision is a pure function of
+    the row key: first 4 hex chars of md5(doc_id) compared against the
+    stratum's rate threshold (hex fraction of 16^4). No rand(), no seed
+    plumbing: the sample is reproducible across engines, runs, retries,
+    and partitionings — Spark and DuckDB agree bit-for-bit, which
+    `TABLESAMPLE`/`rand()` can never do. At 100 TB this is a stateless
+    map — no shuffle, fully pushed into the scan stage.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    rate = F.lit(_DEFAULT_RATE)
+    expr = None
+    for lang, r in _STRATA_RATES.items():
+        expr = (
+            F.when(F.col("lang") == lang, F.lit(r))
+            if expr is None
+            else expr.when(F.col("lang") == lang, F.lit(r))
+        )
+    rate = expr.otherwise(rate)
+    return (
+        d.select("doc_id", "lang", key.alias("sample_key"))
+        .filter(F.col("sample_key") < rate)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    covers="LLM-text,tfidf,W2,A1",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        df AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT scored.*, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term
+            ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinguishing terms by smoothed TF-IDF.
+
+    Document fingerprinting for corpus analysis: tf per (doc, term), df
+    per term, score = tf·(N+1)/(df+1) — a rational TF-IDF variant chosen
+    because IEEE multiply/divide are correctly rounded in every engine
+    (ln() is not guaranteed bit-identical across libm implementations, so
+    a log-idf would flake the hash gate in the last ulp). Ranking ties
+    break on the term string, so the top-3 SET is fully deterministic.
+
+    Plan: tf groupBy (one shuffle on doc+term), df groupBy (one on term),
+    scalar N broadcast via cross join, score join back on term, top-k per
+    doc as a rank window (one shuffle on doc). Every stage is JVM codegen;
+    df for ultra-common terms is the only skew point — at 100 TB cap it
+    with a stop-term filter before the join, same shape as stop-shingles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * (F.col("n_docs") + F.lit(1))).cast("double")
+                / (F.col("df") + F.lit(1))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
