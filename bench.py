@@ -51,13 +51,21 @@ def main() -> None:
         load_table(spark, SF_DIR, t).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
-    for name, spec in specs.items():
-        try:
-            spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            # Surface it: a query broken at warmup would otherwise silently
-            # shift its codegen/JIT cost into the timed run below.
-            print(f"WARNING: warmup failed for {name}: {exc!r}", file=sys.stderr)
+    # TWO warmup passes per query: the first compiles whole-stage codegen,
+    # but HotSpot only promotes the generated classes to C2 after enough
+    # invocations — a single warmup leaves ~30-60% tiered-JIT cost in the
+    # timed run (measured: jaccard 3.35 s after one warmup vs 2.0 s
+    # steady-state). The metric is steady-state throughput; the cache
+    # clear between the passes keeps every pass computing all of its work.
+    for _ in range(2):
+        for name, spec in specs.items():
+            spark.catalog.clearCache()
+            try:
+                spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                # Surface it: a query broken at warmup would otherwise
+                # silently shift its codegen/JIT cost into the timed run.
+                print(f"WARNING: warmup failed for {name}: {exc!r}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
