@@ -351,51 +351,72 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cube_rollup_profile",
-    covers="A-ext-cube",
+    "profiling_aggregates",
+    covers="A-ext-cube,A-ext-percentile",
     oracle=f"""
-        SELECT o_orderstatus, o_orderpriority, {bcount('n')},
-               {dsum('o_totalprice', 'total')}
+        SELECT 'cube' AS op, o_orderstatus AS dim1, o_orderpriority AS dim2,
+               {bcount('n')}, {dsum('o_totalprice', 'total')},
+               CAST(NULL AS DOUBLE) AS p50, CAST(NULL AS DOUBLE) AS p90,
+               CAST(NULL AS DOUBLE) AS p99
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        UNION ALL
+        SELECT 'percentile', event_type, CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               quantile_cont(value, 0.5), quantile_cont(value, 0.9),
+               quantile_cont(value, 0.99)
+        FROM events
+        GROUP BY event_type
     """,
 )
-def cube_rollup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping-sets profile (beyond the reference's surface — SURVEY
-    §2.5 notes it has no grouping sets; a 100 TB profiling pipeline wants
-    them: one pass emits every marginal)."""
+def profiling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-profiling aggregates beyond the reference's surface, one
+    tagged result (formerly cube_rollup_profile + percentile_profile,
+    merged row-for-row): CUBE grouping sets over orders (SURVEY §2.5 notes
+    the reference has none; a 100 TB profiling pipeline wants every
+    marginal from one pass) and exact interpolated percentiles per event
+    type (Spark `percentile` ≡ DuckDB `quantile_cont`, verified bit-equal;
+    at 100 TB prefer approx_percentile's t-digest). The CUBE's own NULL
+    margin dims stay distinguishable from the percentile branch via the op
+    tag. Each branch is an independent scan→aggregate; the stitch is a
+    rename-alignment union of disjoint shapes (nulled measure columns)."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    cube = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
             dsum_double("o_totalprice").alias("total"),
         )
+        .select(
+            F.lit("cube").alias("op"),
+            F.col("o_orderstatus").alias("dim1"),
+            F.col("o_orderpriority").alias("dim2"),
+            "n",
+            "total",
+            F.lit(None).cast("double").alias("p50"),
+            F.lit(None).cast("double").alias("p90"),
+            F.lit(None).cast("double").alias("p99"),
+        )
     )
-
-
-@query(
-    "percentile_profile",
-    covers="A-ext-percentile",
-    oracle="""
-        SELECT event_type,
-               quantile_cont(value, 0.5) AS p50,
-               quantile_cont(value, 0.9) AS p90,
-               quantile_cont(value, 0.99) AS p99
-        FROM events
-        GROUP BY event_type
-    """,
-)
-def percentile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (no median/percentile in
-    the reference — added for profiling parity with modern warehouses).
-    Spark `percentile` ≡ DuckDB `quantile_cont` (linear interpolation,
-    verified bit-equal). At 100 TB prefer approx_percentile (t-digest)."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.9).alias("p90"),
-        F.percentile("value", 0.99).alias("p99"),
+    pct = (
+        e.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .select(
+            F.lit("percentile").alias("op"),
+            F.col("event_type").alias("dim1"),
+            F.lit(None).cast("string").alias("dim2"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("total"),
+            "p50",
+            "p90",
+            "p99",
+        )
     )
+    return cube.unionByName(pct)
 
 

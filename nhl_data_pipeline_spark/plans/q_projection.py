@@ -190,10 +190,10 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "string_functions",
-    covers="§2.9-string,J5-keys",
+    "scalar_functions",
+    covers="§2.9-string,J5-keys,§2.9-date,§2.9-interval,P3",
     oracle="""
-        SELECT c_custkey,
+        SELECT 'string' AS op, c_custkey AS row_key,
                upper(trim(c_name)) AS name_upper,
                (string_split(c_name, ' '))[-1] AS last_token,
                left(c_name, 1) AS first_initial,
@@ -202,69 +202,83 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                  'AAAAAAaaaaaaEEEEeeeeIIIIiiiiOOOOOoooooUUUUuuuuCcNnYyy') AS folded,
                COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
                CAST(length(c_name) AS INT) AS name_len,
-               c_name || '#' || CAST(c_nationkey AS STRING) AS name_nation
+               c_name || '#' || CAST(c_nationkey AS STRING) AS name_nation,
+               CAST(NULL AS INT) AS yr, CAST(NULL AS INT) AS mo,
+               CAST(NULL AS INT) AS dom, CAST(NULL AS INT) AS dow_sunday0,
+               CAST(NULL AS INT) AS doy, CAST(NULL AS INT) AS iso_week,
+               CAST(NULL AS VARCHAR) AS month_name,
+               CAST(NULL AS VARCHAR) AS day_name,
+               CAST(NULL AS TIMESTAMP) AS plus_week_ts,
+               CAST(NULL AS TIMESTAMP) AS order_ts
         FROM customer
+        UNION ALL
+        SELECT 'date', o_orderkey,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR),
+               CAST(year(o_orderdate) AS INT),
+               CAST(month(o_orderdate) AS INT),
+               CAST(date_part('day', o_orderdate) AS INT),
+               CAST(date_part('dow', o_orderdate) AS INT),
+               CAST(date_part('doy', o_orderdate) AS INT),
+               CAST(date_part('week', o_orderdate) AS INT),
+               monthname(o_orderdate), dayname(o_orderdate),
+               CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP),
+               o_orderdate
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-09-02 00:00:00' - INTERVAL 400 DAY
     """,
 )
-def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's string-function surface in one projection.
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.9 scalar-function surface, one tagged result (formerly
+    string_functions + date_interval_functions, merged row-for-row).
 
-    UPPER/TRIM/LEFT/SPLIT_PART(-1)/accent-fold/REGEXP_SUBSTR/LENGTH/CONCAT —
-    the exact key-derivation toolkit of the entity-resolution crosswalk
-    (`stg_player_name_crosswalk.sql:25-47`) and fuzzy join J5
-    (`fact_player_sog_props_v2.sql:115-128`).
+    String branch: UPPER/TRIM/LEFT/SPLIT_PART(-1)/accent-fold/
+    REGEXP_SUBSTR/LENGTH/CONCAT — the exact key-derivation toolkit of the
+    entity-resolution crosswalk (`stg_player_name_crosswalk.sql:25-47`) and
+    fuzzy join J5 (`fact_player_sog_props_v2.sql:115-128`).
+
+    Date branch: the date-part family with the Snowflake DAYOFWEEK
+    (0=Sunday) base over an INTERVAL-arithmetic recency filter — the
+    dim_date derivations (`dim_date.sql:45-56`) and the `CURRENT_DATE -
+    INTERVAL '15 days'` filter (`team_shot_example_queries.sql:193`;
+    "today" is an injected constant per SURVEY §7.3.4). Spark's
+    dayofweek() is 1-based Sunday, Snowflake's 0-based — sunday_zero_dow
+    pins the reference semantics (also DuckDB's 'dow'). The interval
+    filter folds to a literal and reaches the parquet scan as a pushed
+    predicate; each branch prunes to its own columns, and the stitch is a
+    rename-alignment union of disjoint shapes (nulled other-family cols).
     """
     c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
+    nul_s = lambda a: F.lit(None).cast("string").alias(a)  # noqa: E731
+    nul_i = lambda a: F.lit(None).cast("int").alias(a)  # noqa: E731
+    nul_ts = lambda a: F.lit(None).cast("timestamp_ntz").alias(a)  # noqa: E731
+    strings = c.select(
+        F.lit("string").alias("op"),
+        F.col("c_custkey").alias("row_key"),
         F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
         split_part(F.col("c_name"), " ", -1).alias("last_token"),
         F.substring(F.col("c_name"), 1, 1).alias("first_initial"),
         accent_fold(F.col("c_name")).alias("folded"),
         F.regexp_extract(F.col("c_name"), "([0-9]+)", 1).alias("digits"),
         F.length(F.col("c_name")).alias("name_len"),
-        F.concat(F.col("c_name"), F.lit("#"), F.col("c_nationkey").cast("string")).alias(
-            "name_nation"
-        ),
+        F.concat(
+            F.col("c_name"), F.lit("#"), F.col("c_nationkey").cast("string")
+        ).alias("name_nation"),
+        nul_i("yr"), nul_i("mo"), nul_i("dom"), nul_i("dow_sunday0"),
+        nul_i("doy"), nul_i("iso_week"), nul_s("month_name"),
+        nul_s("day_name"), nul_ts("plus_week_ts"), nul_ts("order_ts"),
     )
-
-
-@query(
-    "date_interval_functions",
-    covers="§2.9-date,§2.9-interval,P3",
-    oracle="""
-        SELECT o_orderkey,
-               CAST(year(o_orderdate) AS INT) AS yr,
-               CAST(month(o_orderdate) AS INT) AS mo,
-               CAST(date_part('day', o_orderdate) AS INT) AS dom,
-               CAST(date_part('dow', o_orderdate) AS INT) AS dow_sunday0,
-               CAST(date_part('doy', o_orderdate) AS INT) AS doy,
-               CAST(date_part('week', o_orderdate) AS INT) AS iso_week,
-               monthname(o_orderdate) AS month_name,
-               dayname(o_orderdate) AS day_name,
-               CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP) AS plus_week_ts,
-               o_orderdate AS order_ts
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1998-09-02 00:00:00' - INTERVAL 400 DAY
-    """,
-)
-def date_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part family with the Snowflake DAYOFWEEK(0=Sunday) base, over an
-    INTERVAL-arithmetic recency filter.
-
-    Analog of the dim_date derivations (`dim_date.sql:45-56`) and the
-    `CURRENT_DATE - INTERVAL '15 days'` recency filter
-    (`team_shot_example_queries.sql:193`; "today" is an injected constant
-    per the reproducibility rule in SURVEY §7.3.4). Spark's dayofweek() is
-    1-based Sunday, Snowflake's 0-based — sunday_zero_dow pins the reference
-    semantics (also matches DuckDB's 'dow'). The interval filter folds to a
-    literal and reaches the parquet scan as a pushed predicate.
-    """
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     anchor = F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
-    return o.filter(d >= anchor - F.expr("INTERVAL 400 DAY")).select(
-        "o_orderkey",
+    dates = o.filter(d >= anchor - F.expr("INTERVAL 400 DAY")).select(
+        F.lit("date").alias("op"),
+        F.col("o_orderkey").alias("row_key"),
+        nul_s("name_upper"), nul_s("last_token"), nul_s("first_initial"),
+        nul_s("folded"), nul_s("digits"), nul_i("name_len"),
+        nul_s("name_nation"),
         F.year(d).alias("yr"),
         F.month(d).alias("mo"),
         F.dayofmonth(d).alias("dom"),
@@ -276,6 +290,7 @@ def date_interval_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(d.cast("date"), 7).cast("timestamp_ntz").alias("plus_week_ts"),
         d.alias("order_ts"),
     )
+    return strings.unionByName(dates)
 
 
 @query(
