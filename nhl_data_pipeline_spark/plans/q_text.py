@@ -544,3 +544,75 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "score", "rnk")
     )
+
+
+_SH4_SQL = D.shingles_sql(_TOKS, 4)
+
+
+@query(
+    "contamination_check",
+    covers="LLM-decontamination,J9,A1",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SH4_SQL}) AS s
+            FROM documents WHERE len({_TOKS}) >= 4
+        ),
+        eval_sh AS (
+            SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0
+        ),
+        train AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0),
+        sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM train GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+            FROM train t JOIN eval_sh e USING (s)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, n_shingles, n_contaminated,
+               CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+        FROM sizes JOIN hits USING (doc_id)
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: for every training document sharing at
+    least one 5-gram with the held-out eval slice (doc_id % 7 = 0), the
+    fraction of its distinct 5-grams that appear anywhere in the eval set.
+
+    The benchmark-leakage scan every serious pretraining pipeline runs
+    (the reference has no analog — its dedup is exact-key only). N-gram
+    granularity is the usual contamination unit: long enough that overlap
+    means shared passages, short enough to catch partial quotes.
+
+    Plan shape for scale: the corpus is shingled ONCE (the codegen
+    lead-window path of dedup_ngram_jaccard, persisted, hashed to 8-byte
+    longs) and split into eval/train by a pushed filter; the distinct eval
+    shingle set is tiny by construction (benchmarks are MBs, corpora are
+    TBs), so it BROADCASTS and the contamination scan is a map-side
+    left-semi join over the train shingles — no shuffle of the 100 TB side
+    at all, then one partial-agg groupBy per doc. The xxhash64 bridge
+    trades a ~D²/2⁶⁵ collision bound for string-free exchanges; the
+    string-keyed DuckDB oracle cross-checks every count.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sh = D.exploded_distinct_shingles(
+        d, X.tokens(F.col("text")), 4, hash_shingles=True
+    ).persist()
+    eval_sh = sh.filter(F.col("doc_id") % 7 == 0).select("s").distinct()
+    train_sh = sh.filter(F.col("doc_id") % 7 != 0)
+    return (
+        train_sh.join(F.broadcast(eval_sh), "s", "left_semi")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_shingles"),
+            "n_contaminated",
+            (F.col("n_contaminated").cast("double") / F.col("n")).alias(
+                "contamination"
+            ),
+        )
+    )

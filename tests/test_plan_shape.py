@@ -101,3 +101,12 @@ def test_or_like_join_decomposes_to_hash_joins(spark):
     p = plan_str(run(spark, "fuzzy_or_like_join"))
     assert "BroadcastNestedLoopJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_contamination_eval_side_broadcasts(spark):
+    # The eval shingle set is small by construction (benchmarks vs corpus);
+    # the contamination scan must be a broadcast LEFT SEMI over the train
+    # shingles — no shuffle of the corpus side.
+    p = plan_str(run(spark, "contamination_check"))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    assert "SortMergeJoin" not in p
