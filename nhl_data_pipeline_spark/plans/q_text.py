@@ -616,3 +616,94 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SEQ_LEN = 2048  # tokens per packed training sequence
+_CHUNK = 256  # docs per prefix-sum chunk
+
+
+@query(
+    "sequence_packing",
+    covers="LLM-packing,W4,prefix-sum",
+    oracle=f"""
+        SELECT doc_id, n_tokens, global_offset,
+               global_offset // {_SEQ_LEN} AS seq_id,
+               global_offset % {_SEQ_LEN} AS offset_in_seq,
+               (global_offset % {_SEQ_LEN}) + n_tokens > {_SEQ_LEN}
+                   AS crosses_boundary
+        FROM (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(CAST(len({_TOKS}) AS BIGINT)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS global_offset
+            FROM documents
+        )
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: every document's position in the
+    token stream formed by concatenating the corpus in doc_id order and
+    splitting it into fixed {_SEQ_LEN}-token training sequences — seq_id,
+    offset within the sequence, and whether the doc straddles a boundary.
+
+    The batch-assembly step of a pretraining pipeline (no reference
+    analog). The semantics are a GLOBAL running total (W4's frame over the
+    whole corpus, not per group) — the one window Spark cannot distribute
+    as written, because a single total order = a single partition. The
+    implementation is the textbook two-level scan instead:
+
+    1. bucket docs into chunks of {_CHUNK} by doc_id;
+    2. one tiny aggregate of per-chunk token totals (corpus/{_CHUNK} rows)
+       gets its exclusive cumsum on a SINGLE-partition window — safe
+       because that table is ~1e5 rows even at 100 TB;
+    3. the chunk offsets broadcast-join back and a per-chunk window
+       (bounded partitions, distributed) finishes the local cumsum.
+
+    Two narrow shuffles (chunk agg + per-chunk window) over (id, count)
+    pairs, never the text. The DuckDB oracle runs the naive global window
+    — the distributed scan must reproduce it bit-for-bit.
+    """
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    base = d.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (F.col("doc_id") - F.col("doc_id") % _CHUNK).alias("chunk"),
+    )
+    totals = base.groupBy("chunk").agg(F.sum("n_tokens").alias("chunk_total"))
+    w_chunks = (
+        Window.orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "chunk",
+        F.coalesce(F.sum("chunk_total").over(w_chunks), F.lit(0)).alias(
+            "chunk_offset"
+        ),
+    )
+    w_local = (
+        Window.partitionBy("chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.join(F.broadcast(offsets), "chunk").select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("chunk_offset")
+            + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+        ).alias("global_offset"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "global_offset",
+        F.expr(f"global_offset div {_SEQ_LEN}").alias("seq_id"),
+        (F.col("global_offset") % _SEQ_LEN).alias("offset_in_seq"),
+        (
+            F.col("global_offset") % _SEQ_LEN + F.col("n_tokens") > _SEQ_LEN
+        ).alias("crosses_boundary"),
+    )
