@@ -119,3 +119,87 @@ def duplicate_clusters(
             (F.col("node") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col(src) != F.col(dst)
+    )
+    return e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For every node u: connect each strictly-larger neighbor to
+    min(Γ(u) ∪ {u}). Emitted edges are always (bigger, smaller).
+
+    Γ is over the UNDIRECTED graph, so the (possibly small-star-oriented)
+    input is re-symmetrized first — grouping only by the stored edge
+    direction would hide a node's in-neighbors and disconnect components.
+    """
+    e = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    mins = e.groupBy("a").agg(F.min("b").alias("mb"))
+    mins = mins.select("a", F.least("a", "mb").alias("m"))
+    return (
+        e.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (big, small); for every node u: connect u and each
+    smaller neighbor to the minimum of them all."""
+    o = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    mins = o.groupBy("a").agg(F.min("b").alias("m"))
+    return (
+        o.join(mins, "a")
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .union(mins.select("a", F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Same (node, component) contract as :func:`connected_components`, via
+    alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm). Converges in O(log n) ROUNDS REGARDLESS OF DIAMETER, where
+    min-label propagation needs O(diameter) — this is the variant to reach
+    for on adversarial long-chain graphs (web graphs, citation chains);
+    label propagation stays cheaper per round on the shallow dense
+    clusters near-dup dedup produces.
+
+    Each round is two groupBy-min + join passes over the current edge set;
+    the edge set only shrinks (toward a star forest), and lineage is
+    truncated per round. Convergence = edge set fixed point (exact
+    subtract check, not a count heuristic).
+    """
+    e = _symmetrize(edges, src, dst).localCheckpoint(eager=True)
+    nodes = e.select("a").distinct()
+    for _ in range(max_rounds):
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        stable = (
+            new_e.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(new_e).limit(1).count() == 0
+        )
+        e = new_e
+        if stable:
+            # Star forest: every non-root points at its component min.
+            comp = e.select(F.col("a").alias("node"), F.col("b").alias("component"))
+            pointers = e.select(F.col("a").alias("ptr")).distinct()
+            roots = nodes.join(
+                pointers, nodes.a == pointers.ptr, "left_anti"
+            ).select(F.col("a").alias("node"), F.col("a").alias("component"))
+            return comp.union(roots)
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_rounds} rounds"
+    )
