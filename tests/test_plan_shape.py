@@ -110,3 +110,11 @@ def test_contamination_eval_side_broadcasts(spark):
     p = plan_str(run(spark, "contamination_check"))
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     assert "SortMergeJoin" not in p
+
+
+def test_sequence_packing_offsets_broadcast(spark):
+    # The two-level prefix sum must broadcast the tiny chunk-offset table
+    # back onto the corpus; the corpus side must not sort-merge.
+    p = plan_str(run(spark, "sequence_packing"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
