@@ -353,3 +353,59 @@ def prefix_filtered_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ----------------------------------------------------------- winnowing
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    tokens_col: Column,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp) rolling-hash document fingerprints by winnowing (Schleimer
+    et al., SIGMOD'03 — the MOSS algorithm): hash every k-gram, then keep
+    the MINIMUM hash of each sliding window of `window` consecutive
+    k-grams. Guarantees any shared run of k+window-1 tokens between two
+    docs shares a fingerprint, at ~2/(window+1) the density of full
+    shingling — the shift-robust, sub-document analog of
+    doc_fingerprint_dedup's whole-content hash (reference analog: none;
+    its dedup is whole-row only).
+
+    Plan: posexplode + lead() k-gram hashes (the exploded-shingle shape),
+    then a min over a ROWS window of `window` — all whole-stage codegen,
+    one exchange on the doc id, distinct fingerprints per doc at the end.
+    At 100 TB the fingerprint table is ~2/(window+1) of the shingle table
+    and joins the same way (equi-join on fp = candidate pairs).
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select(id_col, F.posexplode(tokens_col).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)]
+    grams = (
+        tok.select(id_col, "pos", "tok", *leads)
+        .filter(F.col(f"t{k - 1}").isNotNull())
+        .select(
+            id_col,
+            "pos",
+            F.xxhash64("tok", *[f"t{i}" for i in range(1, k)]).alias("h"),
+        )
+    )
+    wmin = w.rowsBetween(0, window - 1)
+    fps = grams.select(
+        id_col,
+        "pos",
+        F.min("h").over(wmin).alias("fp"),
+        F.max(F.col("pos")).over(Window.partitionBy(id_col)).alias("max_pos"),
+    )
+    # A window anchored at pos is complete iff its last k-gram exists
+    # (pos + window - 1 <= last k-gram position). Incomplete tail windows
+    # would re-select suffix minima full shingling wouldn't guarantee.
+    return (
+        fps.filter(F.col("pos") + (window - 1) <= F.col("max_pos"))
+        .select(id_col, "fp")
+        .distinct()
+    )

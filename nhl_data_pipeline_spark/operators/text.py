@@ -131,3 +131,23 @@ def fingerprint(col: Column | str) -> Column:
 
 def fingerprint_sql(text_expr: str) -> str:
     return f"md5(lower(trim(regexp_replace({text_expr}, '\\s+', ' ', 'g'))))"
+
+
+# GPT-2-style pre-tokenizer (simplified, ASCII classes): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs. The real BPE
+# merge table is a model artifact; pre-tokenization is where the engine
+# work is — counts from this regex track BPE token counts closely enough
+# for length/cost accounting, entirely inside codegen.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def tokens_bpe(col: Column | str) -> Column:
+    """BPE-ish pre-tokenization via regexp_extract_all — the swap-in
+    alternative to the whitespace :func:`tokens` for token-budget
+    accounting (sequence packing, cost estimates). JVM regex, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), F.lit(0))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    return F.size(tokens_bpe(col))

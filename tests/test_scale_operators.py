@@ -103,3 +103,54 @@ def test_salted_join_rejects_right_outer(spark):
     for how in ("right", "full", "right_outer", "full_outer"):
         with _pytest.raises(ValueError, match="salted_join supports"):
             salted_join(li, o, "l_orderkey", n_salts=4, how=how)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    from nhl_data_pipeline_spark.operators.dedup import (
+        exploded_distinct_shingles,
+        winnowing_fingerprints,
+    )
+    from nhl_data_pipeline_spark.operators.text import tokens
+
+    base = "w%d " * 30 % tuple(range(30))
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base + shared),
+            (2, "x y z " + shared + " p q r"),  # shifted copy of the run
+            (3, "completely different text with no common runs at all here"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    k, w = 5, 4
+    fps = winnowing_fingerprints(docs, tokens(F.col("text")), k=k, window=w)
+    by_doc = {
+        r.doc_id: set(r.f)
+        for r in fps.groupBy("doc_id").agg(F.collect_set("fp").alias("f")).collect()
+    }
+    # Shared run has 12 tokens >= k + w - 1 = 8 -> must share a fingerprint
+    # despite different offsets (shift robustness).
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    # Winnowing selects a subset of the full k-gram hash set (~2/(w+1)).
+    full = exploded_distinct_shingles(
+        docs.filter(F.col("doc_id") == 1), tokens(F.col("text")), k,
+        hash_shingles=True,
+    )
+    assert len(by_doc[1]) < full.count()
+
+
+def test_bpe_tokens_pretokenize(spark):
+    from nhl_data_pipeline_spark.operators.text import token_count_bpe, tokens_bpe
+
+    df = spark.createDataFrame(
+        [("I don't like 42 apples, really!",), ("",)], "text: string"
+    )
+    rows = df.select(
+        tokens_bpe("text").alias("t"), token_count_bpe("text").alias("n")
+    ).collect()
+    assert rows[0].t == [
+        "I", " don", "'t", " like", " 42", " apples", ",", " really", "!"
+    ]
+    assert rows[0].n == 9
+    assert rows[1].n == 0
