@@ -125,3 +125,72 @@ def byte_histogram_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": embs})
 
     return df.select("doc_id", "payload").mapInPandas(_featurize, HIST_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame, frame_bytes: int = 64, stride: int = 4
+) -> DataFrame:
+    """Video-style frame sampling plumbing: slice each payload into fixed
+    -size frames and keep every `stride`-th one, as (doc_id, frame_idx,
+    frame) rows via Arrow batches — the 1→N exploding mapInPandas shape a
+    real container demuxer (pyav/ffmpeg, absent here) drops into. The
+    fixed-size slicer is the deterministic stand-in codec, so tests can
+    assert exact frame counts and bytes.
+
+    Scale note: output multiplies rows — repartition AFTER sampling (by
+    doc_id for per-video ops, round-robin for encode fan-out) and bound
+    files with maxRecordsPerFile; never collect frames to the driver.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(b)
+                n_frames = (len(data) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(data[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def resize_payload(df: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize plumbing: binary in → smaller binary out (every `factor`-th
+    byte — the deterministic stand-in for bilinear resize; PIL absent).
+    Keeps the metadata struct honest by rewriting n_bytes. Same contract a
+    real `Image.resize` implementation fills in.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["payload"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "n_bytes": out.map(len).astype("int64"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+    return df.select("doc_id", "payload").mapInPandas(_resize, schema)

@@ -154,3 +154,36 @@ def test_bpe_tokens_pretokenize(spark):
     ]
     assert rows[0].n == 9
     assert rows[1].n == 0
+
+
+def test_multimodal_frame_sample_and_resize(spark):
+    from nhl_data_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        frame_sample,
+        resize_payload,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").limit(20)
+    mm = attach_binary_payload(docs)
+    sizes = {r.doc_id: r.n for r in mm.select(
+        "doc_id", F.length("payload").alias("n")).collect()}
+
+    frames = frame_sample(mm, frame_bytes=64, stride=4)
+    got = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("k"), F.max("frame_idx").alias("mx")
+    ).collect()
+    assert len(got) == 20
+    for r in got:
+        n_frames = (sizes[r.doc_id] + 63) // 64
+        assert r.k == (n_frames + 3) // 4  # every 4th frame, frame 0 kept
+        assert r.mx % 4 == 0
+    # Frame bytes are exact slices: frame 0 of each doc is the payload head.
+    f0 = {r.doc_id: bytes(r.frame) for r in frames.filter(
+        F.col("frame_idx") == 0).collect()}
+    head = {r.doc_id: bytes(r.payload)[:64] for r in mm.collect()}
+    assert f0 == head
+
+    small = resize_payload(mm, factor=4)
+    for r in small.collect():
+        assert r.n_bytes == len(bytes(r.payload))
+        assert r.n_bytes == (sizes[r.doc_id] + 3) // 4
