@@ -151,3 +151,173 @@ def tokens_bpe(col: Column | str) -> Column:
 
 def token_count_bpe(col: Column | str) -> Column:
     return F.size(tokens_bpe(col))
+
+
+def bigrams(col: Column | str) -> Column:
+    """Token 2-grams as 'tok_i tok_i+1' strings, built with array HOFs —
+    no explode, no shuffle, stays a per-row expression."""
+    t = tokens(col)
+    return F.transform(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+        lambda x, i: F.concat(x, F.lit(" "), F.element_at(t, i + F.lit(2))),
+    )
+
+
+def repetition_stats(col: Column | str) -> Column:
+    """Gopher-style repetition signals as one per-row fold:
+    ``struct(n_bigrams, top_bigram_n, dup_bigram_mass)``.
+
+    top_bigram_n = occurrences of the most frequent bigram; dup_bigram_mass
+    = total occurrences of bigrams appearing more than once. Computed by
+    sorting the row's bigram array and folding run lengths (O(n log n) per
+    row, JVM-side, no shuffle). Mirrors the "fraction of characters in the
+    most common n-gram" / "duplicated n-gram" removal rules of
+    Gopher/MassiveText-style curation (Rae et al. 2021 §A1.1), on token
+    counts. For corpora of very LONG documents, prefer the explode →
+    groupBy(doc_id, bigram) form (same results, linear per row, one
+    shuffle); this fold is the short-document fast path.
+    """
+    srt = F.array_sort(bigrams(col))
+    zero = F.lit(0).cast("long")
+
+    def step(acc: Column, x: Column) -> Column:
+        is_new = acc.prev.isNull() | (acc.prev != x)
+        run = F.when(is_new, F.lit(1).cast("long")).otherwise(acc.run + 1)
+        ended_dup = F.when(
+            (~acc.prev.isNull()) & (acc.prev != x) & (acc.run > 1), acc.run
+        ).otherwise(zero)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+            (acc.dup + ended_dup).alias("dup"),
+        )
+
+    fold = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+            zero.alias("dup"),
+        ),
+        step,
+        lambda acc: F.struct(
+            F.size(srt).cast("long").alias("n_bigrams"),
+            acc.best.alias("top_bigram_n"),
+            (acc.dup + F.when(acc.run > 1, acc.run).otherwise(zero)).alias(
+                "dup_bigram_mass"
+            ),
+        ),
+    )
+    return fold
+
+
+def top_bigram_frac(col: Column | str) -> Column:
+    """Fraction of the row's bigrams taken by its single most frequent
+    bigram; 0.0 for rows with no bigrams. Gopher drops docs above ~0.2."""
+    s = repetition_stats(col)
+    return F.when(s.n_bigrams > 0, s.top_bigram_n / s.n_bigrams).otherwise(
+        F.lit(0.0)
+    )
+
+
+def dup_bigram_frac(col: Column | str) -> Column:
+    """Fraction of bigram occurrences belonging to bigrams seen more than
+    once in the row; 0.0 for rows with no bigrams."""
+    s = repetition_stats(col)
+    return F.when(s.n_bigrams > 0, s.dup_bigram_mass / s.n_bigrams).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _bigrams_sql(text_expr: str) -> str:
+    l = f"string_split_regex({text_expr}, '\\s+')"
+    return (
+        f"list_transform(list_zip({l}[1:len({l})-1], {l}[2:len({l})]),"
+        " p -> p[1] || ' ' || p[2])"
+    )
+
+
+def _bigram_hist_vals_sql(text_expr: str) -> str:
+    return f"map_values(list_aggregate({_bigrams_sql(text_expr)}, 'histogram'))"
+
+
+def top_bigram_frac_sql(text_expr: str) -> str:
+    vals = _bigram_hist_vals_sql(text_expr)
+    n = f"len({_bigrams_sql(text_expr)})"
+    return (
+        f"CASE WHEN {n} > 0 THEN CAST(list_max({vals}) AS DOUBLE) / {n}"
+        " ELSE 0.0 END"
+    )
+
+
+def dup_bigram_frac_sql(text_expr: str) -> str:
+    vals = _bigram_hist_vals_sql(text_expr)
+    n = f"len({_bigrams_sql(text_expr)})"
+    return (
+        f"CASE WHEN {n} > 0 THEN"
+        f" CAST(coalesce(list_sum(list_filter({vals}, c -> c > 1)), 0)"
+        f" AS DOUBLE) / {n} ELSE 0.0 END"
+    )
+
+
+# PII redaction: ordered (pattern, replacement) pairs. Patterns stay inside
+# the regex subset Java and RE2/DuckDB share (no lookaround, no backrefs) so
+# the Spark column and the SQL oracle are literally the same regexes. Order
+# matters: emails before phones (digits in hostnames), IPs before phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "[IP]"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "[SSN]"),
+    (
+        r"(?:\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+        "[PHONE]",
+    ),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails / IPv4s / SSNs / US-style phone numbers to typed
+    placeholder tags. A chain of JVM ``regexp_replace`` calls — whole-stage
+    codegen, linear in input bytes, no Python. The standard pre-training
+    redaction pass (the production variant swaps in NER-model spans via a
+    Pandas UDF; the operator contract — text in, redacted text out — is
+    identical)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def pii_hits(col: Column | str) -> Column:
+    """Count of PII spans that redaction would replace (cheap audit metric:
+    sum it per source to find leaky providers before training)."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = F.lit(0)
+    for pat, tag in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        # redact as we count, exactly like redact_pii, so later patterns
+        # can't re-match inside spans an earlier pattern already claimed
+        c = F.regexp_replace(c, pat, tag)
+    return total
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    sql = text_expr
+    for pat, tag in PII_PATTERNS:
+        # DuckDB standard strings pass backslashes through verbatim — only
+        # quotes need escaping for the literally-identical regex to land.
+        p = pat.replace("'", "''")
+        sql = f"regexp_replace({sql}, '{p}', '{tag}', 'g')"
+    return sql
+
+
+def pii_hits_sql(text_expr: str) -> str:
+    sql = text_expr
+    terms = []
+    for pat, tag in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        terms.append(f"len(regexp_extract_all({sql}, '{p}'))")
+        sql = f"regexp_replace({sql}, '{p}', '{tag}', 'g')"
+    return "CAST(" + " + ".join(terms) + " AS INT)"

@@ -19,6 +19,7 @@ from nhl_data_pipeline_spark.functions.scalars import (
     split_part,
     sunday_zero_dow,
 )
+from nhl_data_pipeline_spark.operators import text as X
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount
 
@@ -191,8 +192,8 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_functions",
-    covers="§2.9-string,J5-keys,§2.9-date,§2.9-interval,P3",
-    oracle="""
+    covers="§2.9-string,J5-keys,§2.9-date,§2.9-interval,P3,LLM-pii-redaction",
+    oracle=f"""
         SELECT 'string' AS op, c_custkey AS row_key,
                upper(trim(c_name)) AS name_upper,
                (string_split(c_name, ' '))[-1] AS last_token,
@@ -209,7 +210,9 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR) AS month_name,
                CAST(NULL AS VARCHAR) AS day_name,
                CAST(NULL AS TIMESTAMP) AS plus_week_ts,
-               CAST(NULL AS TIMESTAMP) AS order_ts
+               CAST(NULL AS TIMESTAMP) AS order_ts,
+               CAST(NULL AS VARCHAR) AS contact_redacted,
+               CAST(NULL AS INT) AS pii_n
         FROM customer
         UNION ALL
         SELECT 'date', o_orderkey,
@@ -225,9 +228,37 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(date_part('week', o_orderdate) AS INT),
                monthname(o_orderdate), dayname(o_orderdate),
                CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP),
-               o_orderdate
+               o_orderdate,
+               CAST(NULL AS VARCHAR), CAST(NULL AS INT)
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1998-09-02 00:00:00' - INTERVAL 400 DAY
+        UNION ALL
+        SELECT 'pii', c_custkey,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+               {X.redact_pii_sql('contact')},
+               {X.pii_hits_sql('contact')}
+        FROM (
+            SELECT c_custkey, concat_ws(' ', c_name,
+                '<' || translate(lower(c_name), '#', '.') || '@example.org>',
+                'ip', '10.' || CAST(c_custkey % 251 AS VARCHAR)
+                    || '.' || CAST(c_custkey % 17 AS VARCHAR)
+                    || '.' || CAST(c_custkey % 256 AS VARCHAR),
+                'ssn', lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+                    || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+                'tel', '555-' || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+            ) AS contact
+            FROM customer
+        ) pii_src
     """,
 )
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,6 +280,13 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter folds to a literal and reaches the parquet scan as a pushed
     predicate; each branch prunes to its own columns, and the stitch is a
     rename-alignment union of disjoint shapes (nulled other-family cols).
+
+    PII branch: the training-data redaction pass (operators.text.redact_pii
+    — email/IPv4/SSN/phone → typed tags, a JVM regexp_replace chain in
+    whole-stage codegen) over contact strings synthesized deterministically
+    from customer rows, plus the pii_hits audit count; the oracle applies
+    the literally-identical regexes in DuckDB, hash-checking cross-engine
+    regex semantics on every row.
     """
     c = load_table(spark, sf_dir, "customer")
     nul_s = lambda a: F.lit(None).cast("string").alias(a)  # noqa: E731
@@ -269,6 +307,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_i("yr"), nul_i("mo"), nul_i("dom"), nul_i("dow_sunday0"),
         nul_i("doy"), nul_i("iso_week"), nul_s("month_name"),
         nul_s("day_name"), nul_ts("plus_week_ts"), nul_ts("order_ts"),
+        nul_s("contact_redacted"), nul_i("pii_n"),
     )
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
@@ -289,8 +328,45 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "EEEE").alias("day_name"),
         F.date_add(d.cast("date"), 7).cast("timestamp_ntz").alias("plus_week_ts"),
         d.alias("order_ts"),
+        nul_s("contact_redacted"), nul_i("pii_n"),
     )
-    return strings.unionByName(dates)
+    # PII branch: synthesize deterministic contact strings (email from the
+    # name, phone/SSN/IP from the key) so the redaction chain has real spans
+    # to scrub — the oracle runs the literally-identical regexes in DuckDB.
+    k = F.col("c_custkey")
+    s = lambda col: col.cast("string")  # noqa: E731
+    email = F.concat(
+        F.translate(F.lower(F.col("c_name")), "#", "."), F.lit("@example.org")
+    )
+    phone = F.concat(
+        F.lit("555-"), F.lpad(s((k * 7) % 1000), 3, "0"),
+        F.lit("-"), F.lpad(s((k * 13) % 10000), 4, "0"),
+    )
+    ssn = F.concat(
+        F.lpad(s(k % 1000), 3, "0"), F.lit("-"),
+        F.lpad(s(k % 100), 2, "0"), F.lit("-"),
+        F.lpad(s(k % 10000), 4, "0"),
+    )
+    ip = F.concat(
+        F.lit("10."), s(k % 251), F.lit("."), s(k % 17), F.lit("."), s(k % 256)
+    )
+    contact = F.concat_ws(
+        " ", F.col("c_name"), F.concat(F.lit("<"), email, F.lit(">")),
+        F.lit("ip"), ip, F.lit("ssn"), ssn, F.lit("tel"), phone,
+    )
+    pii = c.select(
+        F.lit("pii").alias("op"),
+        F.col("c_custkey").alias("row_key"),
+        nul_s("name_upper"), nul_s("last_token"), nul_s("first_initial"),
+        nul_s("folded"), nul_s("digits"), nul_i("name_len"),
+        nul_s("name_nation"),
+        nul_i("yr"), nul_i("mo"), nul_i("dom"), nul_i("dow_sunday0"),
+        nul_i("doy"), nul_i("iso_week"), nul_s("month_name"),
+        nul_s("day_name"), nul_ts("plus_week_ts"), nul_ts("order_ts"),
+        X.redact_pii(contact).alias("contact_redacted"),
+        X.pii_hits(contact).alias("pii_n"),
+    )
+    return strings.unionByName(dates).unionByName(pii)
 
 
 @query(

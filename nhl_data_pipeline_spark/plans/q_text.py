@@ -36,15 +36,20 @@ _TOKS = "string_split_regex(text, '\\s+')"
                {X.lang_id_sql('text')} AS lang_hat,
                CASE WHEN {X.lang_id_sql('text')} = lang THEN TRUE ELSE FALSE END AS agrees,
                {X.quality_score_sql('text')} AS quality,
-               CASE WHEN {X.quality_score_sql('text')} >= 0.75 THEN TRUE ELSE FALSE END AS keep
+               CASE WHEN {X.quality_score_sql('text')} >= 0.75 THEN TRUE ELSE FALSE END AS keep,
+               {X.top_bigram_frac_sql('text')} AS top_bigram_frac,
+               {X.dup_bigram_frac_sql('text')} AS dup_bigram_frac,
+               CASE WHEN {X.top_bigram_frac_sql('text')} > 0.2 THEN TRUE ELSE FALSE END AS repetitious
         FROM documents
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text-analysis profile, one scan, one projection, no
     UDFs: token counting + lexical diversity, the stopword-hit language-ID
-    heuristic vs the labeled lang column, and the quality score (length +
-    non-stopword mass + diversity) with its keep threshold. All signals
+    heuristic vs the labeled lang column, the quality score (length +
+    non-stopword mass + diversity) with its keep threshold, and the
+    Gopher-style repetition signals (top-/duplicated-bigram fractions via a
+    sorted run-length fold — see operators.text.repetition_stats). All signals
     share the tokenization subtree, which Catalyst dedupes via
     common-subexpression elimination — profiling a corpus is ONE pass
     however many signals ride along (formerly two registered queries,
@@ -65,6 +70,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hat == F.col("lang")).alias("agrees"),
         q.alias("quality"),
         (q >= 0.75).alias("keep"),
+        X.top_bigram_frac(F.col("text")).alias("top_bigram_frac"),
+        X.dup_bigram_frac(F.col("text")).alias("dup_bigram_frac"),
+        (X.top_bigram_frac(F.col("text")) > 0.2).alias("repetitious"),
     )
 
 

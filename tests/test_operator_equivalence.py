@@ -118,3 +118,96 @@ def test_hyperplane_banded_numpy_equals_array_form(spark):
         .collect()
     }
     assert fast == ref
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats (Gopher-style) vs a Python brute force, and PII redaction
+# vs the literal-same-regex DuckDB oracle fragment.
+
+PII_TEXTS = [
+    "contact me at jane.doe+spam@example.co.uk today",
+    "server at 192.168.001.1 and 10.0.0.255 rebooted",
+    "ssn 123-45-6789 leaked; call +1 (555) 123-4567 or 555-123-4567",
+    "no pii here, just 12345 and v1.2 release notes",
+    "mixed: a@b.io then 1.2.3.4 then 987-65-4321 done",
+    "",
+    "unicode naïve test — a@ü.com stays (non-ascii host not matched)",
+]
+
+
+def _brute_bigram_stats(text: str) -> tuple[int, int, int]:
+    import re
+    from collections import Counter
+
+    toks = re.split(r"\s+", text)
+    bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    cnt = Counter(bgs)
+    top = max(cnt.values(), default=0)
+    dup = sum(c for c in cnt.values() if c > 1)
+    return len(bgs), top, dup
+
+
+def test_repetition_stats_match_bruteforce(spark):
+    from nhl_data_pipeline_spark.operators import text as X
+
+    texts = [
+        "a b a b c a b",
+        "x",
+        "",
+        "a a a a a a",
+        "q w e r t y",
+        "a b a b a b a b",
+        "one two one two three one two",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {
+        r["i"]: (r["n"], r["top"], r["dup"], r["tf"], r["df"])
+        for r in df.select(
+            "i",
+            X.repetition_stats("text").alias("s"),
+            X.top_bigram_frac("text").alias("tf"),
+            X.dup_bigram_frac("text").alias("df"),
+        )
+        .select("i", "s.n_bigrams", "s.top_bigram_n", "s.dup_bigram_mass", "tf", "df")
+        .toDF("i", "n", "top", "dup", "tf", "df")
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        n, top, dup = _brute_bigram_stats(t)
+        exp_tf = top / n if n else 0.0
+        exp_df = dup / n if n else 0.0
+        assert got[i] == (n, top, dup, exp_tf, exp_df), (i, t, got[i])
+
+
+def test_redact_pii_matches_duckdb_oracle(spark, duck):
+    from nhl_data_pipeline_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_TEXTS)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["red"]
+        for r in df.select("i", X.redact_pii("text").alias("red")).collect()
+    }
+    for i, t in enumerate(PII_TEXTS):
+        lit = "'" + t.replace("'", "''") + "'"
+        (oracle,) = duck.execute("SELECT " + X.redact_pii_sql(lit)).fetchone()
+        assert got[i] == oracle, (t, got[i], oracle)
+    # spot-check the semantics, not just cross-engine agreement
+    assert "[EMAIL]" in got[0] and "@" not in got[0]
+    assert got[1].count("[IP]") == 2
+    assert "[SSN]" in got[2] and "[PHONE]" in got[2]
+    assert got[3] == PII_TEXTS[3]  # no false positives on versions/ids
+
+
+def test_pii_hits_counts(spark):
+    from nhl_data_pipeline_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(PII_TEXTS)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["n"] for r in df.select("i", X.pii_hits("text").alias("n")).collect()
+    }
+    assert got[0] == 1 and got[1] == 2 and got[2] == 3
+    assert got[3] == 0 and got[4] == 3 and got[5] == 0
