@@ -231,6 +231,44 @@ def dup_bigram_frac(col: Column | str) -> Column:
     )
 
 
+def repetition_stats_exploded(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Distributed form of :func:`repetition_stats`: explode bigrams →
+    count per (doc, bigram) → re-aggregate per doc. Same results row-for-row
+    (pinned by tests/test_operator_equivalence.py), but linear work per row
+    however long the document — the scale path for long-document corpora
+    where the per-row fold's O(n log n) sort and single-task row residency
+    hurt. Two shuffles, both keyed (doc_id[, bigram]), so hot documents
+    spread across partitions in the first aggregate.
+    """
+    per_bg = (
+        df.select(id_col, F.explode(bigrams(F.col(text_col))).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_bg.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dup_bigram_mass"),
+    )
+    # docs with no bigrams vanish at the explode — restore them as zeros so
+    # the contract matches the per-row fold exactly
+    zero = F.lit(0).cast("long")
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", zero).alias("n_bigrams"),
+            F.coalesce("top_bigram_n", zero).alias("top_bigram_n"),
+            F.coalesce("dup_bigram_mass", zero).alias("dup_bigram_mass"),
+        )
+    )
+
+
 def _bigrams_sql(text_expr: str) -> str:
     l = f"string_split_regex({text_expr}, '\\s+')"
     return (

@@ -211,3 +211,26 @@ def test_pii_hits_counts(spark):
     }
     assert got[0] == 1 and got[1] == 2 and got[2] == 3
     assert got[3] == 0 and got[4] == 3 and got[5] == 0
+
+
+def test_repetition_exploded_equals_fold(spark):
+    import random as _r
+
+    from nhl_data_pipeline_spark.operators import text as X
+
+    rng = _r.Random(11)
+    words = ["alpha", "beta", "gamma", "x", "y"]
+    texts = ["a b a b c a b", "x", "", "a a a a a a"]
+    for _ in range(40):
+        n = rng.choice([0, 1, 2, 5, 30, 120])
+        texts.append(" ".join(rng.choice(words) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    fold = df.select(
+        "doc_id", X.repetition_stats("text").alias("s")
+    ).select("doc_id", "s.n_bigrams", "s.top_bigram_n", "s.dup_bigram_mass")
+    exploded = X.repetition_stats_exploded(df)
+    a = {tuple(r) for r in fold.collect()}
+    b = {tuple(r) for r in exploded.collect()}
+    assert a == b
