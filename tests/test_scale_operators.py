@@ -187,3 +187,83 @@ def test_multimodal_frame_sample_and_resize(spark):
     for r in small.collect():
         assert r.n_bytes == len(bytes(r.payload))
         assert r.n_bytes == (sizes[r.doc_id] + 3) // 4
+
+
+def test_interval_join_bucketed_equals_naive(spark):
+    """Bin-join form == theta-join form on adversarial interval shapes:
+    boundary-exact events, zero-length and inverted intervals, windows
+    spanning many buckets, overlapping windows, sub-bucket windows."""
+    import datetime as dt
+    import random as _r
+
+    from nhl_data_pipeline_spark.operators.ranges import (
+        interval_join_bucketed,
+        interval_join_naive,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rng = _r.Random(3)
+    events = [
+        (i, t0 + dt.timedelta(seconds=rng.randrange(0, 30 * 86400)))
+        for i in range(400)
+    ]
+    # boundary-exact points for the hand-built windows below
+    events += [
+        (1000, t0 + dt.timedelta(hours=5)),          # == a start (inclusive)
+        (1001, t0 + dt.timedelta(hours=8)),          # == an end (exclusive)
+        (1002, t0 + dt.timedelta(hours=7, minutes=59, seconds=59)),
+    ]
+    intervals = [
+        (0, t0 + dt.timedelta(hours=5), t0 + dt.timedelta(hours=8)),       # 3 buckets
+        (1, t0 + dt.timedelta(hours=6, minutes=10), t0 + dt.timedelta(hours=6, minutes=20)),  # sub-bucket
+        (2, t0 + dt.timedelta(days=2), t0 + dt.timedelta(days=9)),          # many buckets
+        (3, t0 + dt.timedelta(hours=7), t0 + dt.timedelta(hours=7)),        # zero-length
+        (4, t0 + dt.timedelta(hours=9), t0 + dt.timedelta(hours=3)),        # inverted
+        (5, t0 + dt.timedelta(hours=4), t0 + dt.timedelta(hours=6)),        # overlaps #0
+        (6, t0 + dt.timedelta(hours=6), t0 + dt.timedelta(hours=7)),        # exact bucket
+    ]
+    for i in range(40):  # random windows, seconds-granular edges
+        s = t0 + dt.timedelta(seconds=rng.randrange(0, 28 * 86400))
+        e = s + dt.timedelta(seconds=rng.randrange(1, 3 * 86400))
+        intervals.append((100 + i, s, e))
+    pts = spark.createDataFrame(events, "event_id long, ts timestamp_ntz")
+    ivs = spark.createDataFrame(
+        intervals, "window_id long, start_ts timestamp_ntz, end_ts timestamp_ntz"
+    )
+    key = lambda r: (r["event_id"], r["window_id"])  # noqa: E731
+    naive = {key(r) for r in interval_join_naive(pts, ivs).collect()}
+    bucketed = {
+        key(r) for r in interval_join_bucketed(pts, ivs, bucket="hour").collect()
+    }
+    assert naive == bucketed and len(naive) > 50
+    # day-width buckets must agree too (different fan-out, same rows)
+    daily = {key(r) for r in interval_join_bucketed(pts, ivs, bucket="day").collect()}
+    assert daily == naive
+    # boundary semantics: start inclusive, end exclusive
+    assert (1000, 0) in naive and (1002, 0) in naive and (1001, 0) not in naive
+    assert all(w != 3 and w != 4 for _, w in naive)
+
+
+def test_interval_join_bucketed_plan_is_hash_join(spark):
+    """The whole point of the bin join: no nested loop in the plan, even
+    with broadcasting disabled (the regime where intervals are too big to
+    broadcast and the naive form would be O(P*I))."""
+    import datetime as dt
+
+    from nhl_data_pipeline_spark.operators.ranges import interval_join_bucketed
+    from tests.test_plan_shape import plan_str
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, t0)], "event_id long, ts timestamp_ntz")
+    ivs = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=2))],
+        "window_id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_str(interval_join_bucketed(pts, ivs))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "NestedLoop" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
