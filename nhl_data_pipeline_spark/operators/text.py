@@ -231,29 +231,44 @@ def dup_bigram_frac(col: Column | str) -> Column:
     )
 
 
-def repetition_stats_exploded(
-    df, id_col: str = "doc_id", text_col: str = "text"
-):
-    """Distributed form of :func:`repetition_stats`: explode bigrams →
-    count per (doc, bigram) → re-aggregate per doc. Same results row-for-row
-    (pinned by tests/test_operator_equivalence.py), but linear work per row
-    however long the document — the scale path for long-document corpora
-    where the per-row fold's O(n log n) sort and single-task row residency
-    hurt. Two shuffles, both keyed (doc_id[, bigram]), so hot documents
-    spread across partitions in the first aggregate.
+def repetition_agg(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-doc repetition aggregate WITHOUT zero-fill: docs whose text has
+    no bigrams are absent (left-join + coalesce at the call site, or use
+    :func:`repetition_stats_exploded` for the zero-filled contract).
+
+    This codegen path beats the per-row fold by ~20× even on SHORT docs —
+    interpreted ``aggregate`` over a struct accumulator costs ~40 µs per
+    array element, while explode → two hash aggregates stays in whole-stage
+    codegen (measured at sf0.1: 10.7 s fold vs ~0.5 s exploded for 5000
+    ~50-token docs) — so it is the default engine path, not just the
+    long-document one.
     """
     per_bg = (
         df.select(id_col, F.explode(bigrams(F.col(text_col))).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    agg = per_bg.groupBy(id_col).agg(
+    return per_bg.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_bigrams"),
         F.max("c").cast("long").alias("top_bigram_n"),
         F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
         .cast("long")
         .alias("dup_bigram_mass"),
     )
+
+
+def repetition_stats_exploded(
+    df, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Distributed form of :func:`repetition_stats`: explode bigrams →
+    count per (doc, bigram) → re-aggregate per doc. Same results row-for-row
+    (pinned by tests/test_operator_equivalence.py) at linear work per row
+    however long the document, entirely in whole-stage codegen — see
+    :func:`repetition_agg` for the measured ~20× win over the fold. Two
+    shuffles, both keyed (doc_id[, bigram]), so hot documents spread across
+    partitions in the first aggregate.
+    """
+    agg = repetition_agg(df, id_col, text_col)
     # docs with no bigrams vanish at the explode — restore them as zeros so
     # the contract matches the per-row fold exactly
     zero = F.lit(0).cast("long")

@@ -48,17 +48,18 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDFs: token counting + lexical diversity, the stopword-hit language-ID
     heuristic vs the labeled lang column, the quality score (length +
     non-stopword mass + diversity) with its keep threshold, and the
-    Gopher-style repetition signals (top-/duplicated-bigram fractions via a
-    sorted run-length fold — see operators.text.repetition_stats). All signals
-    share the tokenization subtree, which Catalyst dedupes via
-    common-subexpression elimination — profiling a corpus is ONE pass
-    however many signals ride along (formerly two registered queries,
-    text_token_stats + text_lang_quality, merged row-for-row)."""
+    Gopher-style repetition signals (top-/duplicated-bigram fractions,
+    computed on the exploded codegen aggregate — operators.text.
+    repetition_agg — and joined back per doc; the per-row fold form exists
+    for composition but loses ~20× to codegen here). The row signals share
+    the tokenization subtree; profiling a corpus is one scan plus one
+    doc_id-keyed aggregate however many signals ride along (formerly two
+    registered queries, text_token_stats + text_lang_quality)."""
     d = load_table(spark, sf_dir, "documents")
     t = X.tokens(F.col("text"))
     hat = X.lang_id(F.col("text"))
     q = X.quality_score(F.col("text"))
-    return d.select(
+    prof = d.select(
         "doc_id",
         "n_chars",
         F.size(t).alias("n_tokens"),
@@ -70,9 +71,24 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hat == F.col("lang")).alias("agrees"),
         q.alias("quality"),
         (q >= 0.75).alias("keep"),
-        X.top_bigram_frac(F.col("text")).alias("top_bigram_frac"),
-        X.dup_bigram_frac(F.col("text")).alias("dup_bigram_frac"),
-        (X.top_bigram_frac(F.col("text")) > 0.2).alias("repetitious"),
+    )
+    # Repetition signals ride the exploded codegen aggregate (~20× the
+    # per-row fold even on short docs — operators.text.repetition_agg),
+    # left-joined back on doc_id with bigram-less docs zero-filled.
+    rep = X.repetition_agg(d)
+    zero = F.lit(0).cast("long")
+    n_bg = F.coalesce("n_bigrams", zero)
+    top_frac = F.when(
+        n_bg > 0, F.coalesce("top_bigram_n", zero) / n_bg
+    ).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        n_bg > 0, F.coalesce("dup_bigram_mass", zero) / n_bg
+    ).otherwise(F.lit(0.0))
+    return prof.join(rep, "doc_id", "left").select(
+        prof["*"],
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (top_frac > 0.2).alias("repetitious"),
     )
 
 
