@@ -41,15 +41,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces
-        # as a raw nanosecond bigint. Truncate (not round) to micros — the
-        # same ns→us semantics DuckDB applies — and present as timestamp_ntz.
+        # Normalize events.ts to timestamp_ntz regardless of how the lake
+        # stored it: TIMESTAMP(NANOS) parquet surfaces as a raw nanosecond
+        # bigint under nanosAsLong (truncate — not round — to micros, the
+        # same ns→us semantics DuckDB applies), while micro-precision
+        # parquet arrives as a timestamp already.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        if isinstance(df.schema["ts"].dataType, LongType):
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            ts = F.col("ts")
+        df = df.withColumn("ts", ts.cast("timestamp_ntz"))
     return df
 
 
