@@ -30,8 +30,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TimestampType (not NTZ): event-time watermarks require TIMESTAMP.
     # Session timezone is pinned UTC, so wall-clock values match the batch
-    # reader's timestamp_ntz.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # reader's timestamp_ntz. Same dtype dispatch as catalog.load_table:
+    # nanosAsLong parquet surfaces ts as a raw ns bigint, micro-precision
+    # parquet as a timestamp already.
+    from pyspark.sql.types import LongType
+
+    if isinstance(batch.schema["ts"].dataType, LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    return stream.withColumn("ts", ts)
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour",

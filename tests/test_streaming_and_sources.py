@@ -30,6 +30,49 @@ def test_streaming_tumbling_counts_match_batch(spark):
     assert len(got_set) > 0
 
 
+def test_read_events_stream_ts_dtype_dispatch(spark, tmp_path):
+    """Regression (round-2 defect): read_events_stream must handle BOTH
+    physical ts encodings — timestamp[us] parquet (what the test lake
+    actually stores; Spark reads it as TIMESTAMP_NTZ) and raw int64
+    nanoseconds (what spark.sql.legacy.parquet.nanosAsLong surfaces).
+    The r2 bug applied the ns→µs conversion unconditionally and blew up
+    with DATATYPE_MISMATCH on the micros-typed lake."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros_dir = tmp_path / "micros"
+    nanos_dir = tmp_path / "nanos"
+    micros_dir.mkdir()
+    nanos_dir.mkdir()
+    base_us = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z in µs
+    rows = {
+        "event_id": [1, 2, 3],
+        "user_id": [10, 20, 30],
+        "event_type": ["a", "b", "a"],
+        "value": [1.0, 2.0, 3.0],
+        "props": ["{}", "{}", "{}"],
+    }
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([base_us + i * 3_600_000_000 for i in range(3)],
+                                         pa.timestamp("us"))}),
+        str(micros_dir / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table({**rows, "ts": pa.array([(base_us + i * 3_600_000_000) * 1000
+                                          for i in range(3)], pa.int64())}),
+        str(nanos_dir / "events.parquet"),
+    )
+
+    outs = []
+    for d in (micros_dir, nanos_dir):
+        stream = es.read_events_stream(spark, str(d))
+        assert str(stream.schema["ts"].dataType) == "TimestampType()"
+        got = es.run_available_now(spark, stream)
+        outs.append({(r["event_id"], r["ts"]) for r in got.collect()})
+    # same wall-clock instants regardless of physical encoding
+    assert outs[0] == outs[1] and len(outs[0]) == 3
+
+
 def test_streaming_dedup(spark):
     stream = es.read_events_stream(spark, TEST_SF_DIR)
     out = es.run_available_now(spark, es.dedup_stream(stream))
