@@ -45,10 +45,15 @@ def _in_list_sql(items: tuple[str, ...]) -> str:
     return ", ".join(f"'{w}'" for w in items)
 
 
+def hits_in_tokens(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens (from a pre-tokenized array) in the stopword list."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
 def stopword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
     """Count of tokens that are in the given stopword list (with repeats)."""
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+    return hits_in_tokens(tokens(col), words)
 
 
 def stopword_hits_sql(text_expr: str, words: tuple[str, ...]) -> str:
@@ -58,11 +63,10 @@ def stopword_hits_sql(text_expr: str, words: tuple[str, ...]) -> str:
     )
 
 
-def lang_id(col: Column | str) -> Column:
-    """Argmax language by stopword hits, fixed precedence on ties,
-    'unknown' when nothing matches. Analog of a production lang-ID stage;
-    same CASE chain is emitted to SQL by lang_id_sql()."""
-    hits = {lang: stopword_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+def lang_id_from_hits(hits: dict[str, Column]) -> Column:
+    """Argmax language from precomputed per-language hit counts (CASE chain
+    over int columns — cheap; pair with a materialized hit-count projection
+    so tokenization runs once per row, not once per CASE branch)."""
     langs = list(LANG_STOPWORDS)
     expr = F.lit("unknown")
     # Build from the last precedence upward so earlier langs win ties.
@@ -75,6 +79,19 @@ def lang_id(col: Column | str) -> Column:
             cond = cond & (hits[lang] > hits[other])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax language by stopword hits, fixed precedence on ties,
+    'unknown' when nothing matches. Analog of a production lang-ID stage;
+    same CASE chain is emitted to SQL by lang_id_sql().
+
+    NOTE: inlines stopword_hits per CASE branch (conditionals defeat
+    subexpression elimination, so `split` re-runs per branch) — fine for
+    composition; the profiling query uses lang_id_from_hits over a
+    materialized hit-count projection instead."""
+    hits = {lang: stopword_hits(col, ws) for lang, ws in LANG_STOPWORDS.items()}
+    return lang_id_from_hits(hits)
 
 
 def lang_id_sql(text_expr: str) -> str:
@@ -153,14 +170,18 @@ def token_count_bpe(col: Column | str) -> Column:
     return F.size(tokens_bpe(col))
 
 
-def bigrams(col: Column | str) -> Column:
-    """Token 2-grams as 'tok_i tok_i+1' strings, built with array HOFs —
-    no explode, no shuffle, stays a per-row expression."""
-    t = tokens(col)
+def bigrams_of_tokens(t: Column) -> Column:
+    """Token 2-grams from a pre-tokenized array — per-row HOF expression."""
     return F.transform(
         F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
         lambda x, i: F.concat(x, F.lit(" "), F.element_at(t, i + F.lit(2))),
     )
+
+
+def bigrams(col: Column | str) -> Column:
+    """Token 2-grams as 'tok_i tok_i+1' strings, built with array HOFs —
+    no explode, no shuffle, stays a per-row expression."""
+    return bigrams_of_tokens(tokens(col))
 
 
 def repetition_stats(col: Column | str) -> Column:
@@ -231,7 +252,8 @@ def dup_bigram_frac(col: Column | str) -> Column:
     )
 
 
-def repetition_agg(df, id_col: str = "doc_id", text_col: str = "text"):
+def repetition_agg(df, id_col: str = "doc_id", text_col: str = "text",
+                   tokens_col: str | None = None):
     """Per-doc repetition aggregate WITHOUT zero-fill: docs whose text has
     no bigrams are absent (left-join + coalesce at the call site, or use
     :func:`repetition_stats_exploded` for the zero-filled contract).
@@ -243,8 +265,13 @@ def repetition_agg(df, id_col: str = "doc_id", text_col: str = "text"):
     ~50-token docs) — so it is the default engine path, not just the
     long-document one.
     """
+    bg = (
+        bigrams_of_tokens(F.col(tokens_col))
+        if tokens_col is not None
+        else bigrams(F.col(text_col))
+    )
     per_bg = (
-        df.select(id_col, F.explode(bigrams(F.col(text_col))).alias("bg"))
+        df.select(id_col, F.explode(bg).alias("bg"))
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )

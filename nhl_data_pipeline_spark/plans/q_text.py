@@ -22,6 +22,39 @@ from nhl_data_pipeline_spark.plans.registry import query
 _TOKS = "string_split_regex(text, '\\s+')"
 
 
+def _lang_quality_scored(d: DataFrame) -> DataFrame:
+    """doc_id + lang_hat + quality via a single-tokenize projection.
+
+    Value-identical to ``X.lang_id`` / ``X.quality_score`` inlined, but
+    `split` runs once per row: the token array and per-language hit counts
+    materialize in their own projection (CollapseProject keeps it separate
+    — the array is non-cheap and multiply-referenced), and the CASE chain
+    compares precomputed ints."""
+    tk = F.col("_toks")
+    counted = d.select(
+        "doc_id", X.tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.size(tk).alias("_n"),
+        F.size(F.array_distinct(tk)).alias("_nu"),
+        *[
+            X.hits_in_tokens(tk, ws).alias(f"_h_{lang}")
+            for lang, ws in X.LANG_STOPWORDS.items()
+        ],
+        X.hits_in_tokens(tk, X.ALL_STOPWORDS).alias("_h_stop"),
+    )
+    hat = X.lang_id_from_hits(
+        {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
+    )
+    n = F.col("_n").cast("double")
+    q = (
+        0.4 * F.least(n / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("_h_stop").cast("double") / n)
+        + 0.3 * (F.col("_nu").cast("double") / F.col("_n"))
+    )
+    return counted.select("doc_id", hat.alias("lang_hat"), q.alias("quality"))
+
+
 @query(
     "text_profile",
     covers="LLM-text,token-counting,lang-id,quality-scoring",
@@ -56,16 +89,44 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id-keyed aggregate however many signals ride along (formerly two
     registered queries, text_token_stats + text_lang_quality)."""
     d = load_table(spark, sf_dir, "documents")
-    t = X.tokens(F.col("text"))
-    hat = X.lang_id(F.col("text"))
-    q = X.quality_score(F.col("text"))
-    prof = d.select(
+    # Tokenize ONCE into a materialized column; the two projections stay
+    # separate (CollapseProject won't inline a non-cheap expr referenced
+    # many times), so `split` runs once per row instead of once per CASE
+    # branch of the lang-ID chain (~40× fewer splits; the chain's
+    # conditionals defeat codegen subexpression elimination).
+    toked = d.select(
+        "doc_id", "n_chars", "lang",
+        F.length("text").alias("text_len"),
+        X.tokens(F.col("text")).alias("_toks"),
+    )
+    tk = F.col("_toks")
+    counted = toked.select(
+        "doc_id", "n_chars", "lang", "text_len",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_unique_tokens"),
+        *[
+            X.hits_in_tokens(tk, ws).alias(f"_h_{lang}")
+            for lang, ws in X.LANG_STOPWORDS.items()
+        ],
+        X.hits_in_tokens(tk, X.ALL_STOPWORDS).alias("_h_stop"),
+    )
+    hat = X.lang_id_from_hits(
+        {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
+    )
+    n = F.col("n_tokens").cast("double")
+    uniq = F.col("n_unique_tokens").cast("double") / F.col("n_tokens")
+    q = (
+        0.4 * F.least(n / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("_h_stop").cast("double") / n)
+        + 0.3 * uniq
+    )
+    prof = counted.select(
         "doc_id",
         "n_chars",
-        F.size(t).alias("n_tokens"),
-        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
-        F.length("text").alias("text_len"),
-        X.unique_ratio(F.col("text")).alias("unique_ratio"),
+        "n_tokens",
+        "n_unique_tokens",
+        "text_len",
+        uniq.alias("unique_ratio"),
         "lang",
         hat.alias("lang_hat"),
         (hat == F.col("lang")).alias("agrees"),
@@ -74,8 +135,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Repetition signals ride the exploded codegen aggregate (~20× the
     # per-row fold even on short docs — operators.text.repetition_agg),
-    # left-joined back on doc_id with bigram-less docs zero-filled.
-    rep = X.repetition_agg(d)
+    # left-joined back on doc_id with bigram-less docs zero-filled. The
+    # explode subtree reuses the same single-tokenize projection.
+    rep = X.repetition_agg(
+        d.select("doc_id", X.tokens(F.col("text")).alias("_toks")),
+        tokens_col="_toks",
+    )
     zero = F.lit(0).cast("long")
     n_bg = F.coalesce("n_bigrams", zero)
     top_frac = F.when(
@@ -367,9 +432,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents scan across branches.
     """
     d = load_table(spark, sf_dir, "documents")
-    hat = X.lang_id(F.col("text"))
-    q = X.quality_score(F.col("text"))
-    scored = d.select("doc_id", hat.alias("lang_hat"), q.alias("quality"))
+    scored = _lang_quality_scored(d)
     drop_docs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
