@@ -364,6 +364,7 @@ def winnowing_fingerprints(
     k: int = 5,
     window: int = 4,
     id_col: str = "doc_id",
+    hash_fn=None,
 ) -> DataFrame:
     """(id, fp) rolling-hash document fingerprints by winnowing (Schleimer
     et al., SIGMOD'03 — the MOSS algorithm): hash every k-gram, then keep
@@ -379,20 +380,25 @@ def winnowing_fingerprints(
     one exchange on the doc id, distinct fingerprints per doc at the end.
     At 100 TB the fingerprint table is ~2/(window+1) of the shingle table
     and joins the same way (equi-join on fp = candidate pairs).
+
+    ``hash_fn`` (list of k token Columns → hash Column) overrides the
+    default xxhash64 long. Any total-ordered hash yields a valid winnowing
+    (the min-in-window rule only needs a consistent order); the registered
+    parity query passes an md5-over-concat variant whose lexicographic min
+    DuckDB reproduces exactly, while the engine default stays the cheaper
+    8-byte xxhash64.
     """
     from pyspark.sql.window import Window
 
     tok = docs.select(id_col, F.posexplode(tokens_col).alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, k)]
+    gram_cols = [F.col("tok"), *[F.col(f"t{i}") for i in range(1, k)]]
+    h = hash_fn(gram_cols) if hash_fn is not None else F.xxhash64(*gram_cols)
     grams = (
         tok.select(id_col, "pos", "tok", *leads)
         .filter(F.col(f"t{k - 1}").isNotNull())
-        .select(
-            id_col,
-            "pos",
-            F.xxhash64("tok", *[f"t{i}" for i in range(1, k)]).alias("h"),
-        )
+        .select(id_col, "pos", h.alias("h"))
     )
     wmin = w.rowsBetween(0, window - 1)
     fps = grams.select(

@@ -172,56 +172,38 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "having_min_sample",
-    covers="A7",
+    covers="A7,A8",
     oracle=f"""
-        SELECT c_nationkey, {bcount('n_customers')},
+        SELECT c_nationkey, c_mktsegment, {bcount('n_customers')},
                {dsum('c_acctbal', 'total_balance')}
         FROM customer
-        GROUP BY c_nationkey
-        HAVING COUNT(*) >= 5
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 10
     """,
 )
 def having_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING: post-aggregation minimum-sample filter.
+    """HAVING + GROUP BY ordinal in one SQL-surface query (merged A7+A8;
+    formerly two registered queries — the registry sits at the driver's
+    50-query cap).
 
     Analog of `HAVING COUNT(*) >= 5/10/20`
-    (`rpt_sog_props_performance.sql:73,104`). In DataFrame form: filter on
-    the aggregated column — Catalyst places it after the aggregate.
+    (`rpt_sog_props_performance.sql:73,104`) and `GROUP BY 1,2,...,7`
+    (`fact_player_sog_props_v2.sql:71`). Runs through spark.sql
+    deliberately (SURVEY §3.2 — analyst SQL must run unchanged): Spark
+    honors ordinals via spark.sql.groupByOrdinal (default on) and places
+    the HAVING filter after the aggregate. The decimal-exact sum uses the
+    same string-bridge idiom as functions.scalars.dsum_double.
     """
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        c.groupBy("c_nationkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            dsum_double("c_acctbal").alias("total_balance"),
-        )
-        .filter(F.col("n_customers") >= 5)
-    )
-
-
-@query(
-    "group_by_ordinal",
-    covers="A8",
-    oracle=f"""
-        SELECT o_orderstatus, o_orderpriority, {bcount('n')}
-        FROM orders
-        GROUP BY 1, 2
-    """,
-)
-def group_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ordinal — SQL-surface parity via spark.sql.
-
-    Analog of `GROUP BY 1,2,...,7` (`fact_player_sog_props_v2.sql:71`).
-    Spark SQL honors ordinals (spark.sql.groupByOrdinal, default on); this
-    query runs through the SQL entry point deliberately (SURVEY §3.2 —
-    analyst SQL must run via spark.sql unchanged).
-    """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     return spark.sql(
         """
-        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
-        FROM orders_v
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS STRING)
+                    AS DOUBLE) AS total_balance
+        FROM customer_v
         GROUP BY 1, 2
+        HAVING COUNT(*) >= 10
         """
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table
 from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double, split_part
+from nhl_data_pipeline_spark.operators.ranges import interval_join_bucketed
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum
 
@@ -435,3 +436,59 @@ def self_compare_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks.join(purchases, "user_id").select(
         "user_id", "click_value", "n_clicks", "purchase_value", "n_purchases"
     )
+
+
+_N_IV, _IV_STRIDE_H, _IV_SPAN_H = 20, 37, 5
+
+
+@query(
+    "interval_bin_join",
+    covers="interval-join,J2",
+    oracle=f"""
+        WITH t0 AS (SELECT date_trunc('hour', min(ts)) AS t0 FROM events),
+        iv AS (
+            SELECT CAST(g.i AS BIGINT) AS iv_id,
+                   t0.t0 + to_hours(g.i * {_IV_STRIDE_H}) AS start_ts,
+                   t0.t0 + to_hours(g.i * {_IV_STRIDE_H} + {_IV_SPAN_H}) AS end_ts
+            FROM t0, generate_series(0, {_N_IV - 1}) AS g(i)
+        )
+        SELECT e.event_id, iv.iv_id, e.ts, iv.start_ts, iv.end_ts
+        FROM events e
+        JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    """,
+)
+def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points-in-maintenance-windows via the bucketed interval join
+    (operators/ranges.py:interval_join_bucketed).
+
+    The general form of the reference's point-in-time guard
+    (`fact_player_sog_props_v2.sql:115-128`; SURVEY §2.4 lists range/
+    interval joins as not-present — this closes the gap). The interval
+    table is derived deterministically from the data: 20 windows of
+    5h every 37h from the first event hour.
+
+    The oracle is the raw theta join; the engine side is the bin join —
+    intervals explode into the hourly buckets they overlap, points bucket
+    once, hash-equi-join on the bucket, exact range predicate as residual.
+    Plans as a shuffled hash/broadcast join (asserted in
+    tests/test_plan_shape.py), NOT BroadcastNestedLoopJoin: at 100 TB of
+    points this is the only shape that avoids the O(P×I) nested loop while
+    keeping the point side to a single shuffle-free bucket projection.
+    """
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    t0 = load_table(spark, sf_dir, "events").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0")
+    )
+    iv = t0.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_N_IV - 1))).alias("i"), "t0"
+    ).select(
+        F.col("i").cast("bigint").alias("iv_id"),
+        F.expr(f"t0 + make_dt_interval(0, i * {_IV_STRIDE_H}, 0, 0)").alias(
+            "start_ts"
+        ),
+        F.expr(
+            f"t0 + make_dt_interval(0, i * {_IV_STRIDE_H} + {_IV_SPAN_H}, 0, 0)"
+        ).alias("end_ts"),
+    )
+    joined = interval_join_bucketed(e, iv, bucket="hour")
+    return joined.select("event_id", "iv_id", "ts", "start_ts", "end_ts")

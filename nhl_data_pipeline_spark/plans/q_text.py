@@ -794,3 +794,100 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("global_offset") % _SEQ_LEN + F.col("n_tokens") > _SEQ_LEN
         ).alias("crosses_boundary"),
     )
+
+
+_WINNOW_K, _WINNOW_W = 5, 4
+# DuckDB twin of winnowing_fingerprints(k=5, window=4) with the md5 hash
+# variant: k-gram md5s via lead() windows, min over a ROWS window of 4,
+# complete-window tail filter, distinct. Positions are 1-based here vs
+# 0-based in Spark's posexplode — the winnowing rule only uses their order.
+_WINNOW_AGG_SQL = f"""
+        toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok,
+                   generate_subscripts({_TOKS}, 1) AS pos
+            FROM documents
+        ),
+        grams_raw AS (
+            SELECT doc_id, pos,
+                   md5(concat_ws(' ', tok, lead(tok, 1) OVER w,
+                       lead(tok, 2) OVER w, lead(tok, 3) OVER w,
+                       lead(tok, 4) OVER w)) AS h,
+                   lead(tok, {_WINNOW_K - 1}) OVER w AS t_last
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        grams AS (SELECT doc_id, pos, h FROM grams_raw WHERE t_last IS NOT NULL),
+        fps_w AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+                   max(pos) OVER (PARTITION BY doc_id) AS max_pos
+            FROM grams
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp FROM fps_w
+            WHERE pos + {_WINNOW_W - 1} <= max_pos
+        ),
+        wagg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps, min(fp) AS min_fp
+            FROM fps GROUP BY 1
+        )
+"""
+
+
+@query(
+    "pii_winnow_scrub",
+    covers="LLM-pii-redaction,LLM-winnowing-fingerprint",
+    oracle=f"""
+        WITH {_WINNOW_AGG_SQL}
+        SELECT d.doc_id,
+               {X.pii_hits_sql('d.text')} AS pii_hits,
+               CAST(length({X.redact_pii_sql('d.text')}) AS INT) AS redacted_len,
+               coalesce(w.n_fps, 0) AS n_fps,
+               w.min_fp
+        FROM documents d LEFT JOIN wagg w ON d.doc_id = w.doc_id
+    """,
+)
+def pii_winnow_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit + winnowing document fingerprints in one per-doc
+    report (two operators, one registry slot — the 50-query cap).
+
+    - `pii_hits` / `redacted_len`: operators.text.redact_pii's
+      regexp_replace chain counted and applied — whole-stage codegen,
+      linear in input bytes, identical regex strings on both engines.
+    - `n_fps` / `min_fp`: winnowing (Schleimer et al., SIGMOD'03) with an
+      md5 k-gram hash whose lexicographic min DuckDB reproduces exactly
+      (the engine default is xxhash64 longs — same algorithm, cheaper
+      keys; operators/dedup.py:winnowing_fingerprints). Docs with fewer
+      than k+window-1 tokens have no complete window → zero-filled count,
+      NULL min_fp.
+
+    Scale: both sides are one documents scan each, joined on doc_id; the
+    winnowing side's only exchange is the doc_id window partitioning, and
+    the fingerprint table it would feed into a cross-doc equi-join is
+    ~2/(window+1) the size of full shingling.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scrub = d.select(
+        "doc_id",
+        X.pii_hits(F.col("text")).alias("pii_hits"),
+        F.length(X.redact_pii(F.col("text"))).alias("redacted_len"),
+    )
+    md5_hash = lambda cols: F.md5(F.concat_ws(" ", *cols).cast("binary"))  # noqa: E731
+    fps = D.winnowing_fingerprints(
+        d,
+        X.tokens(F.col("text")),
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        hash_fn=md5_hash,
+    )
+    wagg = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"), F.min("fp").alias("min_fp")
+    )
+    return scrub.join(wagg, "doc_id", "left").select(
+        "doc_id",
+        "pii_hits",
+        "redacted_len",
+        F.coalesce("n_fps", F.lit(0).cast("bigint")).alias("n_fps"),
+        "min_fp",
+    )

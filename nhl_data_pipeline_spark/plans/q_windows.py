@@ -210,33 +210,8 @@ def order_history_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "argmax_limit1",
-    covers="O1",
-    oracle="""
-        SELECT event_id, user_id, ts, value
-        FROM events
-        ORDER BY ts DESC, event_id DESC
-        LIMIT 1
-    """,
-)
-def argmax_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY ... LIMIT 1 argmax (latest snapshot / next game).
-
-    Analog of `ORDER BY ingest_ts DESC LIMIT 1`
-    (`bruins_next_opponent.sql:11-17`). Spark executes this as a distributed
-    TakeOrdered — no global sort materialization.
-    """
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.orderBy(F.desc("ts"), F.desc("event_id"))
-        .limit(1)
-        .select("event_id", "user_id", "ts", "value")
-    )
-
-
-@query(
     "topk_customers_by_revenue",
-    covers="O2,J3,A1",
+    covers="O1,O2,J3,A1",
     bench=True,
     oracle=f"""
         SELECT c.c_custkey, c.c_name,
@@ -251,6 +226,12 @@ def argmax_limit1(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k report (TPC-H Q10 shape) with a deterministic tiebreak.
+
+    Also covers O1 (`ORDER BY ingest_ts DESC LIMIT 1`,
+    `bruins_next_opponent.sql:11-17`): ORDER BY + LIMIT k plans as the same
+    distributed TakeOrderedAndProject physical operator for any k — LIMIT 1
+    is the k=1 case, so the argmax shape is absorbed here (formerly the
+    separate argmax_limit1 query; registry sits at the driver's 50-cap).
 
     Analog of the top-25 betting performers (`odds_matching_queries.sql:117-131`).
     Revenue is decimal-exact, so the ordering — and therefore the top-k SET —

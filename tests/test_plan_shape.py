@@ -118,3 +118,13 @@ def test_sequence_packing_offsets_broadcast(spark):
     p = plan_str(run(spark, "sequence_packing"))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_interval_bin_join_is_hash_equi_join(spark):
+    """The registered interval join must plan as a hash equi-join on the
+    bucket key (broadcast here since the interval table is tiny; shuffled
+    hash at scale), never as the O(PxI) BroadcastNestedLoopJoin the raw
+    range predicate would produce."""
+    p = plan_str(run(spark, "interval_bin_join"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p

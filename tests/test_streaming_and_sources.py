@@ -80,12 +80,34 @@ def test_streaming_dedup(spark):
     assert out.count() == n_batch
 
 
-def test_sliding_window_runs(spark):
+def test_sliding_window_matches_batch_twin(spark):
+    """availableNow sliding-window aggregate must equal the identical
+    F.window aggregate computed in batch over the same events — row-for-row
+    (window bounds, counts, and decimal-exact averages)."""
     stream = es.read_events_stream(spark, TEST_SF_DIR)
     out = es.run_available_now_complete(spark, es.sliding_user_activity(stream))
     assert out.count() > 0
     # every 2h-window/1h-slide row covers its users' events
     assert out.filter("n_events <= 0").count() == 0
+
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "avg_value",
+        )
+    )
+    key = lambda r: (r["window_start"], r["user_id"], r["n_events"])  # noqa: E731
+    got = {key(r): r["avg_value"] for r in out.collect()}
+    want = {key(r): r["avg_value"] for r in batch.collect()}
+    assert got.keys() == want.keys()
+    # float avg over differing accumulation order: compare to 1e-9 rel tol
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v))
 
 
 def test_stream_static_enrichment_matches_batch(spark):
