@@ -94,28 +94,37 @@ def main() -> None:
 
 
 def _dedup_scale_probe(spark) -> dict:
-    """Empirical crossover evidence for the near-dup family
-    (operators/dedup.py:205-212): time the naive all-shingle join, the
-    PPJoin prefix-filtered exact variant, and MinHash-LSH at two corpus
-    sizes. The naive join wins small (fewer stages); its cost grows with
-    per-shingle frequency squared while PPJoin/LSH track duplicate density
-    — the ordering inverts as the corpus grows."""
+    """Empirical crossover evidence for the near-dup family.
+
+    Two regimes, measured:
+    - Clean corpora (sf0.01/sf0.1 documents as-is): the naive all-shingle
+      join beats PPJoin at local scale (fewer stages, no doc-frequency
+      rank); MinHash-LSH is fastest at both SFs and is the sanctioned
+      default scale path.
+    - Hot-shingle skew ("boiler" rows: every doc shares a 60-token
+      boilerplate suffix, the web-template regime): the naive join's
+      fan-out is quadratic in per-shingle frequency — measured 5.9 s at
+      2000 docs, 17.3 s at 3000, OOM at 5000 — while PPJoin's
+      rarest-prefix candidate generation skips the hot shingles entirely
+      (3.4-3.8 s flat, 7.8 s at the 5000 docs naive cannot finish).
+      PPJoin is the exact-verifier option for skewed corpora.
+    """
     from pyspark.sql import functions as F
 
     from nhl_data_pipeline_spark.operators import dedup as D
     from nhl_data_pipeline_spark.operators import text as X
 
     out: dict[str, dict[str, float]] = {}
+    qs = all_queries()
+
+    def timed(probe: dict, label: str, df) -> None:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        probe[label] = round(time.perf_counter() - t0, 3)
+
     for sf_dir in ("/root/testdata/sf0.01", SF_DIR):
         probe: dict[str, float] = {}
-        qs = all_queries()
-
-        def timed(label: str, df) -> None:
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            probe[label] = round(time.perf_counter() - t0, 3)
-
-        timed("ngram_jaccard_naive", qs["dedup_ngram_jaccard"].fn(spark, sf_dir))
+        timed(probe, "ngram_jaccard_naive", qs["dedup_ngram_jaccard"].fn(spark, sf_dir))
         docs = load_table(spark, sf_dir, "documents").repartition(
             spark.sparkContext.defaultParallelism
         )
@@ -124,9 +133,51 @@ def _dedup_scale_probe(spark) -> dict:
             .groupBy("doc_id")
             .agg(F.collect_list("s").alias("sh"))
         )
-        timed("ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
-        timed("minhash_lsh", qs["dedup_minhash_lsh"].fn(spark, sf_dir))
+        timed(probe, "ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
+        timed(probe, "minhash_lsh", qs["dedup_minhash_lsh"].fn(spark, sf_dir))
         out[Path(sf_dir).name] = probe
+
+    # Hot-shingle regime: 3000 sf0.1 docs + shared 60-token boilerplate.
+    # (3000, not 5000: the naive join OOMs at 5000 — see docstring.)
+    boiler = " ".join(f"footer{i} legal{i} nav{i}" for i in range(20))
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 3000)
+        .withColumn("text", F.concat_ws(" ", "text", F.lit(boiler)))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    probe = {}
+    sh = D.exploded_distinct_shingles(
+        docs, X.tokens(F.col("text")), 3, hash_shingles=True
+    ).persist()
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s").hint(
+        "shuffle_hash"
+    )
+    naive_pairs = (
+        a.join(b, ["s"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (4 * F.greatest("n_a", "n_b") <= 5 * F.least("n_a", "n_b"))
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= 0.8
+        )
+    )
+    timed(probe, "ngram_jaccard_naive", naive_pairs)
+    sh.unpersist()
+    shl = (
+        D.exploded_distinct_shingles(docs, X.tokens(F.col("text")), 3)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sh"))
+    )
+    timed(probe, "ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
+    out["sf0.1_boiler3k"] = probe
     return out
 
 

@@ -296,12 +296,18 @@ def prefix_filtered_jaccard_pairs(
     then verification computes the true intersection with array_intersect.
     Output is IDENTICAL to the all-shingles join.
 
-    Crossover: at local bench scale the extra document-frequency rank
-    stages cost more than the all-pairs fan-out they avoid (13s vs 5s at
-    sf0.1, 5k docs / 40-word vocab); at 100 TB the fan-out of the naive
-    join is quadratic in per-shingle frequency while prefix-join cost
-    tracks true duplicate density — this is the plan that survives the
-    scale-up. Keep both; pick by corpus size.
+    Role in the dedup family (measured, bench.py::_dedup_scale_probe):
+    MinHash-LSH is the sanctioned approximate scale path — fastest on
+    clean corpora at every measured SF. This exact form is the verifier /
+    skew path: on clean low-skew corpora the naive all-shingle join beats
+    it locally (1.7 vs 2.5-3.1 s at sf0.1 — the doc-frequency rank stages
+    cost more than the fan-out they avoid), but naive fan-out is quadratic
+    in per-shingle frequency, so under hot-shingle skew (web-template
+    boilerplate: a shared 60-token suffix) the ordering inverts hard —
+    naive 5.9 s at 2000 docs, 17.3 s at 3000, OOM at 5000; PPJoin flat at
+    3.4-3.8 s and 7.8 s at the 5000 naive cannot finish. At 100 TB
+    boilerplate skew is the norm, so: LSH for candidates, PPJoin to verify
+    exactly (or naive gated behind a stop-shingle drop).
     """
     from pyspark.sql import Window as W
 
