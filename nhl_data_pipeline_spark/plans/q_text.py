@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from nhl_data_pipeline_spark.catalog import load_table
 from nhl_data_pipeline_spark.operators import cluster as C
 from nhl_data_pipeline_spark.operators import dedup as D
+from nhl_data_pipeline_spark.operators import mixing as MX
 from nhl_data_pipeline_spark.operators import multimodal as M
 from nhl_data_pipeline_spark.operators import text as X
 from nhl_data_pipeline_spark.plans.registry import query
@@ -513,13 +514,16 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STRATA_RATES = {"en": "1400", "de": "4000", "fr": "4000"}  # hex16 of 65536
 _DEFAULT_RATE = "8000"
+# Target pretraining mix: 4 named sources at fixed weights, rest excluded.
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_MIX_BUDGET = 2_000  # tokens
 
 
 @query(
     "stratified_sample",
-    covers="LLM-sampling,P3",
+    covers="LLM-sampling,LLM-mixing,P3,U1",
     oracle=f"""
-        SELECT doc_id, lang, sample_key
+        SELECT 'lang_strata' AS mode, doc_id, lang AS stratum, sample_key
         FROM (
             SELECT doc_id, lang,
                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key
@@ -528,20 +532,30 @@ _DEFAULT_RATE = "8000"
         WHERE sample_key < CASE lang
             {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _STRATA_RATES.items())}
             ELSE '{_DEFAULT_RATE}' END
+        UNION ALL
+        SELECT 'source_budget' AS mode, doc_id, source AS stratum, sample_key
+        FROM ({MX.mixture_sample_sql(_MIX_WEIGHTS, _MIX_BUDGET)})
     """,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum sampling: a training-mix downsampler.
+    """Deterministic sampling family: per-stratum rates + budgeted mixture.
 
-    Each language stratum keeps a different fraction (en ~7.8%, de/fr
-    ~25%, others 50%) — the "rebalance the language mix" primitive of a
-    pretraining-data pipeline. The sample decision is a pure function of
-    the row key: first 4 hex chars of md5(doc_id) compared against the
-    stratum's rate threshold (hex fraction of 16^4). No rand(), no seed
-    plumbing: the sample is reproducible across engines, runs, retries,
-    and partitionings — Spark and DuckDB agree bit-for-bit, which
-    `TABLESAMPLE`/`rand()` can never do. At 100 TB this is a stateless
-    map — no shuffle, fully pushed into the scan stage.
+    Two modes of the training-mix downsampler, unioned with a mode tag:
+
+    - ``lang_strata``: each language stratum keeps a fixed fraction (en
+      ~7.8%, de/fr ~25%, others 50%) — the "rebalance the language mix"
+      primitive. Stateless map, no shuffle, fully pushed into the scan.
+    - ``source_budget``: per-source keep rates are DERIVED from a token
+      budget and target mixture weights (rate_s = min(1, B·w_s/T_s), T_s
+      the source's actual token total) — the "hit a token budget at a
+      target domain mix" primitive (operators/mixing.py). One
+      O(#sources)-row aggregate broadcast back over the corpus.
+
+    Both keep decisions are a pure function of the row key (md5-prefix vs
+    a hex threshold). No rand(), no seed plumbing: the sample is
+    reproducible across engines, runs, retries, and partitionings — Spark
+    and DuckDB agree bit-for-bit, which `TABLESAMPLE`/`rand()` can never
+    do.
     """
     d = load_table(spark, sf_dir, "documents")
     key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
@@ -554,10 +568,22 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             else expr.when(F.col("lang") == lang, F.lit(r))
         )
     rate = expr.otherwise(rate)
-    return (
-        d.select("doc_id", "lang", key.alias("sample_key"))
+    strata = (
+        d.select(
+            F.lit("lang_strata").alias("mode"),
+            "doc_id",
+            F.col("lang").alias("stratum"),
+            key.alias("sample_key"),
+        )
         .filter(F.col("sample_key") < rate)
     )
+    mixed = MX.mixture_sample(d, _MIX_WEIGHTS, _MIX_BUDGET).select(
+        F.lit("source_budget").alias("mode"),
+        "doc_id",
+        F.col("source").alias("stratum"),
+        "sample_key",
+    )
+    return strata.unionAll(mixed)
 
 
 @query(
