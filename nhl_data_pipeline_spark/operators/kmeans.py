@@ -1,0 +1,193 @@
+"""Distributed k-means over embedding columns + cluster-scoped semantic dedup.
+
+Lloyd's algorithm, Spark-first: centroids are the only driver-side state
+(k×dim floats — the legitimate broadcast-small-state pattern, same as IVF's
+centroid table), everything corpus-sized stays distributed:
+
+- ASSIGN is pure whole-stage codegen: the centroid matrix is a literal
+  array<array<double>> broadcast into the plan; per-row distances are a
+  `transform` over it with a zip_with/aggregate squared-L2 fold, and the
+  cluster id is `array_position(dists, array_min(dists)) - 1` (first
+  minimum ⇒ lowest-cluster-id tiebreak, fully deterministic). No Python,
+  no crossJoin, no shuffle.
+- UPDATE is one map-side-combinable aggregate: posexplode(vec) →
+  groupBy(cluster, dim) → decimal-exact mean (order-independent — the
+  distributed sum cannot wobble with partitioning; see
+  functions.scalars.dec for the idiom), collected back as the next k×dim
+  matrix. Empty clusters keep their previous centroid.
+
+Iterations are fixed-count (not convergence-tested) so results are a pure
+function of (input, k, n_iter) — reproducible across runs and engines.
+
+Semantic dedup = k-means assignment as a blocking key: near-duplicate
+pairs are only searched WITHIN a cluster (embedding near-dups are near in
+L2, so they co-cluster), turning the O(n²) all-pairs cosine into
+sum-of-squares over cluster sizes. The exact all-pairs operator
+(similarity.cosine_allpairs_numpy) remains the declared exact baseline;
+this is its scale form, the same exact-vs-banded split as the jaccard /
+MinHash-LSH family.
+
+Reference analog: the entity-resolution crosswalk's blocking strategy
+(`src/nhl_pipeline/transform/odds_crosswalk.py` name-key blocks) — here the
+block key is learned from the data instead of derived from a column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.operators.similarity import dot, norm
+
+Matrix = list[list[float]]
+
+
+def _lit_matrix(centroids: Matrix) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+
+
+def _sq_dist(vec: Column, centroid: Column) -> Column:
+    diff2 = F.zip_with(
+        vec,
+        centroid,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(diff2, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
+
+
+def init_centroids(
+    df: DataFrame, k: int, *, vec: str = "embedding", id_col: str = "vec_id"
+) -> Matrix:
+    """Deterministic seeding: the k rows with the smallest ids."""
+    rows = df.select(id_col, vec).orderBy(id_col).limit(k).collect()
+    return [[float(v) for v in r[vec]] for r in rows]
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: Matrix,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, vec, cluster_id, sq_dist) — nearest centroid per row, codegen-only."""
+    dists = F.transform(_lit_matrix(centroids), lambda c: _sq_dist(F.col(vec), c))
+    d = df.withColumn("_dists", dists)
+    return d.select(
+        F.col(id_col),
+        F.col(vec),
+        (F.array_position(F.col("_dists"), F.array_min(F.col("_dists"))) - 1)
+        .cast("int")
+        .alias("cluster_id"),
+        F.array_min(F.col("_dists")).alias("sq_dist"),
+    )
+
+
+def update_centroids(
+    assigned: DataFrame, centroids: Matrix, *, vec: str = "embedding"
+) -> Matrix:
+    """Per-cluster elementwise mean via one distributed aggregate.
+
+    Sums go through DECIMAL(38,18) so the mean is order-independent —
+    identical across partitionings and retries (float64 reduction order
+    would wobble the centroids and, near Voronoi boundaries, flip
+    assignments between runs)."""
+    rows = (
+        assigned.select("cluster_id", F.posexplode(F.col(vec)).alias("dim", "x"))
+        .groupBy("cluster_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(38,18)")) / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("m")
+        )
+        .collect()
+    )
+    out = [list(c) for c in centroids]  # empty cluster → keep previous
+    for r in rows:
+        out[r["cluster_id"]][r["dim"]] = r["m"]
+    return out
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 5,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, Matrix]:
+    """Fixed-iteration Lloyd's. Returns (assignments, final centroids)."""
+    cents = init_centroids(df, k, vec=vec, id_col=id_col)
+    for _ in range(n_iter):
+        cents = update_centroids(
+            assign_clusters(df, cents, vec=vec, id_col=id_col), cents, vec=vec
+        )
+    return assign_clusters(df, cents, vec=vec, id_col=id_col), cents
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    k: int,
+    n_iter: int = 5,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine-near-dup pairs searched only within k-means clusters.
+
+    (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold. The
+    cluster id blocks the self-join: the join shuffles on cluster_id and
+    each partition compares only its own cluster — sum(|c|²) work instead
+    of n². Recall: a pair is found iff both members land in the same
+    cluster; near-identical vectors virtually always do (their L2 gap is
+    tiny relative to centroid spacing). The global exact operator is the
+    audit path for the residual."""
+    assigned = kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0].select(
+        "cluster_id", F.col(id_col), F.col(vec), norm(F.col(vec)).alias("nrm")
+    )
+    a = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec).alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    k: int,
+    n_iter: int = 5,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Keep-lowest-id semantic dedup: drop the higher id of every pair."""
+    drop = (
+        semantic_neardup_pairs(
+            df, threshold, k, n_iter, vec=vec, id_col=id_col
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, id_col, "left_anti")

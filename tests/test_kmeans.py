@@ -1,0 +1,119 @@
+"""Distributed k-means: numpy parity, determinism, label recovery, dedup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.operators import kmeans as KM
+from nhl_data_pipeline_spark.operators.similarity import cosine_allpairs_numpy
+from tests.conftest import TEST_SF_DIR
+
+K, ITERS = 10, 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, TEST_SF_DIR, "embeddings")
+
+
+def _numpy_kmeans(ids, mat, k, n_iter):
+    """Reference Lloyd's: same deterministic init, first-min tiebreak."""
+    order = np.argsort(ids)
+    cents = mat[order[:k]].astype(np.float64).copy()
+    for _ in range(n_iter):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # argmin takes the first minimum, like Spark
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = mat[a == c].mean(axis=0)
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), cents
+
+
+def test_kmeans_matches_numpy_reference(spark, emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    want_assign, want_cents = _numpy_kmeans(ids, mat, K, ITERS)
+    want = {int(i): int(c) for i, c in zip(ids, want_assign)}
+
+    assigned, cents = KM.kmeans(emb, K, ITERS)
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got == want
+    # decimal-exact means vs float64 means: equal to ~1e-12 on unit-scale data
+    assert np.allclose(np.array(cents), want_cents, atol=1e-9)
+
+
+def test_kmeans_partitioning_invariant(spark, emb):
+    a, ca = KM.kmeans(emb, K, 2)
+    b, cb = KM.kmeans(emb.repartition(13), K, 2)
+    assert ca == cb  # decimal-exact update ⇒ bitwise-identical centroids
+    ga = {r["vec_id"]: r["cluster_id"] for r in a.collect()}
+    gb = {r["vec_id"]: r["cluster_id"] for r in b.collect()}
+    assert ga == gb
+
+
+def test_kmeans_objective_is_monotone(spark, emb):
+    """Lloyd's invariant: total within-cluster SSE never increases across
+    iterations (assign and update each only lower it). The synthetic
+    embeddings have no geometric label structure (label-supervised
+    centroids classify only ~37% — measured), so cluster-recovery isn't
+    testable here; the objective is."""
+    cents = KM.init_centroids(emb, K)
+    sses = []
+    for _ in range(ITERS):
+        assigned = KM.assign_clusters(emb, cents)
+        sses.append(assigned.agg(F.sum("sq_dist")).collect()[0][0])
+        cents = KM.update_centroids(assigned, cents)
+    sses.append(
+        KM.assign_clusters(emb, cents).agg(F.sum("sq_dist")).collect()[0][0]
+    )
+    for prev, nxt in zip(sses, sses[1:]):
+        assert nxt <= prev * (1 + 1e-12), sses
+    assert sses[-1] < sses[0]  # it actually moved
+
+
+def test_semantic_neardup_subset_of_exact_and_finds_planted(spark, emb):
+    """Planted near-identical vectors are caught; every cluster-blocked
+    pair is also an exact-all-pairs pair (blocking only restricts)."""
+    base = emb.select("vec_id", "embedding").limit(100)
+    dup = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.000001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = base.unionAll(dup)
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in KM.semantic_neardup_pairs(corpus, 0.999, 5, 3).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_allpairs_numpy(corpus, 0.999).collect()
+    }
+    assert got <= exact
+    planted = {(i, i + 100000) for i in range(5)}
+    assert planted <= got
+
+    kept = KM.semantic_dedup(corpus, 0.999, 5, 3)
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert {i + 100000 for i in range(5)}.isdisjoint(kept_ids)
+    assert set(range(5)) <= kept_ids  # keep-lowest-id survivors
+
+
+def test_assign_is_codegen_only(spark, emb):
+    """The assignment stage must stay JVM-side: no BatchEvalPython, no
+    joins/exchanges — a single projected scan."""
+    plan = KM.assign_clusters(
+        emb, KM.init_centroids(emb, K)
+    )._sc._jvm.PythonSQLUtils.explainString(
+        KM.assign_clusters(emb, KM.init_centroids(emb, K))._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan and "Join" not in plan
