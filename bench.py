@@ -51,33 +51,34 @@ def main() -> None:
         load_table(spark, SF_DIR, t).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
-    # TWO warmup passes per query: the first compiles whole-stage codegen,
-    # but HotSpot only promotes the generated classes to C2 after enough
-    # invocations — a single warmup leaves ~30-60% tiered-JIT cost in the
-    # timed run (measured: jaccard 3.35 s after one warmup vs 2.0 s
-    # steady-state). The metric is steady-state throughput; the cache
-    # clear between the passes keeps every pass computing all of its work.
-    for _ in range(2):
-        for name, spec in specs.items():
-            spark.catalog.clearCache()
-            try:
-                spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            except Exception as exc:  # noqa: BLE001
-                # Surface it: a query broken at warmup would otherwise
-                # silently shift its codegen/JIT cost into the timed run.
-                print(f"WARNING: warmup failed for {name}: {exc!r}", file=sys.stderr)
-
+    # Per-query measurement blocks: 2 warmup runs, then the MEDIAN of 3
+    # timed runs. Earlier rounds warmed every query once and then timed
+    # each once in sequence — but tools/bench_probe.py shows per-plan
+    # steady state needs consecutive executions of the SAME plan (HotSpot
+    # promotes the generated classes to C2 after enough invocations; a
+    # query timed 10 queries after its warmup reads ~2× its repeat-run
+    # time, and the number depended on loop ORDER). Blocked warmup + median
+    # makes each number the query's own steady state, independent of its
+    # neighbors. clearCache before every run: persisted intermediates are
+    # recomputed inside the measurement — only JIT/codegen state stays
+    # warm, never data.
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        # Drop every persisted intermediate the warmup (or a previous timed
-        # query) left behind, so each timed run recomputes ALL of its own
-        # work — no data reuse across queries, no CacheManager hits on
-        # plan-equivalent persists. JVM codegen/JIT stays warm (it is keyed
-        # on generated source, not cached data), which is the point.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs: list[float] = []
+        try:
+            for i in range(5):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                if i >= 2:
+                    runs.append(time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001
+            # Surface it loudly: a broken query must read as broken, not
+            # as a suspiciously-fast timing.
+            print(f"WARNING: bench run failed for {name}: {exc!r}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
     print(
         json.dumps(
