@@ -173,6 +173,77 @@ def semantic_neardup_pairs(
     )
 
 
+def ivf_topk_trained(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int,
+    n_iter: int = 5,
+    nprobe: int = 2,
+    *,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN with LEARNED centroids: k-means-train the inverted file.
+
+    The registered `embedding_ann_ivf` query seeds its inverted file with
+    arbitrary corpus vectors (fine for an oracle-checked demonstration of
+    the probing plan); this is the production variant — Lloyd's iterations
+    place the centroids at density modes, which tightens the buckets and
+    raises recall at the same nprobe (asserted empirically in
+    tests/test_kmeans.py). Plan shape is identical to the registered
+    query: corpus partitioned by nearest centroid, each query explodes to
+    its nprobe nearest buckets, candidates equi-join on the bucket id —
+    never an all-pairs product.
+    """
+    assigned, cents = kmeans(df, n_clusters, n_iter, vec=vec, id_col=id_col)
+    cand = assigned.select(
+        "cluster_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec).alias("c_vec"),
+        norm(F.col(vec)).alias("c_nrm"),
+    )
+    qdists = F.transform(_lit_matrix(cents), lambda c: _sq_dist(F.col(vec), c))
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec).alias("q_vec"),
+            norm(F.col(vec)).alias("q_nrm"),
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        qdists, lambda d, i: F.struct(d.alias("d"), i.alias("c"))
+                    )
+                ),
+                1,
+                nprobe,
+            ).alias("_near"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            "q_nrm",
+            F.explode(F.transform("_near", lambda s: s["c"])).alias("cluster_id"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(probes), "cluster_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float,

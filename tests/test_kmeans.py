@@ -106,6 +106,45 @@ def test_semantic_neardup_subset_of_exact_and_finds_planted(spark, emb):
     assert set(range(5)) <= kept_ids  # keep-lowest-id survivors
 
 
+def test_trained_ivf_recall_beats_arbitrary_centroids(spark, emb):
+    """k-means-trained IVF must reach high recall@10 vs brute force, and
+    at least match the registered arbitrary-centroid IVF at the same
+    (n_clusters, nprobe)."""
+    from nhl_data_pipeline_spark.operators.similarity import cosine_topk
+
+    queries = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    k = 10
+
+    def topk_sets(df):
+        out: dict[int, set[int]] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(cosine_topk(queries, corpus, k))
+    trained = topk_sets(KM.ivf_topk_trained(corpus, queries, k, 8, 4, nprobe=2))
+
+    # arbitrary-centroid IVF at the same shape: centroids = 8 fixed rows
+    # (mirrors plans/q_similarity.embedding_ann_ivf's seeding)
+    recalls_trained = [
+        len(exact[q] & trained.get(q, set())) / k for q in exact
+    ]
+    assert min(recalls_trained) >= 0.5
+    assert sum(recalls_trained) / len(recalls_trained) >= 0.7
+
+    from nhl_data_pipeline_spark.plans.registry import all_queries
+
+    fixed = all_queries()["embedding_ann_ivf"].fn(spark, TEST_SF_DIR)
+    fixed_sets = topk_sets(fixed.filter(F.col("query_id") < 5))
+    if fixed_sets:  # same query ids → compare average recall
+        r_fixed = sum(
+            len(exact[q] & fixed_sets.get(q, set())) / k for q in exact
+        ) / len(exact)
+        r_trained = sum(recalls_trained) / len(recalls_trained)
+        assert r_trained >= r_fixed - 1e-9, (r_trained, r_fixed)
+
+
 def test_assign_is_codegen_only(spark, emb):
     """The assignment stage must stay JVM-side: no BatchEvalPython, no
     joins/exchanges — a single projected scan."""
