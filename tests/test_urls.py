@@ -1,0 +1,81 @@
+"""URL canonicalization vs its DuckDB twin + dedup semantics."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from nhl_data_pipeline_spark.operators import urls as U
+
+CASES = [
+    # (raw, canonical)
+    ("HTTP://Example.COM/Path", "http://example.com/Path"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    ("http://example.com:80/a?x=1", "http://example.com/a?x=1"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),  # non-default kept
+    ("https://example.com/a#section-2", "https://example.com/a"),
+    ("https://example.com/a?utm_source=tw&x=1", "https://example.com/a?x=1"),
+    ("https://example.com/a?x=1&utm_source=tw", "https://example.com/a?x=1"),
+    ("https://example.com/a?utm_a=1&utm_b=2", "https://example.com/a"),
+    ("https://example.com/a?utm_a=1&utm_b=2&x=3", "https://example.com/a?x=3"),
+    ("https://example.com/a?fbclid=abc", "https://example.com/a"),
+    ("https://example.com/a?referrer=x", "https://example.com/a?referrer=x"),  # not 'ref'
+    ("https://example.com/a/b/", "https://example.com/a/b"),
+    ("https://example.com/", "https://example.com/"),  # root slash stays
+    ("https://example.com/a/?x=1", "https://example.com/a?x=1"),
+    ("https://example.com/a?b=2&a=1", "https://example.com/a?b=2&a=1"),  # order kept
+    ("not a url at all", "not a url at all"),  # pass-through
+]
+
+
+@pytest.fixture(scope="module")
+def frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], columns=["doc_id", "url"]
+    )
+
+
+def test_canonical_url_cases(spark, frame):
+    df = spark.createDataFrame(frame)
+    got = {
+        r["url"]: r["canon"]
+        for r in df.select("url", U.canonical_url("url").alias("canon")).collect()
+    }
+    for raw, want in CASES:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_canonical_url_matches_duckdb_twin(spark, frame):
+    df = spark.createDataFrame(frame)
+    got = {
+        (r["doc_id"], r["canon"])
+        for r in df.select(
+            "doc_id", U.canonical_url("url").alias("canon")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("u", frame)
+    want = {
+        tuple(r)
+        for r in con.sql(
+            f"SELECT doc_id, {U.canonical_url_sql('url')} AS canon FROM u"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_url_dedup_keeps_min_id(spark):
+    variants = [
+        (0, "https://example.com/a?utm_source=x"),
+        (1, "HTTPS://EXAMPLE.com:443/a"),
+        (2, "https://example.com/a/"),
+        (3, "https://example.com/b"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    got = {
+        r["canonical_url"]: (r["keep_id"], r["n_dups"])
+        for r in U.url_dedup(df).collect()
+    }
+    assert got["https://example.com/a"] == (0, 3)
+    assert got["https://example.com/b"] == (3, 1)
