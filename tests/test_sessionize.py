@@ -35,6 +35,44 @@ def _batch_sessions(spark):
     )
 
 
+def test_sessionize_idle_timeout_closes_open_sessions(spark, tmp_path):
+    """With a ProcessingTimeTimeout, dormant keys are force-closed: after
+    the input drains and the timeout elapses, EVERY session (including
+    each user's final open one) has been emitted, and state is evicted."""
+    import time
+
+    import pyspark.sql.functions as F2
+
+    src = str(tmp_path / "src")
+    ev = load_table(spark, TEST_SF_DIR, "events").select("user_id", "ts")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    sess = sessionize(
+        stream.withColumn("ts", F2.col("ts").cast("timestamp")),
+        GAP_S,
+        idle_timeout_ms=1500,
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_timeout_snk")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        want = _batch_sessions(spark).count()  # closed + open per user
+        deadline = time.time() + 60
+        got = -1
+        while time.time() < deadline:
+            got = spark.table("sess_timeout_snk").count()
+            if got >= want:
+                break
+            time.sleep(1.0)
+        assert got == want, (got, want)
+    finally:
+        q.stop()
+
+
 def test_sessionize_matches_batch_closed_sessions(spark):
     stream = es.read_events_stream(spark, TEST_SF_DIR)
     got = es.run_available_now(spark, sessionize(stream, GAP_S))
