@@ -128,3 +128,32 @@ def test_interval_bin_join_is_hash_equi_join(spark):
     p = plan_str(run(spark, "interval_bin_join"))
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_mixture_rates_broadcast_back(spark):
+    """The budgeted-mixture sampler's O(#sources) rates table must
+    broadcast onto the corpus (never sort-merge), and the corpus side
+    must carry no Python stage — the keep decision is pure codegen."""
+    p = plan_str(run(spark, "stratified_sample"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_line_dedup_boilerplate_set_broadcasts(spark):
+    """strip_frequent_lines: the frequent-line set joins back as a
+    broadcast LEFT ANTI — the exploded corpus never shuffles for the
+    filter; reassembly's groupBy is the only corpus-sized exchange."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.operators import lines as L
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n", F.lit("shared footer"), F.concat(F.lit("body "), F.col("id"))
+        ).alias("text"),
+    )
+    p = plan_str(L.strip_frequent_lines(docs, 5))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
