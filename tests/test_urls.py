@@ -65,6 +65,70 @@ def test_canonical_url_matches_duckdb_twin(spark, frame):
     assert got == want
 
 
+_SCHEME = ["http", "HTTP", "https", "HTTPS"]
+_HOST = ["Example.com", "a.b.example.org", "XN--test.de", "example.com"]
+_PORT = ["", ":80", ":443", ":8080"]
+_PATH = ["", "/", "/a", "/a/b", "/A/b/", "/a%20b"]
+_QUERY = [
+    "",
+    "?x=1",
+    "?utm_source=tw",
+    "?x=1&utm_medium=m",
+    "?utm_a=1&utm_b=2&x=3",
+    "?b=2&a=1",
+    "?ref=abc&x=2",
+]
+_FRAG = ["", "#top", "#sec-2"]
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(_SCHEME),
+                st.sampled_from(_HOST),
+                st.sampled_from(_PORT),
+                st.sampled_from(_PATH),
+                st.sampled_from(_QUERY),
+                st.sampled_from(_FRAG),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_canonicalization_is_idempotent_and_cross_engine(spark, parts):
+        """canon(canon(u)) == canon(u) — a canonical form must be a fixed
+        point — and DuckDB's twin produces the same canon for every
+        generated URL."""
+        urls = [f"{s}://{h}{po}{pa}{q}{f}" for s, h, po, pa, q, f in parts]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = [
+            r["c"]
+            for r in df.select(U.canonical_url("url").alias("c")).collect()
+        ]
+        again = [
+            r["c"]
+            for r in spark.createDataFrame([(u,) for u in once], "url string")
+            .select(U.canonical_url("url").alias("c"))
+            .collect()
+        ]
+        assert once == again
+        con = duckdb.connect()
+        con.register("gen", pd.DataFrame({"url": urls}))
+        duck = [
+            r[0]
+            for r in con.sql(
+                f"SELECT {U.canonical_url_sql('url')} FROM gen"
+            ).fetchall()
+        ]
+        assert once == duck
+
+except ImportError:  # pragma: no cover - hypothesis is in the baked env
+    pass
+
+
 def test_url_dedup_keeps_min_id(spark):
     variants = [
         (0, "https://example.com/a?utm_source=x"),
