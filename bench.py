@@ -127,7 +127,7 @@ def _dedup_scale_probe(spark) -> dict:
         probe: dict[str, float] = {}
         timed(probe, "ngram_jaccard_naive", qs["dedup_ngram_jaccard"].fn(spark, sf_dir))
         docs = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
         )
         shl = (
             D.exploded_distinct_shingles(docs, X.tokens(F.col("text")), 3)
@@ -146,7 +146,7 @@ def _dedup_scale_probe(spark) -> dict:
         .select("doc_id", "text")
         .filter(F.col("doc_id") < 3000)
         .withColumn("text", F.concat_ws(" ", "text", F.lit(boiler)))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
     probe = {}
     sh = D.exploded_distinct_shingles(

@@ -226,12 +226,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       DuckDB oracle cross-checks the final pairs);
     - the exploded shingle table is persisted: it feeds both join sides —
       one window computation instead of two;
+    - the read-parallelizing repartition hashes on doc_id (not round-robin)
+      so the shingle window and every downstream groupBy(doc_id) reuse the
+      SAME distribution: one compact doc-row shuffle replaces a round-robin
+      doc shuffle PLUS an exploded-token-row shuffle (plan-verified 2→1
+      exchanges);
     - at 100 TB additionally drop ultra-frequent shingles pre-join
       (stop-shingles) and/or gate with the MinHash-LSH candidates — this
       exact form is the verifier stage.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     sh = D.exploded_distinct_shingles(
         d, X.tokens(F.col("text")), 3, hash_shingles=True
@@ -298,7 +303,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     above is the verify stage downstream.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     # Signature via aggregation, not array HOFs: over the codegen-built
     # exploded shingle table, sig[i] is simply MIN(md5('<i>|' || s)) — k
@@ -359,7 +364,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     token, measured 2.6× over the interpreted array fold — see simhash_exploded).
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     return D.simhash_exploded(
         d.select("doc_id", X.tokens(F.col("text")).alias("toks")),
@@ -709,7 +714,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-keyed DuckDB oracle cross-checks every count.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     sh = D.exploded_distinct_shingles(
         d, X.tokens(F.col("text")), 4, hash_shingles=True
@@ -779,7 +784,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the distributed scan must reproduce it bit-for-bit.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
     base = d.select(
         "doc_id",
