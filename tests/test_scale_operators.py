@@ -91,6 +91,28 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
     assert len(fast) > 0
 
 
+def test_minhash_lsh_empirical_recall_vs_exact(spark):
+    """The LSH banding's recall claim (1-(1-j^3)^4 ≈ 98% at j=0.9) is
+    theory; this measures it: candidate pairs from the banded query must
+    recover ≥90% of the exact jaccard≥0.8 pairs on the planted-duplicate
+    corpus. (Precision is NOT asserted — LSH candidates are meant to feed
+    the exact verifier; the two queries' own oracles already pin their
+    respective outputs.)"""
+    from nhl_data_pipeline_spark.plans.registry import all_queries
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["dedup_ngram_jaccard"].fn(spark, TEST_SF_DIR).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in all_queries()["dedup_minhash_lsh"].fn(spark, TEST_SF_DIR).collect()
+    }
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(lsh))
+
+
 def test_salted_join_rejects_right_outer(spark):
     """Outer-on-the-small-side joins would emit unmatched small-side rows
     n_salts times; the operator refuses them."""
