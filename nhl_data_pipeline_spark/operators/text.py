@@ -401,3 +401,93 @@ def pii_hits_sql(text_expr: str) -> str:
         terms.append(f"len(regexp_extract_all({sql}, '{p}'))")
         sql = f"regexp_replace({sql}, '{p}', '{tag}', 'g')"
     return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+# Gopher-style rule battery (Rae et al. 2021, "Scaling Language Models",
+# table A1 — thresholds adapted): hard per-document filters that run BEFORE
+# model-based quality scoring in a pretraining pipeline. Every rule is a
+# pure codegen expression over one tokenization, with a DuckDB SQL twin.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1  # '#' and '...' per word
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8  # words containing >= 1 alphabetic char
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_flags(col: Column | str) -> Column:
+    """Struct of per-rule booleans + the overall pass flag.
+
+    Fields: word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+    alpha_frac_ok, stopwords_ok, pass_gopher. One tokenize per row; every
+    rule derives from the same array (materialize the struct in its own
+    projection when composing, same pattern as the profile query).
+    """
+    t = tokens(col)
+    n = F.size(t)
+    nd = n.cast("double")
+    # mean word length from token lengths (length(text)/n would miscount
+    # separator runs)
+    tok_chars = F.aggregate(
+        F.transform(t, lambda w: F.length(w)),
+        F.lit(0),
+        lambda a, v: a + v,
+    )
+    mean_len = tok_chars.cast("double") / nd
+    symbols = F.size(F.filter(t, lambda w: w.contains("#"))) + F.size(
+        F.filter(t, lambda w: w.contains("..."))
+    )
+    alpha = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in ALL_STOPWORDS])
+    distinct_stops = F.size(
+        F.array_distinct(F.filter(t, lambda w: F.array_contains(stop_arr, w)))
+    )
+    word_count_ok = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    mean_len_ok = (mean_len >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    symbol_ok = symbols.cast("double") / nd <= GOPHER_MAX_SYMBOL_RATIO
+    alpha_ok = alpha.cast("double") / nd >= GOPHER_MIN_ALPHA_WORD_FRAC
+    stops_ok = distinct_stops >= GOPHER_MIN_DISTINCT_STOPWORDS
+    return F.struct(
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        alpha_ok.alias("alpha_frac_ok"),
+        stops_ok.alias("stopwords_ok"),
+        (word_count_ok & mean_len_ok & symbol_ok & alpha_ok & stops_ok).alias(
+            "pass_gopher"
+        ),
+    )
+
+
+def gopher_flags_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`gopher_flags` as a struct_pack expression."""
+    t = f"string_split_regex({text_expr}, '\\s+')"
+    n = f"len({t})"
+    nd = f"CAST({n} AS DOUBLE)"
+    mean_len = f"CAST(list_sum(list_transform({t}, w -> length(w))) AS DOUBLE) / {nd}"
+    symbols = (
+        f"(len(list_filter({t}, w -> contains(w, '#')))"
+        f" + len(list_filter({t}, w -> contains(w, '...'))))"
+    )
+    alpha = f"len(list_filter({t}, w -> regexp_matches(w, '[A-Za-z]')))"
+    stops = (
+        f"len(list_distinct(list_filter({t},"
+        f" w -> w IN ({_in_list_sql(ALL_STOPWORDS)}))))"
+    )
+    wc = f"({n} >= {GOPHER_MIN_WORDS} AND {n} <= {GOPHER_MAX_WORDS})"
+    ml = (
+        f"({mean_len} >= {GOPHER_MIN_MEAN_WORD_LEN}"
+        f" AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN})"
+    )
+    sy = f"(CAST({symbols} AS DOUBLE) / {nd} <= {GOPHER_MAX_SYMBOL_RATIO})"
+    al = f"(CAST({alpha} AS DOUBLE) / {nd} >= {GOPHER_MIN_ALPHA_WORD_FRAC})"
+    st = f"({stops} >= {GOPHER_MIN_DISTINCT_STOPWORDS})"
+    return (
+        "struct_pack(word_count_ok := {wc}, mean_word_len_ok := {ml},"
+        " symbol_ratio_ok := {sy}, alpha_frac_ok := {al},"
+        " stopwords_ok := {st},"
+        " pass_gopher := ({wc} AND {ml} AND {sy} AND {al} AND {st}))"
+    ).format(wc=wc, ml=ml, sy=sy, al=al, st=st)
