@@ -89,7 +89,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenization subtree; profiling a corpus is one scan plus one
     doc_id-keyed aggregate however many signals ride along (formerly two
     registered queries, text_token_stats + text_lang_quality)."""
-    d = load_table(spark, sf_dir, "documents")
+    # Hash-repartition by doc_id up front (parallelizes the single-file
+    # read AND pre-satisfies the repetition groupBy + profile⋈repetition
+    # join distributions): the one shuffle moves compact doc rows, not
+    # exploded bigrams/profile rows — measured ~30% off at sf0.1.
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     # Tokenize ONCE into a materialized column; the two projections stay
     # separate (CollapseProject won't inline a non-cheap expr referenced
     # many times), so `split` runs once per row instead of once per CASE
@@ -437,7 +443,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and jaccard operators — one declarative plan, so Catalyst shares the
     documents scan across branches.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     scored = _lang_quality_scored(d)
     drop_docs = (
         dedup_ngram_jaccard(spark, sf_dir)
