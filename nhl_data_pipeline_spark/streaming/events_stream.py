@@ -107,6 +107,59 @@ def enrich_with_customer_dim(
     )
 
 
+def view_to_purchase_funnel(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: attribute each purchase to the same
+    user's views in the preceding hour.
+
+    The conversion-funnel shape (and the last missing streaming join
+    class beside the stream-static dim join): both sides are unbounded,
+    so Spark buffers each side in state and the time-range condition plus
+    both watermarks bound how much — view state can be evicted once it is
+    older than watermark + attribution window. Inner join with a closed
+    event-time band is exactly the form Structured Streaming supports
+    without an unbounded-state error.
+
+    Returns (user_id, view_id, purchase_id, view_ts, purchase_ts) —
+    deterministic, so availableNow output is hash-comparable to the same
+    join run in batch (tests/test_streaming_and_sources.py).
+    """
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}")
+            ),
+            "inner",
+        )
+        .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    )
+
+
 def upsert_stream(
     spark: SparkSession,
     streaming_df: DataFrame,

@@ -128,6 +128,40 @@ def test_stream_static_enrichment_matches_batch(spark):
     assert got_names == batch_names
 
 
+def test_stream_stream_join_matches_batch(spark):
+    """The view→purchase attribution join run as a REAL stream-stream join
+    (both sides stateful, watermark-bounded) must equal the identical
+    time-banded join computed in batch."""
+    stream = es.read_events_stream(spark, TEST_SF_DIR)
+    got = es.run_available_now(spark, es.view_to_purchase_funnel(stream))
+
+    ev = load_table(spark, TEST_SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = views.join(
+        buys,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 hour")),
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+    key = lambda r: (  # noqa: E731
+        r["user_id"], r["view_id"], r["purchase_id"], r["view_ts"], r["purchase_ts"]
+    )
+    got_set = {key(r) for r in got.collect()}
+    want_set = {key(r) for r in batch.collect()}
+    assert got_set == want_set
+    assert len(got_set) > 0
+
+
 def test_streaming_foreachbatch_upsert(spark, tmp_path):
     target = str(tmp_path / "events_latest")
     stream = es.read_events_stream(spark, TEST_SF_DIR)
