@@ -109,6 +109,14 @@ def _dedup_scale_probe(spark) -> dict:
       rarest-prefix candidate generation skips the hot shingles entirely
       (3.4-3.8 s flat, 7.8 s at the 5000 docs naive cannot finish).
       PPJoin is the exact-verifier option for skewed corpora.
+    - MinHash-LSH on the same boiler corpus demonstrates the OTHER failure
+      mode: it finishes fast (the banded join moves only ids) but the
+      shared suffix dominates the signatures, so ~515k of the 4.5M
+      possible pairs (11%) become candidates — precision collapses and
+      the downstream exact verifier inherits a near-quadratic workload.
+      The probe records the candidate count so the regime split stays
+      honest: clean corpora → MinHash-LSH default; boilerplate-heavy →
+      strip boilerplate first (operators/lines.py) or use PPJoin.
     """
     from pyspark.sql import functions as F
 
@@ -178,6 +186,15 @@ def _dedup_scale_probe(spark) -> dict:
         .agg(F.collect_list("s").alias("sh"))
     )
     timed(probe, "ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
+    # LSH candidate precision in the skewed regime (see docstring): the
+    # count is the story — timing alone would mislead, since the banded
+    # join only moves ids.
+    from nhl_data_pipeline_spark.plans.q_text import minhash_band_pairs
+
+    t0 = time.perf_counter()
+    n_cand = minhash_band_pairs(docs).count()
+    probe["minhash_lsh"] = round(time.perf_counter() - t0, 3)
+    probe["minhash_lsh_candidate_pairs"] = float(n_cand)
     out["sf0.1_boiler3k"] = probe
     return out
 

@@ -311,6 +311,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
+    return minhash_band_pairs(d)
+
+
+def minhash_band_pairs(d: DataFrame) -> DataFrame:
+    """Banded MinHash candidate pairs over any (doc_id, text) frame (the
+    registered query's body; bench's skew probe reuses it on a
+    boilerplate-heavy corpus to measure candidate precision)."""
     # Signature via aggregation, not array HOFs: over the codegen-built
     # exploded shingle table, sig[i] is simply MIN(md5('<i>|' || s)) — k
     # plain min aggregates (lexicographic string min ≡ array_min of the
