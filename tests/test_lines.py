@@ -83,6 +83,46 @@ def test_line_profile(spark, corpus):
     assert prof[0]["dup_line_frac"] == 0.0
 
 
+def test_strip_lines_restores_minhash_precision(spark):
+    """End-to-end composition behind the dedup-regime guidance: a shared
+    boilerplate line makes unrelated docs collide in MinHash band buckets
+    (candidate blowup); stripping frequent lines first removes the
+    collisions while keeping the genuinely duplicated pair."""
+    from nhl_data_pipeline_spark.catalog import load_table
+    from nhl_data_pipeline_spark.plans.q_text import minhash_band_pairs
+    from tests.conftest import TEST_SF_DIR
+
+    boiler = " ".join(f"footer{i} legal{i} nav{i}" for i in range(20))
+    base = (
+        load_table(spark, TEST_SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    # plant one true near-duplicate (same body, distinct id)
+    dup = base.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    dirty = base.unionAll(dup).select(
+        "doc_id", F.concat_ws("\n", "text", F.lit(boiler)).alias("text")
+    )
+
+    dirty_pairs = minhash_band_pairs(dirty).count()
+    cleaned = L.strip_frequent_lines(dirty, 5).select("doc_id", "text")
+    clean_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_band_pairs(cleaned).collect()
+    }
+    # stripping restores EXACTLY the boiler-free corpus's candidate set
+    # (the corpus's own planted near-dups plus ours) — no more, no less
+    want_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_band_pairs(base.unionAll(dup)).collect()
+    }
+    assert clean_pairs == want_pairs
+    assert (0, 1000) in clean_pairs
+    # and the boilerplate had caused a blowup (order-of-magnitude more)
+    assert dirty_pairs > 10 * len(clean_pairs)
+
+
 def test_frequent_lines_threshold(spark, corpus):
     lines = L.exploded_lines(corpus)
     freq = {r["line"]: r["n_docs"] for r in L.frequent_lines(lines, 2).collect()}
