@@ -424,7 +424,12 @@ def gopher_flags(col: Column | str) -> Column:
     rule derives from the same array (materialize the struct in its own
     projection when composing, same pattern as the profile query).
     """
-    t = tokens(col)
+    return gopher_flags_from_tokens(tokens(col))
+
+
+def gopher_flags_from_tokens(t: Column) -> Column:
+    """Same battery over a pre-tokenized array (composition form: the
+    profile query feeds its materialized single-tokenize column)."""
     n = F.size(t)
     nd = n.cast("double")
     # mean word length from token lengths (length(text)/n would miscount

@@ -73,7 +73,8 @@ def _lang_quality_scored(d: DataFrame) -> DataFrame:
                CASE WHEN {X.quality_score_sql('text')} >= 0.75 THEN TRUE ELSE FALSE END AS keep,
                {X.top_bigram_frac_sql('text')} AS top_bigram_frac,
                {X.dup_bigram_frac_sql('text')} AS dup_bigram_frac,
-               CASE WHEN {X.top_bigram_frac_sql('text')} > 0.2 THEN TRUE ELSE FALSE END AS repetitious
+               CASE WHEN {X.top_bigram_frac_sql('text')} > 0.2 THEN TRUE ELSE FALSE END AS repetitious,
+               ({X.gopher_flags_sql('text')}).pass_gopher AS pass_gopher
         FROM documents
     """,
 )
@@ -116,6 +117,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang, ws in X.LANG_STOPWORDS.items()
         ],
         X.hits_in_tokens(tk, X.ALL_STOPWORDS).alias("_h_stop"),
+        X.gopher_flags_from_tokens(tk)["pass_gopher"].alias("pass_gopher"),
     )
     hat = X.lang_id_from_hits(
         {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
@@ -139,6 +141,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hat == F.col("lang")).alias("agrees"),
         q.alias("quality"),
         (q >= 0.75).alias("keep"),
+        "pass_gopher",
     )
     # Repetition signals ride the exploded codegen aggregate (~20× the
     # per-row fold even on short docs — operators.text.repetition_agg),
