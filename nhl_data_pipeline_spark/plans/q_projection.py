@@ -20,6 +20,7 @@ from nhl_data_pipeline_spark.functions.scalars import (
     sunday_zero_dow,
 )
 from nhl_data_pipeline_spark.operators import text as X
+from nhl_data_pipeline_spark.operators import urls as U
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount
 
@@ -192,7 +193,7 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_functions",
-    covers="§2.9-string,J5-keys,§2.9-date,§2.9-interval,P3,LLM-pii-redaction",
+    covers="§2.9-string,J5-keys,§2.9-date,§2.9-interval,P3,LLM-pii-redaction,LLM-url-dedup",
     oracle=f"""
         SELECT 'string' AS op, c_custkey AS row_key,
                upper(trim(c_name)) AS name_upper,
@@ -212,7 +213,8 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS TIMESTAMP) AS plus_week_ts,
                CAST(NULL AS TIMESTAMP) AS order_ts,
                CAST(NULL AS VARCHAR) AS contact_redacted,
-               CAST(NULL AS INT) AS pii_n
+               CAST(NULL AS INT) AS pii_n,
+               CAST(NULL AS VARCHAR) AS canon_url
         FROM customer
         UNION ALL
         SELECT 'date', o_orderkey,
@@ -229,7 +231,8 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                monthname(o_orderdate), dayname(o_orderdate),
                CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP),
                o_orderdate,
-               CAST(NULL AS VARCHAR), CAST(NULL AS INT)
+               CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR)
         FROM orders
         WHERE o_orderdate >= TIMESTAMP '1998-09-02 00:00:00' - INTERVAL 400 DAY
         UNION ALL
@@ -244,7 +247,8 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
                CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
                {X.redact_pii_sql('contact')},
-               {X.pii_hits_sql('contact')}
+               {X.pii_hits_sql('contact')},
+               CAST(NULL AS VARCHAR)
         FROM (
             SELECT c_custkey, concat_ws(' ', c_name,
                 '<' || translate(lower(c_name), '#', '.') || '@example.org>',
@@ -259,6 +263,35 @@ def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) AS contact
             FROM customer
         ) pii_src
+        UNION ALL
+        SELECT 'url', c_custkey,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS INT), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+               CAST(NULL AS VARCHAR), CAST(NULL AS INT),
+               {U.canonical_url_sql('raw')}
+        FROM (
+            SELECT c_custkey,
+                   (CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END
+                    || CASE WHEN c_custkey % 3 = 0 THEN 'Shop.Example.COM'
+                            ELSE 'shop.example.com' END
+                    || CASE WHEN c_custkey % 5 = 0 THEN ':443' ELSE '' END
+                    || '/item/' || CAST(c_custkey AS VARCHAR)
+                    || CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END
+                    || CASE WHEN c_custkey % 7 = 0
+                            THEN '?utm_source=mail&x=' || CAST(c_custkey % 10 AS VARCHAR)
+                            WHEN c_custkey % 7 = 1
+                            THEN '?x=' || CAST(c_custkey % 10 AS VARCHAR) || '&utm_campaign=2'
+                            ELSE '' END
+                    || CASE WHEN c_custkey % 11 = 0 THEN '#frag' ELSE '' END) AS raw
+            FROM customer
+        ) url_src
     """,
 )
 def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,6 +320,11 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from customer rows, plus the pii_hits audit count; the oracle applies
     the literally-identical regexes in DuckDB, hash-checking cross-engine
     regex semantics on every row.
+
+    URL branch: crawl-dedup canonicalization (operators.urls — scheme/host
+    lowering, fragment + tracking-param strip, default-port and non-root
+    trailing-slash removal) over deterministically-messy URLs keyed off
+    c_custkey; same RE2-subset patterns run in both engines.
     """
     c = load_table(spark, sf_dir, "customer")
     nul_s = lambda a: F.lit(None).cast("string").alias(a)  # noqa: E731
@@ -307,7 +345,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_i("yr"), nul_i("mo"), nul_i("dom"), nul_i("dow_sunday0"),
         nul_i("doy"), nul_i("iso_week"), nul_s("month_name"),
         nul_s("day_name"), nul_ts("plus_week_ts"), nul_ts("order_ts"),
-        nul_s("contact_redacted"), nul_i("pii_n"),
+        nul_s("contact_redacted"), nul_i("pii_n"), nul_s("canon_url"),
     )
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
@@ -328,7 +366,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(d, "EEEE").alias("day_name"),
         F.date_add(d.cast("date"), 7).cast("timestamp_ntz").alias("plus_week_ts"),
         d.alias("order_ts"),
-        nul_s("contact_redacted"), nul_i("pii_n"),
+        nul_s("contact_redacted"), nul_i("pii_n"), nul_s("canon_url"),
     )
     # PII branch: synthesize deterministic contact strings (email from the
     # name, phone/SSN/IP from the key) so the redaction chain has real spans
@@ -365,8 +403,39 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul_s("day_name"), nul_ts("plus_week_ts"), nul_ts("order_ts"),
         X.redact_pii(contact).alias("contact_redacted"),
         X.pii_hits(contact).alias("pii_n"),
+        nul_s("canon_url"),
     )
-    return strings.unionByName(dates).unionByName(pii)
+    # URL branch: deterministically-messy URLs (casing, default port,
+    # trailing slash, tracking params, fragment all keyed off c_custkey)
+    # canonicalized by operators.urls — the oracle builds the same strings
+    # and applies the same RE2-subset patterns in DuckDB.
+    ks = s(k)
+    raw_url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(k % 3 == 0, F.lit("Shop.Example.COM")).otherwise(
+            F.lit("shop.example.com")
+        ),
+        F.when(k % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/item/"), ks,
+        F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(k % 7 == 0, F.concat(F.lit("?utm_source=mail&x="), s(k % 10)))
+        .when(k % 7 == 1, F.concat(F.lit("?x="), s(k % 10), F.lit("&utm_campaign=2")))
+        .otherwise(F.lit("")),
+        F.when(k % 11 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    urls = c.select(
+        F.lit("url").alias("op"),
+        F.col("c_custkey").alias("row_key"),
+        nul_s("name_upper"), nul_s("last_token"), nul_s("first_initial"),
+        nul_s("folded"), nul_s("digits"), nul_i("name_len"),
+        nul_s("name_nation"),
+        nul_i("yr"), nul_i("mo"), nul_i("dom"), nul_i("dow_sunday0"),
+        nul_i("doy"), nul_i("iso_week"), nul_s("month_name"),
+        nul_s("day_name"), nul_ts("plus_week_ts"), nul_ts("order_ts"),
+        nul_s("contact_redacted"), nul_i("pii_n"),
+        U.canonical_url(raw_url).alias("canon_url"),
+    )
+    return strings.unionByName(dates).unionByName(pii).unionByName(urls)
 
 
 @query(
