@@ -15,6 +15,7 @@ from pyspark.sql.window import Window
 from nhl_data_pipeline_spark.catalog import load_table
 from nhl_data_pipeline_spark.operators import cluster as C
 from nhl_data_pipeline_spark.operators import dedup as D
+from nhl_data_pipeline_spark.operators import lines as L
 from nhl_data_pipeline_spark.operators import mixing as MX
 from nhl_data_pipeline_spark.operators import multimodal as M
 from nhl_data_pipeline_spark.operators import text as X
@@ -411,16 +412,28 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.attach_binary_payload(d))
 
 
+_CURATION_BOILER = "subscribe footer newsletter cookie banner legal notice"
+
+
 @query(
     "curation_pipeline",
-    covers="LLM-curation,composition",
+    covers="LLM-curation,LLM-line-dedup,composition",
     bench=True,
     oracle=f"""
-        WITH scored AS (
-            SELECT doc_id, lang,
-                   {X.lang_id_sql('text')} AS lang_hat,
-                   {X.quality_score_sql('text')} AS quality
+        WITH dirty AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN text || chr(10) || '{_CURATION_BOILER}'
+                        ELSE text END AS text
             FROM documents
+        ),
+        stripped AS ({L.strip_frequent_lines_sql(50, table='dirty')}),
+        scored AS (
+            SELECT st.doc_id, d.lang,
+                   {X.lang_id_sql('st.text')} AS lang_hat,
+                   {X.quality_score_sql('st.text')} AS quality,
+                   st.n_removed
+            FROM stripped st JOIN documents d USING (doc_id)
         ),
         shl AS (
             SELECT doc_id, {_SH_SQL} AS sh
@@ -437,7 +450,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT doc_b AS doc_id FROM dup_pairs
             WHERE CAST(c AS DOUBLE) / (n_a + n_b - c) >= 0.8
         )
-        SELECT s.doc_id, s.lang_hat, s.quality
+        SELECT s.doc_id, s.lang_hat, s.quality, s.n_removed
         FROM scored s
         WHERE s.lang_hat = 'en'
           AND s.quality >= 0.75
@@ -445,18 +458,38 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation filter: language ∧ quality ∧ near-dup removal.
+    """End-to-end curation: boilerplate-strip ∧ language ∧ quality ∧
+    near-dup removal.
 
-    The composed training-data pipeline stage: keep English docs above the
-    quality bar, dropping the higher-id member of every jaccard≥0.8
-    near-dup pair (keep-first policy). Composition of the lang-ID, quality
-    and jaccard operators — one declarative plan, so Catalyst shares the
-    documents scan across branches.
+    The composed training-data pipeline stage, now with the line-grain
+    stage first: a boilerplate line is injected into every even doc (the
+    deterministic stand-in for real web templates — the lake's documents
+    are single-line) and operators.lines strips it back out before
+    scoring. The strip is hash-verified two ways: n_removed must be
+    exactly (doc_id % 2 == 0), and any strip error would alter the text
+    and flip downstream lang/quality/jaccard values. Then: keep English
+    docs above the quality bar, dropping the higher-id member of every
+    jaccard≥0.8 near-dup pair (keep-first policy). The near-dup stage
+    runs on the canonical (stripped ≡ original) text, so its pairs are
+    unchanged.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(
+    d0 = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
-    scored = _lang_quality_scored(d)
+    dirty = d0.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat_ws("\n", "text", F.lit(_CURATION_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stripped = L.strip_frequent_lines(dirty, 50)
+    d = stripped.join(d0.select("doc_id", "lang"), "doc_id")
+    scored = _lang_quality_scored(d).join(
+        stripped.select("doc_id", "n_removed"), "doc_id"
+    )
     drop_docs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
@@ -465,7 +498,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.filter((F.col("lang_hat") == "en") & (F.col("quality") >= 0.75))
         .join(drop_docs, "doc_id", "left_anti")
-        .select("doc_id", "lang_hat", "quality")
+        .select("doc_id", "lang_hat", "quality", "n_removed")
     )
 
 
