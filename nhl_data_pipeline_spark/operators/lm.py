@@ -1,0 +1,160 @@
+"""Corpus n-gram language-model scoring: the perplexity-proxy quality gate.
+
+CCNet-style curation ranks documents by how "in-distribution" their text
+is under a reference language model. This operator trains the LM and
+scores the docs in one distributed pipeline:
+
+1. TRAIN: trigram and bigram-context counts over the (reference) corpus —
+   two map-side-combinable groupBys; at 100 TB the model side is the
+   distinct-ngram table, orders of magnitude smaller than the corpus.
+2. SCORE: every doc's trigrams join the count tables; per-trigram
+   probability is add-k smoothed  p = (c(xyz)+k) / (c(xy·)+k·V)  with
+   k = 1/10, and the doc score is the MEAN in-context trigram
+   probability.
+
+Why mean probability, not log-perplexity — and why fixed-point: ln() is
+not bit-identical across libm implementations, and even double→decimal
+casts disagree between engines (Spark rounds the shortest string repr,
+DuckDB the exact binary expansion), so any float accumulation would flake
+a cross-engine hash gate in the last ulp. Instead every probability is
+computed in EXACT integer arithmetic as
+    p_fixed = (10·c_tri + 1) · 10¹² div (10·c_ctx + V)
+(integer floor-division — multiply through by 10 clears k = 1/10), summed
+per doc as a BIGINT (exact, order-independent), and converted to a double
+mean only at the very end with one division sequence both engines execute
+identically. Result: bit-exact parity, same ranking direction as
+perplexity (higher = more typical). Overflow headroom: numerator
+≤ (10·c_tri+1)·10¹² — safe while c_tri < 9·10⁵; for 100 TB corpora drop
+the fixed-point scale to 10⁹ (headroom 9·10⁸) or bucket counts first.
+
+Self-scoring (train and score on the same corpus) is the held-in
+configuration; pass a different `reference` frame for the CCNet shape
+(score web text under a Wikipedia LM).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.operators.text import tokens
+
+FIXED_POINT = 1_000_000_000_000  # 10^12
+
+
+def _ngrams(d: DataFrame, n: int, *, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) rows — whitespace-token n-grams via the codegen
+    posexplode + lead-window path (one exchange; see
+    dedup.exploded_distinct_shingles, same shape WITHOUT the distinct)."""
+    from pyspark.sql.window import Window
+
+    tok = d.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
+    parts = ["tok", *[f"t{i}" for i in range(1, n)]]
+    return (
+        tok.select(id_col, "tok", *leads)
+        .filter(F.col(f"t{n - 1}").isNotNull())
+        .select(id_col, F.concat_ws(" ", *parts).alias("gram"))
+    )
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    *,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_trigrams, mean_tri_prob) per document.
+
+    mean_tri_prob ≈ avg over the doc's trigrams of the add-1/10-smoothed
+    in-context probability, quantized at 10⁻¹² (see module docstring).
+    Docs with < 3 tokens produce no row (no trigrams to score).
+    """
+    ref = reference if reference is not None else docs
+    tri_ref = _ngrams(ref, 3, id_col=id_col, text_col=text_col)
+    tri_counts = tri_ref.groupBy("gram").agg(F.count(F.lit(1)).alias("c_tri"))
+    ctx_counts = (
+        tri_ref.select(F.expr("substring_index(gram, ' ', 2)").alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).alias("c_ctx"))
+    )
+    v = tri_counts.select(F.count(F.lit(1)).alias("v"))
+
+    tri_doc = _ngrams(docs, 3, id_col=id_col, text_col=text_col).select(
+        id_col,
+        F.col("gram"),
+        F.expr("substring_index(gram, ' ', 2)").alias("ctx"),
+    )
+    num = (10 * F.coalesce("c_tri", F.lit(0)) + 1).cast("bigint") * F.lit(
+        FIXED_POINT
+    )
+    den = (10 * F.coalesce("c_ctx", F.lit(0)) + F.col("v")).cast("bigint")
+    # true integer division ((num/den).cast(bigint) would round-trip
+    # through double and reintroduce the float wobble)
+    scored = (
+        tri_doc.join(tri_counts, "gram", "left")
+        .join(ctx_counts, "ctx", "left")
+        .crossJoin(F.broadcast(v))
+        .select(id_col, num.alias("_n"), den.alias("_d"))
+        .select(id_col, F.expr("_n div _d").alias("p_fixed"))
+    )
+    # Exact BIGINT sum (order-independent), then ONE identical double
+    # division sequence in both engines.
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        (
+            F.sum("p_fixed").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(float(FIXED_POINT))
+        ).alias("mean_tri_prob"),
+    )
+
+
+def ngram_lm_score_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of the self-scored :func:`ngram_lm_score`."""
+    toks = f"string_split_regex({text_col}, '\\s+')"
+    tri = (
+        f"list_transform(generate_series(1, len({toks}) - 2),"
+        f" i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])"
+    )
+    return f"""
+        WITH tri AS (
+            SELECT {id_col}, unnest({tri}) AS gram FROM {table}
+        ),
+        tri_counts AS (
+            SELECT gram, CAST(count(*) AS BIGINT) AS c_tri FROM tri GROUP BY 1
+        ),
+        ctx_counts AS (
+            SELECT concat_ws(' ', string_split(gram, ' ')[1],
+                             string_split(gram, ' ')[2]) AS ctx,
+                   CAST(count(*) AS BIGINT) AS c_ctx
+            FROM tri GROUP BY 1
+        ),
+        v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tri_counts),
+        scored AS (
+            SELECT t.{id_col},
+                   CAST((10 * COALESCE(tc.c_tri, 0) + 1) * {FIXED_POINT}
+                        // (10 * COALESCE(cc.c_ctx, 0) + v.v) AS BIGINT)
+                       AS p_fixed
+            FROM tri t
+            LEFT JOIN tri_counts tc USING (gram)
+            LEFT JOIN ctx_counts cc
+              ON cc.ctx = concat_ws(' ', string_split(t.gram, ' ')[1],
+                                    string_split(t.gram, ' ')[2])
+            CROSS JOIN v
+        )
+        SELECT {id_col},
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               CAST(sum(p_fixed) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / CAST({FIXED_POINT} AS DOUBLE) AS mean_tri_prob
+        FROM scored GROUP BY 1
+    """
