@@ -1,0 +1,101 @@
+"""Distributed BPE vs a plain-Python reference: merge-for-merge parity."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.operators import bpe
+from tests.conftest import TEST_SF_DIR
+
+N_MERGES = 12
+
+
+def _py_bpe(word_freq: dict[str, int], n_merges: int):
+    """Reference BPE over a word-frequency table: count ALL adjacent
+    symbol pairs weighted by freq, merge the (count DESC, pair ASC)
+    argmax left-to-right non-overlapping, stop when the best pair count
+    is <= 1."""
+    segs = {w: [c for c in w] for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, syms in segs.items():
+            f = word_freq[w]
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] <= 1:
+            break
+        merges.append(best)
+        a, b = best
+        for w, syms in segs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return (
+        load_table(spark, TEST_SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+
+
+def test_train_bpe_matches_python_reference(spark, corpus):
+    merges, words = bpe.train_bpe(corpus, N_MERGES)
+
+    wf = {
+        r["word"]: r["freq"]
+        for r in bpe.word_frequencies(corpus).collect()
+    }
+    want_merges, want_segs = _py_bpe(wf, N_MERGES)
+    assert merges == want_merges and len(merges) > 0
+
+    got_segs = {r["word"]: list(r["syms"]) for r in words.collect()}
+    assert got_segs == want_segs
+
+
+def test_encode_reproduces_training_segmentation(spark, corpus):
+    merges, words = bpe.train_bpe(corpus, N_MERGES)
+    segs = {r["word"]: list(r["syms"]) for r in words.collect()}
+    enc = bpe.encode(
+        spark.createDataFrame([(w,) for w in segs], "text string"), merges
+    )
+    got = {r["text"]: list(r["bpe_tokens"]) for r in enc.collect()}
+    assert got == segs
+
+
+def test_encode_is_pure_map(spark, corpus):
+    """Encoding must stay a stateless projection: no join, no exchange,
+    no Python stage — apply-tokenizer at 100 TB is scan-shaped."""
+    merges, _ = bpe.train_bpe(corpus, 4)
+    plan = bpe.encode(corpus, merges)
+    p = plan.sparkSession._jvm.PythonSQLUtils.explainString(
+        plan._jdf.queryExecution(), "extended"
+    )
+    assert "Exchange" not in p and "Join" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_vocabulary_covers_all_symbols(spark, corpus):
+    merges, words = bpe.train_bpe(corpus, N_MERGES)
+    vocab = {r["token"] for r in bpe.vocabulary(words).collect()}
+    # every merged token and every residual char is in the vocab
+    segs = [s for r in words.collect() for s in r["syms"]]
+    assert set(segs) == vocab
+    assert any(len(t) > 1 for t in vocab)  # merges actually happened
