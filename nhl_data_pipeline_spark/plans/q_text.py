@@ -591,12 +591,23 @@ _MIX_BUDGET = 2_000  # tokens
         UNION ALL
         SELECT 'source_budget' AS mode, doc_id, source AS stratum, sample_key
         FROM ({MX.mixture_sample_sql(_MIX_WEIGHTS, _MIX_BUDGET)})
+        UNION ALL
+        SELECT 'quality_weighted' AS mode, doc_id, lang AS stratum, sample_key
+        FROM (
+            SELECT doc_id, lang,
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+                   least(1.0, greatest(0.0, {X.quality_score_sql('text')})) AS rate
+            FROM documents
+        )
+        WHERE rate >= 1.0
+           OR sample_key < {MX.rate_to_threshold_sql('rate')}
     """,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic sampling family: per-stratum rates + budgeted mixture.
+    """Deterministic sampling family: strata + budgeted mixture + soft
+    quality weighting.
 
-    Two modes of the training-mix downsampler, unioned with a mode tag:
+    Three modes of the training-mix downsampler, unioned with a mode tag:
 
     - ``lang_strata``: each language stratum keeps a fixed fraction (en
       ~7.8%, de/fr ~25%, others 50%) — the "rebalance the language mix"
@@ -606,8 +617,12 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       the source's actual token total) — the "hit a token budget at a
       target domain mix" primitive (operators/mixing.py). One
       O(#sources)-row aggregate broadcast back over the corpus.
+    - ``quality_weighted``: soft filtering — each doc's keep PROBABILITY
+      is its own quality score (hard thresholds discard borderline docs
+      entirely; weighting keeps them at reduced mass). Per-row rate, same
+      hex-threshold mechanism, still a stateless map.
 
-    Both keep decisions are a pure function of the row key (md5-prefix vs
+    Every keep decision is a pure function of the row key (md5-prefix vs
     a hex threshold). No rand(), no seed plumbing: the sample is
     reproducible across engines, runs, retries, and partitionings — Spark
     and DuckDB agree bit-for-bit, which `TABLESAMPLE`/`rand()` can never
@@ -639,7 +654,24 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("stratum"),
         "sample_key",
     )
-    return strata.unionAll(mixed)
+    qrate = F.least(
+        F.lit(1.0), F.greatest(F.lit(0.0), X.quality_score(F.col("text")))
+    )
+    soft = (
+        d.select(
+            F.lit("quality_weighted").alias("mode"),
+            "doc_id",
+            F.col("lang").alias("stratum"),
+            MX.sample_key("doc_id").alias("sample_key"),
+            qrate.alias("_rate"),
+        )
+        .filter(
+            (F.col("_rate") >= 1.0)
+            | (F.col("sample_key") < MX.rate_to_threshold(F.col("_rate")))
+        )
+        .drop("_rate")
+    )
+    return strata.unionAll(mixed).unionAll(soft)
 
 
 @query(
