@@ -285,6 +285,34 @@ def exact_dedup_keep_min(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     )
 
 
+def dedup_against_reference(
+    new_docs: DataFrame,
+    reference_fps: DataFrame,
+    key: Column,
+    *,
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: drop incoming docs whose
+    content fingerprint already exists in a reference set.
+
+    The "don't re-ingest what's already in the training set" primitive —
+    each crawl/snapshot dedups against the accumulated fingerprint table,
+    not against itself. `reference_fps` is the (fp) table persisted from
+    previous runs (orders of magnitude narrower than the corpus: 16 bytes
+    per UNIQUE document ever seen); the filter is a LEFT ANTI join on the
+    fingerprint — broadcast while the reference fits (driver-side
+    dedup ledgers often do), shuffled-hash beyond that, never a full
+    rescan of historical text. Compose with exact_dedup_keep_min on the
+    survivors to also dedup the increment internally — the same
+    two-stage shape sources.lake.append_new_only uses for id-keyed
+    idempotence, here content-keyed.
+    """
+    keyed = new_docs.withColumn(fp_col, key)
+    return keyed.join(
+        reference_fps.select(fp_col).distinct(), fp_col, "left_anti"
+    ).drop(fp_col)
+
+
 def prefix_filtered_jaccard_pairs(
     docs_with_shingles: DataFrame, threshold: float = 0.8
 ) -> DataFrame:

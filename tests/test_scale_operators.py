@@ -91,6 +91,49 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
     assert len(fast) > 0
 
 
+def test_dedup_against_reference_increment(spark):
+    """Cross-snapshot dedup: docs whose fingerprint is already in the
+    reference ledger are dropped; novel docs (and novel content reusing
+    an old doc_id) survive. Idempotent: a second pass against the grown
+    ledger drops everything."""
+    from nhl_data_pipeline_spark.operators.dedup import (
+        dedup_against_reference,
+        exact_dedup_keep_min,
+    )
+    from nhl_data_pipeline_spark.operators.text import fingerprint
+
+    d = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    ledger = d.filter(F.col("doc_id") < 250).select(
+        fingerprint(F.col("text")).alias("fp")
+    )
+    incoming = d.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+    )
+    kept = dedup_against_reference(incoming, ledger, fingerprint(F.col("text")))
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # 200-249 were already in the ledger; 250-299 are new — modulo the
+    # corpus's planted exact duplicates, which is exactly the point:
+    assert kept_ids <= set(range(250, 300))
+    dropped_new = set(range(250, 300)) - kept_ids
+    # any dropped "new" doc must share a fingerprint with a ledger doc
+    if dropped_new:
+        fps_ledger = {r["fp"] for r in ledger.distinct().collect()}
+        fps_dropped = {
+            r["fp"]
+            for r in incoming.filter(F.col("doc_id").isin(*dropped_new))
+            .select(fingerprint(F.col("text")).alias("fp"))
+            .collect()
+        }
+        assert fps_dropped <= fps_ledger
+    # grow the ledger with the increment → re-applying drops everything
+    grown = ledger.unionAll(kept.select(fingerprint(F.col("text")).alias("fp")))
+    again = dedup_against_reference(incoming, grown, fingerprint(F.col("text")))
+    assert again.count() == 0
+    # internal dedup of the increment composes on top
+    internal = exact_dedup_keep_min(kept, fingerprint(F.col("text")), "doc_id")
+    assert internal.count() <= max(len(kept_ids), 1)
+
+
 def test_minhash_lsh_empirical_recall_vs_exact(spark):
     """The LSH banding's recall claim (1-(1-j^3)^4 ≈ 98% at j=0.9) is
     theory; this measures it: candidate pairs from the banded query must
