@@ -99,11 +99,17 @@ def mixture_sample(
     totals = base.groupBy(source_col).agg(
         F.sum("_n_toks").alias("_src_tokens")
     )
-    rate = F.least(
-        F.lit(1.0),
-        F.lit(float(token_budget))
-        * weight_expr(weights, source_col)
-        / F.col("_src_tokens").cast("double"),
+    # A weighted source with ZERO total tokens keeps everything: its rows
+    # cost nothing against the token budget, and ANSI division would
+    # otherwise error (the SQL twin's double division yields inf, which
+    # least() clamps to 1 — this branch makes Spark match it exactly).
+    rate = F.when(F.col("_src_tokens") <= 0, F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * weight_expr(weights, source_col)
+            / F.col("_src_tokens").cast("double"),
+        )
     )
     keyed = base.join(F.broadcast(totals), source_col).select(
         F.col(id_col),

@@ -64,6 +64,18 @@ def test_lm_score_with_separate_reference(spark):
     assert scores[10] > scores[11] > 0.0
 
 
+def test_lm_plan_stays_jvm_side(spark):
+    """The scorer must be all-JVM (no Python stages) with partial
+    aggregation on the count groupBys and the 1-row V table broadcast."""
+    plan = lm.ngram_lm_score(load_table(spark, TEST_SF_DIR, "documents"))
+    p = plan.sparkSession._jvm.PythonSQLUtils.explainString(
+        plan._jdf.queryExecution(), "extended"
+    )
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # 1-row V
+
+
 def test_lm_short_docs_have_no_score_rows(spark):
     docs = spark.createDataFrame(
         [(1, "only two"), (2, "a b c")], "doc_id long, text string"

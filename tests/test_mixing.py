@@ -82,6 +82,32 @@ def test_mixture_is_partitioning_invariant(spark):
     assert a == b
 
 
+def test_mixture_zero_token_source_keeps_all(spark):
+    """A weighted source with zero total tokens must not error (ANSI
+    divide-by-zero) and keeps everything — its rows cost nothing against
+    the token budget, matching the SQL twin where the double division
+    yields inf and least() clamps the rate to 1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "srcA", "real tokens here"),
+            (2, "srcB", ""),  # tokenizes to one empty-string token
+        ],
+        "doc_id long, source string, text string",
+    )
+    from pyspark.sql import functions as F2
+
+    out = MX.mixture_sample(
+        docs,
+        {"srcA": 0.5, "srcB": 0.5},
+        100,
+        tokens_col=F2.size(
+            F2.filter(X.tokens(F2.col("text")), lambda t: F2.length(t) > 0)
+        ),
+    )
+    got = {(r["doc_id"], r["source"]) for r in out.collect()}
+    assert got == {(1, "srcA"), (2, "srcB")}
+
+
 def test_rate_threshold_edge_cases(spark):
     """rate→hex threshold: 0 keeps nothing, mid-range thresholds are the
     exact hex fraction, and the keep-all branch short-circuits lpad's
