@@ -73,10 +73,11 @@ def main() -> None:
                 if i >= 2:
                     runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
-            # Surface it loudly: a broken query must read as broken, not
-            # as a suspiciously-fast timing.
+            # Surface it loudly AND penalize: a broken query must read as
+            # SLOW in the summed headline (a negative marker would make
+            # the total smaller — a regression disguised as a speedup).
             print(f"WARNING: bench run failed for {name}: {exc!r}", file=sys.stderr)
-            timings[name] = -1.0
+            timings[name] = 999.0
             continue
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 

@@ -46,10 +46,15 @@ def word_frequencies(
 
 
 def _chars(word: Column) -> Column:
-    return F.transform(
-        F.sequence(F.lit(1), F.length(word)),
-        lambda i: word.substr(i, F.lit(1)),
-    )
+    # sequence(1, 0) DESCENDS in Spark (default step -1), so a zero-length
+    # word would yield [1, 0] → two phantom "" symbols; guard to empty.
+    return F.when(
+        F.length(word) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def _merge_fold(syms: Column, a: str, b: str) -> Column:
@@ -131,10 +136,11 @@ def encode(
             syms = _merge_fold(syms, a, b)
         return syms
 
-    return df.withColumn(
-        out_col,
-        F.flatten(F.transform(tokens(F.col(text_col)), encode_word)),
-    )
+    # Drop empty whitespace tokens (leading/trailing spaces split to ""),
+    # mirroring word_frequencies' filter — encode(train corpus) must BE
+    # the training segmentation.
+    words = F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    return df.withColumn(out_col, F.flatten(F.transform(words, encode_word)))
 
 
 def vocabulary(words: DataFrame) -> DataFrame:

@@ -307,10 +307,13 @@ def dedup_against_reference(
     two-stage shape sources.lake.append_new_only uses for id-keyed
     idempotence, here content-keyed.
     """
-    keyed = new_docs.withColumn(fp_col, key)
+    tmp = "__ref_fp"  # collision-safe: never clobber a caller's fp column
+    keyed = new_docs.withColumn(tmp, key)
     return keyed.join(
-        reference_fps.select(fp_col).distinct(), fp_col, "left_anti"
-    ).drop(fp_col)
+        reference_fps.select(F.col(fp_col).alias(tmp)).distinct(),
+        tmp,
+        "left_anti",
+    ).drop(tmp)
 
 
 def prefix_filtered_jaccard_pairs(

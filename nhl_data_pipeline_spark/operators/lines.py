@@ -46,9 +46,15 @@ def exploded_lines(
 def frequent_lines(
     lines: DataFrame, min_docs: int, *, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Lines occurring in ≥ min_docs distinct docs (the boilerplate set)."""
+    """Lines occurring in ≥ min_docs distinct docs (the boilerplate set).
+
+    Blank/whitespace-only lines are excluded: nearly every multi-paragraph
+    document contains them, so they'd always cross the threshold and the
+    strip would collapse paragraph structure corpus-wide — whitespace is
+    not boilerplate."""
     return (
-        lines.groupBy("line")
+        lines.filter(F.length(F.trim(F.col("line"))) > 0)
+        .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
     )
@@ -114,7 +120,7 @@ def strip_frequent_lines_sql(
             SELECT line
             FROM (
                 SELECT line, count(DISTINCT {id_col}) AS n_docs
-                FROM lines GROUP BY 1
+                FROM lines WHERE length(trim(line)) > 0 GROUP BY 1
             )
             WHERE n_docs >= {min_docs}
         ),

@@ -38,22 +38,33 @@ def _bucket_sql(row_i: int, token_expr: str) -> str:
 def cms_build(
     docs: DataFrame, *, text_col: str = "text"
 ) -> DataFrame:
-    """(row_i, bucket, n): the d×w counter table (≤ d·w rows, any corpus)."""
+    """(row_i, bucket, n): the d×w counter table (≤ d·w rows, any corpus).
+
+    ONE corpus scan: each token explodes into its d (row_i, bucket)
+    cells and a single map-side-combinable groupBy counts them (a
+    per-sketch-row union of groupBys would rescan and retokenize the
+    corpus d times)."""
     from nhl_data_pipeline_spark.operators.text import tokens
 
     tok = docs.select(F.explode(tokens(F.col(text_col))).alias("t")).filter(
         F.length("t") > 0
     )
-    rows = [
-        tok.groupBy(_bucket(i, F.col("t")).alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit(i).alias("row_i"), "bucket", "n")
-        for i in range(D_ROWS)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        _bucket(i, F.col("t")).alias("bucket"),
+                    )
+                    for i in range(D_ROWS)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.row_i", "cell.bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
 
 
 def cms_build_sql(*, table: str = "documents", text_col: str = "text") -> str:
@@ -77,12 +88,20 @@ def cms_estimate(sketch: DataFrame, queries: DataFrame, *, token_col: str = "tok
     The sketch is ≤ d·w rows → broadcast; estimation is a map-side join
     however many tokens are probed."""
     probes = queries.select(token_col).distinct()
-    per_row = None
-    for i in range(D_ROWS):
-        keyed = probes.select(
-            token_col, F.lit(i).alias("row_i"), _bucket(i, F.col(token_col)).alias("bucket")
-        )
-        per_row = keyed if per_row is None else per_row.unionAll(keyed)
+    per_row = probes.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_i"),
+                        _bucket(i, F.col(token_col)).alias("bucket"),
+                    )
+                    for i in range(D_ROWS)
+                ]
+            )
+        ).alias("cell"),
+    ).select(token_col, "cell.row_i", "cell.bucket")
     return (
         per_row.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
         .groupBy(token_col)

@@ -114,17 +114,31 @@ def unique_ratio(col: Column | str) -> Column:
     return F.size(F.array_distinct(t)).cast("double") / F.size(t)
 
 
+def quality_from_counts(
+    n_tokens: Column, stop_hits: Column, n_unique: Column
+) -> Column:
+    """The quality formula over precomputed counts — the ONE place the
+    0.4/0.3/0.3 policy lives. Both the per-column form below and the
+    materialized-count projections in plans/q_text.py call this, so a
+    weight change cannot silently diverge the oracle-checked copies."""
+    n = n_tokens.cast("double")
+    return (
+        0.4 * F.least(n / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - stop_hits.cast("double") / n)
+        + 0.3 * (n_unique.cast("double") / n_tokens)
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Deterministic quality heuristic: length richness + non-stopword mass
     + lexical diversity. Analog of length/punct/stopword-ratio scoring in
     training-data curation; weights are illustrative policy.
     """
-    n = token_count(col).cast("double")
-    stop_ratio = stopword_hits(col, ALL_STOPWORDS).cast("double") / n
-    return (
-        0.4 * F.least(n / 50.0, F.lit(1.0))
-        + 0.3 * (1.0 - stop_ratio)
-        + 0.3 * unique_ratio(col)
+    t = tokens(col)
+    return quality_from_counts(
+        F.size(t),
+        stopword_hits(col, ALL_STOPWORDS),
+        F.size(F.array_distinct(t)),
     )
 
 

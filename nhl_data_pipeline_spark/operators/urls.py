@@ -30,7 +30,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_HEAD = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
 # Tracking params to strip (whole param names only; non-capturing so the
 # surrounding patterns own the group numbers; `(?:p&)+` removes RUNS of
 # consecutive tracking params in one pass).
@@ -39,28 +38,53 @@ _TRACKING = r"(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
 
 def canonical_url(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    head = F.lower(F.regexp_extract(c, _HEAD, 1))
-    rest = F.substring(c, F.length(head) + 1, F.lit(1 << 30))
-    u = F.when(F.length(head) > 0, F.concat(head, rest)).otherwise(c)
+    # Lowercase ONLY scheme + host: userinfo (user:pass@) is case-sensitive
+    # per RFC 3986, so the authority is split at its '@' (if any) and the
+    # credential part is carried through verbatim.
+    scheme = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://)", 1)
+    userinfo = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)", 1)
+    hostport = F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)", 1
+    )
+    head_len = F.length(scheme) + F.length(userinfo) + F.length(hostport)
+    rest = F.substring(c, head_len + 1, F.lit(1 << 30))
+    u = F.when(
+        F.length(scheme) > 0,
+        F.concat(F.lower(scheme), userinfo, F.lower(hostport), rest),
+    ).otherwise(c)
     u = F.regexp_replace(u, r"#.*$", "")                              # fragment
     u = F.regexp_replace(u, r"([?&])(?:" + _TRACKING + r"&)+", r"$1")  # mid runs
     u = F.regexp_replace(u, r"([?&])" + _TRACKING + r"$", "")         # last param
     u = F.regexp_replace(u, r"\?$", "")                               # bare '?'
-    u = F.regexp_replace(u, r"^(https?://[^/?#]+):(80|443)([/?#]|$)", r"$1$3")
+    # default ports are scheme-specific: :80 is default ONLY for http,
+    # :443 ONLY for https — http://x:443 is a different origin and stays
+    u = F.regexp_replace(u, r"^(http://[^/?#]+):80([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#]+):443([/?#]|$)", r"$1$2")
     u = F.regexp_replace(u, r"^(https?://[^/?#]+(/[^?#]*[^/?#]))/(\?|$)", r"$1$3")
     return u
 
 
 def canonical_url_sql(expr: str) -> str:
     """DuckDB twin of :func:`canonical_url` — same patterns, RE2 syntax."""
-    head = f"lower(regexp_extract({expr}, '{_HEAD}', 1))"
-    rest = f"substring({expr}, length({head}) + 1)"
-    u = f"(CASE WHEN length({head}) > 0 THEN concat({head}, {rest}) ELSE {expr} END)"
+    scheme = f"regexp_extract({expr}, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1)"
+    userinfo = f"regexp_extract({expr}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*@)', 1)"
+    hostport = (
+        f"regexp_extract({expr},"
+        f" '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#]*@)?([^/?#]*)', 1)"
+    )
+    head_len = f"(length({scheme}) + length({userinfo}) + length({hostport}))"
+    rest = f"substring({expr}, {head_len} + 1)"
+    u = (
+        f"(CASE WHEN length({scheme}) > 0 THEN"
+        f" concat(lower({scheme}), {userinfo}, lower({hostport}), {rest})"
+        f" ELSE {expr} END)"
+    )
     u = f"regexp_replace({u}, '#.*$', '')"
     u = f"regexp_replace({u}, '([?&])(?:{_TRACKING}&)+', '\\1', 'g')"
     u = f"regexp_replace({u}, '([?&]){_TRACKING}$', '')"
     u = f"regexp_replace({u}, '\\?$', '')"
-    u = f"regexp_replace({u}, '^(https?://[^/?#]+):(80|443)([/?#]|$)', '\\1\\3')"
+    u = f"regexp_replace({u}, '^(http://[^/?#]+):80([/?#]|$)', '\\1\\2')"
+    u = f"regexp_replace({u}, '^(https://[^/?#]+):443([/?#]|$)', '\\1\\2')"
     u = (
         f"regexp_replace({u},"
         f" '^(https?://[^/?#]+(/[^?#]*[^/?#]))/(\\?|$)', '\\1\\3')"

@@ -48,12 +48,7 @@ def _lang_quality_scored(d: DataFrame) -> DataFrame:
     hat = X.lang_id_from_hits(
         {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
     )
-    n = F.col("_n").cast("double")
-    q = (
-        0.4 * F.least(n / 50.0, F.lit(1.0))
-        + 0.3 * (1.0 - F.col("_h_stop").cast("double") / n)
-        + 0.3 * (F.col("_nu").cast("double") / F.col("_n"))
-    )
+    q = X.quality_from_counts(F.col("_n"), F.col("_h_stop"), F.col("_nu"))
     return counted.select("doc_id", hat.alias("lang_hat"), q.alias("quality"))
 
 
@@ -123,12 +118,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hat = X.lang_id_from_hits(
         {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
     )
-    n = F.col("n_tokens").cast("double")
     uniq = F.col("n_unique_tokens").cast("double") / F.col("n_tokens")
-    q = (
-        0.4 * F.least(n / 50.0, F.lit(1.0))
-        + 0.3 * (1.0 - F.col("_h_stop").cast("double") / n)
-        + 0.3 * uniq
+    q = X.quality_from_counts(
+        F.col("n_tokens"), F.col("_h_stop"), F.col("n_unique_tokens")
     )
     prof = counted.select(
         "doc_id",
