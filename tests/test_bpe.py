@@ -92,6 +92,36 @@ def test_encode_is_pure_map(spark, corpus):
     assert "BatchEvalPython" not in p
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _WORD = st.text(alphabet="abcd", min_size=1, max_size=6)
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(_WORD, min_size=1, max_size=8), min_size=2, max_size=10))
+    def test_train_bpe_matches_python_on_random_corpora(spark, docs_words):
+        """Generative parity: on arbitrary tiny corpora (tight alphabet →
+        dense pair collisions, the adversarial regime for tiebreaks and
+        overlapping merges like 'aaa'), the distributed trainer must equal
+        the Python reference merge-for-merge and segment-for-segment."""
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges, words = bpe.train_bpe(df, 6)
+
+        wf: dict[str, int] = {}
+        for _, text in rows:
+            for w in text.split(" "):
+                if w:
+                    wf[w] = wf.get(w, 0) + 1
+        want_merges, want_segs = _py_bpe(wf, 6)
+        assert merges == want_merges
+        got_segs = {r["word"]: list(r["syms"]) for r in words.collect()}
+        assert got_segs == want_segs
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_vocabulary_covers_all_symbols(spark, corpus):
     merges, words = bpe.train_bpe(corpus, N_MERGES)
     vocab = {r["token"] for r in bpe.vocabulary(words).collect()}

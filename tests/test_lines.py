@@ -123,6 +123,39 @@ def test_strip_lines_restores_minhash_precision(spark):
     assert dirty_pairs > 10 * len(clean_pairs)
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _LINE = st.sampled_from(
+        ["alpha beta", "gamma", "shared footer", "", "  ", "delta epsilon z"]
+    )
+
+    @settings(max_examples=3, deadline=None)
+    @given(st.lists(st.lists(_LINE, min_size=1, max_size=6), min_size=2, max_size=8))
+    def test_strip_is_idempotent_on_random_corpora(spark, docs_lines):
+        """Generative idempotence incl. blank/whitespace lines: one strip
+        pass reaches a fixed point, and blank lines are never treated as
+        boilerplate (paragraph structure survives)."""
+        rows = [(i, "\n".join(ls)) for i, ls in enumerate(docs_lines)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        once = L.strip_frequent_lines(df, 2)
+        twice = L.strip_frequent_lines(once.select("doc_id", "text"), 2)
+        a = {(r["doc_id"], r["text"]) for r in once.collect()}
+        b = {(r["doc_id"], r["text"]) for r in twice.collect()}
+        assert a == b
+        # blank lines survive wherever the doc itself survived non-empty
+        for (i, text) in rows:
+            lines_in = text.split("\n")
+            blanks_in = sum(1 for l in lines_in if not l.strip())
+            out_text = next(t for d, t in a if d == i)
+            if out_text:
+                blanks_out = sum(1 for l in out_text.split("\n") if not l.strip())
+                assert blanks_out == blanks_in
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_frequent_lines_threshold(spark, corpus):
     lines = L.exploded_lines(corpus)
     freq = {r["line"]: r["n_docs"] for r in L.frequent_lines(lines, 2).collect()}
