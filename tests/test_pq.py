@@ -126,6 +126,57 @@ def test_adc_ranking_on_clustered_data(spark):
     assert len(top_exact & top_adc) >= 5
 
 
+def test_full_ann_stack_ivf_pq_rerank(spark):
+    """The production ANN composition end-to-end: k-means IVF restricts
+    WHICH vectors are considered, ADC over PQ codes cheaply ranks the
+    candidates, and an exact rerank of the ADC shortlist restores
+    fine-grained order — final top-5 must match brute force on clustered
+    data."""
+    from nhl_data_pipeline_spark.operators import kmeans as KM
+
+    rng = np.random.RandomState(3)
+    centers = rng.normal(0, 1.0, size=(8, 64))
+    mat = np.vstack([c + rng.normal(0, 0.05, size=(40, 64)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(len(mat))],
+        "vec_id long, embedding array<float>",
+    )
+    # stage 1: IVF — assign corpus to clusters, probe the query's nprobe=2
+    # nearest (min-id seeding can SPLIT a planted cluster across two
+    # centroids — the reason real IVF probes several buckets)
+    assigned, cents = KM.kmeans(df, 8, 3)
+    q_vec = mat[0].astype(np.float64)
+    near2 = sorted(
+        range(8), key=lambda c: ((np.array(cents[c]) - q_vec) ** 2).sum()
+    )[:2]
+    cand = assigned.filter(F.col("cluster_id").isin(near2)).select(
+        "vec_id", "embedding"
+    )
+    assert 0 < cand.count() < len(mat)  # pruning actually pruned
+
+    # stage 2: PQ/ADC shortlist over the candidates only
+    books = pq.train_codebooks(df, M, K, ITERS)
+    shortlist = {
+        r["vec_id"]
+        for r in pq.adc_scores(pq.encode(cand, books), q_vec.tolist(), books)
+        .orderBy("adc_dist")
+        .limit(20)
+        .collect()
+    }
+
+    # stage 3: exact rerank of the shortlist
+    short_df = df.filter(F.col("vec_id").isin(*shortlist))
+    rows = short_df.collect()
+    exact_short = sorted(
+        rows,
+        key=lambda r: ((np.array(r["embedding"]) - q_vec) ** 2).sum(),
+    )[:5]
+    got_top5 = [r["vec_id"] for r in exact_short]
+
+    brute = np.argsort(((mat - mat[0]) ** 2).sum(axis=1))[:5]
+    assert got_top5 == [int(i) for i in brute]
+
+
 def test_quantization_error_beats_random_codes(spark, emb, books):
     """Trained codebooks must reconstruct better than randomly-assigned
     codes from the same codebooks — i.e. training actually moved things."""
