@@ -145,6 +145,29 @@ def test_trained_ivf_recall_beats_arbitrary_centroids(spark, emb):
         assert r_trained >= r_fixed - 1e-9, (r_trained, r_fixed)
 
 
+def test_kmeans_degenerate_inputs(spark):
+    """k larger than the row count and duplicate points (guaranteed empty
+    clusters after the first update) must not error: empty clusters keep
+    their previous centroid and every row still gets an assignment."""
+    rows = [(i, [float(i % 2), 0.0, 1.0]) for i in range(5)]  # 2 distinct pts
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = KM.kmeans(df, 4, 3)  # k=4 > 2 distinct points
+    got = assigned.collect()
+    assert len(got) == 5
+    assert all(0 <= r["cluster_id"] < 4 for r in got)
+    assert len(cents) == 4  # empty clusters retained their previous centroid
+    # identical points always co-cluster
+    by_parity = {}
+    for r in got:
+        by_parity.setdefault(r["vec_id"] % 2, set()).add(r["cluster_id"])
+    assert all(len(v) == 1 for v in by_parity.values())
+
+    # k greater than the TOTAL row count: init just uses what exists
+    tiny = spark.createDataFrame(rows[:2], "vec_id long, embedding array<float>")
+    cents2 = KM.init_centroids(tiny, 10)
+    assert len(cents2) == 2
+
+
 def test_assign_is_codegen_only(spark, emb):
     """The assignment stage must stay JVM-side: no BatchEvalPython, no
     joins/exchanges — a single projected scan."""
