@@ -33,12 +33,20 @@ def snapshot_diff(
     status ∈ {'added', 'removed', 'changed', 'unchanged'}; `key` is the
     content fingerprint expression evaluated on each side.
     """
-    o = old.select(F.col(id_col), key.alias("_fp_old"))
-    n = new.select(F.col(id_col), key.alias("_fp_new"))
+    # Presence is tracked with explicit per-side markers, NOT fingerprint
+    # nullability: a doc whose fingerprint expression evaluates to NULL
+    # (e.g. null text -> md5 NULL) is still PRESENT on its side, and the
+    # SQL twin's id-based test must agree row-for-row.
+    o = old.select(
+        F.col(id_col), key.alias("_fp_old"), F.lit(True).alias("_in_old")
+    )
+    n = new.select(
+        F.col(id_col), key.alias("_fp_new"), F.lit(True).alias("_in_new")
+    )
     joined = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), F.lit("added"))
-        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
         .when(F.col("_fp_old") == F.col("_fp_new"), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )

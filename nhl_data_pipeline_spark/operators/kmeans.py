@@ -28,8 +28,9 @@ this is its scale form, the same exact-vs-banded split as the jaccard /
 MinHash-LSH family.
 
 Reference analog: the entity-resolution crosswalk's blocking strategy
-(`src/nhl_pipeline/transform/odds_crosswalk.py` name-key blocks) — here the
-block key is learned from the data instead of derived from a column.
+(`dbt_nhl/models/staging/stg_player_name_crosswalk.sql:66-139` blocks
+candidate matches on normalized name keys) — here the block key is learned
+from the data instead of derived from a column.
 """
 
 from __future__ import annotations

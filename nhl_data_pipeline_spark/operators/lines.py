@@ -20,9 +20,9 @@ Scale shape (100 TB):
    shuffle in the plan.
 
 Reference analog: the staging dedup of repeated payload snapshots
-(`src/nhl_pipeline/staging/*` latest-snapshot rule) works at row grain;
-this operator generalizes the "same content seen many times ⇒ keep once /
-drop" rule to sub-document grain.
+(`dbt_nhl/models/staging/stg_games.sql:32` latest-snapshot ROW_NUMBER
+rule) works at row grain; this operator generalizes the "same content seen
+many times ⇒ keep once / drop" rule to sub-document grain.
 """
 
 from __future__ import annotations

@@ -23,9 +23,11 @@ computed in EXACT integer arithmetic as
 per doc as a BIGINT (exact, order-independent), and converted to a double
 mean only at the very end with one division sequence both engines execute
 identically. Result: bit-exact parity, same ranking direction as
-perplexity (higher = more typical). Overflow headroom: numerator
-≤ (10·c_tri+1)·10¹² — safe while c_tri < 9·10⁵; for 100 TB corpora drop
-the fixed-point scale to 10⁹ (headroom 9·10⁸) or bucket counts first.
+perplexity (higher = more typical). Overflow safety: the numerator
+(10·c_tri+1)·10¹² is computed in DECIMAL(38,0) on the Spark side and
+HUGEINT in the DuckDB twin, so counts up to ~10¹⁹ (any physical corpus)
+stay exact; the division result itself is ≤ 1.1·10¹² (c_ctx ≥ c_tri by
+construction) so the per-doc BIGINT sum has ~10⁶-trigram headroom per doc.
 
 Self-scoring (train and score on the same corpus) is the held-in
 configuration; pass a different `reference` frame for the CCNet shape
@@ -89,10 +91,14 @@ def ngram_lm_score(
         F.col("gram"),
         F.expr("substring_index(gram, ' ', 2)").alias("ctx"),
     )
-    num = (10 * F.coalesce("c_tri", F.lit(0)) + 1).cast("bigint") * F.lit(
+    # DECIMAL(38,0) numerator: (10*c_tri+1)*10^12 would wrap BIGINT once
+    # c_tri exceeds ~9.2e5 on a large/self-similar corpus; decimal keeps it
+    # exact to ~1e25 and `div` (IntegralDivide) on decimals still returns
+    # an exact BIGINT.
+    num = (10 * F.coalesce("c_tri", F.lit(0)) + 1).cast("decimal(38,0)") * F.lit(
         FIXED_POINT
     )
-    den = (10 * F.coalesce("c_ctx", F.lit(0)) + F.col("v")).cast("bigint")
+    den = (10 * F.coalesce("c_ctx", F.lit(0)) + F.col("v")).cast("decimal(38,0)")
     # true integer division ((num/den).cast(bigint) would round-trip
     # through double and reintroduce the float wobble)
     scored = (
@@ -142,7 +148,8 @@ def ngram_lm_score_sql(
         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM tri_counts),
         scored AS (
             SELECT t.{id_col},
-                   CAST((10 * COALESCE(tc.c_tri, 0) + 1) * {FIXED_POINT}
+                   CAST(CAST(10 * COALESCE(tc.c_tri, 0) + 1 AS HUGEINT)
+                        * {FIXED_POINT}
                         // (10 * COALESCE(cc.c_ctx, 0) + v.v) AS BIGINT)
                        AS p_fixed
             FROM tri t

@@ -1,9 +1,9 @@
 """Domain-mixture sampling: hit a token budget at a target source mix.
 
 The pretraining-data composition primitive (reference analog: the curated
-multi-source bronze layer, `src/nhl_pipeline/ingest/*` pulling per-source
-slices; generalized here to the weighted-mixture form every LLM data
-pipeline needs): given per-source target weights and a total token budget,
+multi-source bronze layer — `src/nhl_pipeline/ingestion/fetch_odds_props.py`
+and its sibling fetchers each pull one source's slice; generalized here to
+the weighted-mixture form every LLM data pipeline needs): given per-source target weights and a total token budget,
 derive one keep-rate per source from the corpus's actual per-source token
 counts, then sample deterministically at that rate.
 
@@ -79,19 +79,23 @@ def mixture_sample(
     *,
     id_col: str = "doc_id",
     source_col: str = "source",
+    text_col: str = "text",
     tokens_col: Column | None = None,
 ) -> DataFrame:
     """Sample ``docs`` to ≈``token_budget`` tokens at the ``weights`` mix.
 
-    ``tokens_col`` is the per-row token count expression (defaults to the
-    whitespace tokenizer length). Returns (id, source, sample_key) for kept
-    rows — the keep decision is sample_key < threshold(rate_source) with
+    ``tokens_col`` is the per-row token count expression; it defaults to
+    the whitespace tokenizer length over ``text_col`` (parameterized like
+    id_col/source_col, so renamed text columns work without a custom
+    tokens_col — mirrors the SQL twin's tokens_expr). Returns
+    (id, source, sample_key) for kept rows — the keep decision is
+    sample_key < threshold(rate_source) with
     rate_source = min(1, budget·w_s / tokens_s).
     """
     from nhl_data_pipeline_spark.operators.text import tokens
 
     n_toks = (
-        tokens_col if tokens_col is not None else F.size(tokens(F.col("text")))
+        tokens_col if tokens_col is not None else F.size(tokens(F.col(text_col)))
     )
     base = docs.select(
         F.col(id_col), F.col(source_col), n_toks.cast("long").alias("_n_toks")

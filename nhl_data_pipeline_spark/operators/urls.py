@@ -21,8 +21,9 @@ Canonical form (RFC 3986-lite, the crawl-dedup subset):
      dropped.
 
 Reference analog: the REST ingestion layer keys its bronze snapshots by
-request URL (`src/nhl_pipeline/ingest/api_client.py`); canonicalization is
-what makes URL-keyed idempotence robust when upstreams vary formatting.
+request URL (`src/nhl_pipeline/ingestion/api_utils.py:37-47` builds the
+endpoint URLs the S3 keys derive from); canonicalization is what makes
+URL-keyed idempotence robust when upstreams vary formatting.
 """
 
 from __future__ import annotations
@@ -32,8 +33,11 @@ from pyspark.sql import functions as F
 
 # Tracking params to strip (whole param names only; non-capturing so the
 # surrounding patterns own the group numbers; `(?:p&)+` removes RUNS of
-# consecutive tracking params in one pass).
-_TRACKING = r"(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+# consecutive tracking params in one pass). The NAME match is
+# case-insensitive via a scoped (?i:...) group — ?UTM_SOURCE=x is the same
+# tracker — while values and all non-tracking params stay case-sensitive.
+# (?i:...) is in the Java∩RE2 subset, so the DuckDB twin shares the pattern.
+_TRACKING = r"(?i:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def canonical_url(col: Column | str) -> Column:

@@ -74,3 +74,44 @@ def test_snapshot_diff_matches_duckdb_twin(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_snapshot_diff_null_fingerprint_presence(spark):
+    """A doc PRESENT on one side whose fingerprint evaluates to NULL (null
+    text -> md5 NULL) must be classified by presence, not fp nullability:
+    present-in-both with a null fp on either side is 'changed' (unknown
+    content can't be proven unchanged), matching the SQL twin's id test."""
+    import duckdb
+
+    old_pd = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": [None, "same", "gone-null"]}
+    )
+    new_pd = pd.DataFrame(
+        {"doc_id": [1, 2, 4], "text": ["now-filled", "same", None]}
+    )
+    old = spark.createDataFrame(old_pd)
+    new = spark.createDataFrame(new_pd)
+    got = {
+        (r["doc_id"], r["status"])
+        for r in DF_.snapshot_diff(old, new, fingerprint(F.col("text"))).collect()
+    }
+    assert got == {
+        (1, "changed"),   # present both sides, old fp NULL -> NOT 'added'
+        (2, "unchanged"),
+        (3, "removed"),
+        (4, "added"),     # new-side fp NULL but genuinely new
+    }
+    con = duckdb.connect()
+    con.register("old_snap", old_pd)
+    con.register("new_snap", new_pd)
+    want = {
+        tuple(r)
+        for r in con.sql(
+            DF_.snapshot_diff_sql(
+                old_table="old_snap",
+                new_table="new_snap",
+                key_expr=fingerprint_sql("text"),
+            )
+        ).fetchall()
+    }
+    assert got == want

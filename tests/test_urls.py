@@ -20,6 +20,11 @@ CASES = [
     ("https://example.com/a?utm_a=1&utm_b=2", "https://example.com/a"),
     ("https://example.com/a?utm_a=1&utm_b=2&x=3", "https://example.com/a?x=3"),
     ("https://example.com/a?fbclid=abc", "https://example.com/a"),
+    # tracking-param NAMES are case-insensitive; values/other params are not
+    ("https://example.com/a?UTM_SOURCE=x", "https://example.com/a"),
+    ("https://example.com/a?Utm_Campaign=y&x=1", "https://example.com/a?x=1"),
+    ("https://example.com/a?FbClid=abc&REF=z", "https://example.com/a"),
+    ("https://example.com/a?X=1&GCLID=q", "https://example.com/a?X=1"),
     ("https://example.com/a?referrer=x", "https://example.com/a?referrer=x"),  # not 'ref'
     ("https://example.com/a/b/", "https://example.com/a/b"),
     ("https://example.com/", "https://example.com/"),  # root slash stays
