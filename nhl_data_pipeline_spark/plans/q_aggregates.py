@@ -100,72 +100,63 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "hit_rate_ratios",
-    covers="A4",
-    oracle=f"""
-        SELECT event_type,
-               {bcount('n_over', 'value > 250')},
-               {bcount('n_decided', 'value <> 250')},
-               CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS DOUBLE)
-                   / NULLIF(COUNT(CASE WHEN value <> 250 THEN 1 END), 0) AS over_rate
-        FROM events
-        GROUP BY event_type
-    """,
-)
-def hit_rate_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered COUNTs with a NULLIF-guarded hit-rate ratio.
-
-    Analog of the SOG-props over/under hit rates
-    (`rpt_sog_props_performance.sql:25-118`): `COUNT(CASE ...) /
-    NULLIF(COUNT(CASE ...), 0)` — pushes both counts into one aggregate pass.
-    """
-    e = load_table(spark, sf_dir, "events")
-    n_over = F.count(F.when(F.col("value") > 250, 1))
-    n_decided = F.count(F.when(F.col("value") != 250, 1))
-    return e.groupBy("event_type").agg(
-        n_over.alias("n_over"),
-        n_decided.alias("n_decided"),
-        F.when(n_decided != 0, n_over.cast("double") / n_decided)
-        .otherwise(F.lit(None).cast("double"))
-        .alias("over_rate"),
-    )
+# (hit_rate_ratios folded into distinct_counts below — round-4 registry
+# rotation; the A4 ratio columns now ride the same per-event_type
+# aggregate pass.)
 
 
 @query(
     "distinct_counts",
-    covers="A5,A6",
+    covers="A4,A5,A6",
     oracle=f"""
         WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
-        SELECT d.event_type, d.user_id, u.unique_users, u.n_events
+        SELECT d.event_type, d.user_id, u.unique_users, u.n_events,
+               u.n_over, u.n_decided, u.over_rate
         FROM d JOIN (
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
-                   {bcount('n_events')}
+                   {bcount('n_events')},
+                   {bcount('n_over', 'value > 250')},
+                   {bcount('n_decided', 'value <> 250')},
+                   CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS DOUBLE)
+                       / NULLIF(COUNT(CASE WHEN value <> 250 THEN 1 END), 0)
+                       AS over_rate
             FROM events
             GROUP BY event_type
         ) u USING (event_type)
     """,
 )
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SELECT DISTINCT dedup (A5) + exact COUNT(DISTINCT) per group (A6),
-    one result: every distinct (event_type, user_id) pair annotated with
-    its group's exact distinct-user and event counts.
+    """SELECT DISTINCT dedup (A5) + exact COUNT(DISTINCT) per group (A6) +
+    NULLIF-guarded filtered-count hit-rate ratios (A4, formerly the
+    separate `hit_rate_ratios` row — merged round 4; the ratio columns
+    ride the same per-event_type aggregate pass, so the fold costs no
+    extra scan): every distinct (event_type, user_id) pair annotated with
+    its group's counts and over-rate.
 
     Analogs: dim_team's DISTINCT + the crosswalk's distinct odds names
-    (`dim_team.sql:11-30`, `stg_player_name_crosswalk.sql:52-64`) and the
-    bronze validation profile (`query/validate_bronze.py:65-84`). The
-    distinct set is a hash aggregate with map-side partials; the
-    countDistinct expands to Spark's two-phase distinct aggregate; the
-    5-row counts side broadcasts back onto the distinct set. At 100 TB,
-    prefer approx_count_distinct (HLL) unless exactness is contractual —
-    the exact form shuffles every distinct (group, user) pair.
+    (`dim_team.sql:11-30`, `stg_player_name_crosswalk.sql:52-64`), the
+    bronze validation profile (`query/validate_bronze.py:65-84`), and the
+    SOG-props over/under hit rates (`rpt_sog_props_performance.sql:25-118`:
+    `COUNT(CASE ...) / NULLIF(COUNT(CASE ...), 0)`). The distinct set is a
+    hash aggregate with map-side partials; the countDistinct expands to
+    Spark's two-phase distinct aggregate; the 5-row counts side broadcasts
+    back onto the distinct set. At 100 TB, prefer approx_count_distinct
+    (HLL) unless exactness is contractual — the exact form shuffles every
+    distinct (group, user) pair.
     """
     e = load_table(spark, sf_dir, "events")
     d = e.select("event_type", "user_id").distinct()
+    n_over = F.count(F.when(F.col("value") > 250, 1))
+    n_decided = F.count(F.when(F.col("value") != 250, 1))
     u = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("unique_users"),
         F.count(F.lit(1)).alias("n_events"),
+        n_over.alias("n_over"),
+        n_decided.alias("n_decided"),
+        F.when(n_decided != 0, n_over.cast("double") / n_decided)
+        .otherwise(F.lit(None).cast("double"))
+        .alias("over_rate"),
     )
     return d.join(u, "event_type")
 
@@ -208,37 +199,11 @@ def having_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "null_profiling",
-    covers="A9",
-    oracle=f"""
-        SELECT {bsum("CASE WHEN event_id IS NULL THEN 1 ELSE 0 END", "null_event_id")},
-               {bsum("CASE WHEN user_id IS NULL THEN 1 ELSE 0 END", "null_user_id")},
-               {bsum("CASE WHEN event_type IS NULL THEN 1 ELSE 0 END", "null_event_type")},
-               {bsum("CASE WHEN value IS NULL THEN 1 ELSE 0 END", "null_value")},
-               {bsum("CASE WHEN props IS NULL THEN 1 ELSE 0 END", "null_props")},
-               {bcount('n_rows')}
-        FROM events
-    """,
-)
-def null_profiling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-column null-count profiling in one pass.
+# (null_profiling folded into profiling_aggregates below — round-4
+# registry rotation; the A9 null profile is now the 'nulls' branch of the
+# tagged profiling union.)
 
-    Analog of the time-travel validator's null profile
-    (`src/nhl_pipeline/utils/time_travel_validator.py:126-160`,
-    `validate_bronze.py:157-166`).
-    """
-    e = load_table(spark, sf_dir, "events")
-    def nulls(col: str):
-        return F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint")
-    return e.agg(
-        nulls("event_id").alias("null_event_id"),
-        nulls("user_id").alias("null_user_id"),
-        nulls("event_type").alias("null_event_type"),
-        nulls("value").alias("null_value"),
-        nulls("props").alias("null_props"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
+_NULL_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
 
 
 @query(
@@ -334,7 +299,7 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "profiling_aggregates",
-    covers="A-ext-cube,A-ext-percentile",
+    covers="A-ext-cube,A-ext-percentile,A9",
     oracle=f"""
         SELECT 'cube' AS op, o_orderstatus AS dim1, o_orderpriority AS dim2,
                {bcount('n')}, {dsum('o_totalprice', 'total')},
@@ -349,18 +314,37 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
                quantile_cont(value, 0.99)
         FROM events
         GROUP BY event_type
+        UNION ALL
+        SELECT 'nulls', cols.c, CAST(NULL AS VARCHAR), cols.n_nulls,
+               CAST(t.n_rows AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        FROM (
+            {" UNION ALL ".join(
+                f'''SELECT '{c}' AS c,
+                    CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_nulls FROM events'''
+                for c in _NULL_PROFILE_COLS
+            )}
+        ) cols
+        CROSS JOIN (SELECT count(*) AS n_rows FROM events) t
     """,
 )
 def profiling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-profiling aggregates beyond the reference's surface, one
-    tagged result (formerly cube_rollup_profile + percentile_profile,
-    merged row-for-row): CUBE grouping sets over orders (SURVEY §2.5 notes
-    the reference has none; a 100 TB profiling pipeline wants every
-    marginal from one pass) and exact interpolated percentiles per event
-    type (Spark `percentile` ≡ DuckDB `quantile_cont`, verified bit-equal;
-    at 100 TB prefer approx_percentile's t-digest). The CUBE's own NULL
-    margin dims stay distinguishable from the percentile branch via the op
-    tag. Each branch is an independent scan→aggregate; the stitch is a
+    tagged result (formerly cube_rollup_profile + percentile_profile +
+    null_profiling, merged row-for-row): CUBE grouping sets over orders
+    (SURVEY §2.5 notes the reference has none; a 100 TB profiling pipeline
+    wants every marginal from one pass), exact interpolated percentiles
+    per event type (Spark `percentile` ≡ DuckDB `quantile_cont`, verified
+    bit-equal; at 100 TB prefer approx_percentile's t-digest), and the
+    per-column null profile of events (A9 — analog of the time-travel
+    validator's null profile, `src/nhl_pipeline/utils/
+    time_travel_validator.py:126-160`, `query/validate_bronze.py:157-166`)
+    as 'nulls' rows: dim1 = column name, n = null count, total = row
+    count. The null branch is ONE aggregate pass producing a single row,
+    unpivoted to rows via `stack` — no per-column rescans. The CUBE's own
+    NULL margin dims stay distinguishable from the other branches via the
+    op tag. Each branch is an independent scan→aggregate; the stitch is a
     rename-alignment union of disjoint shapes (nulled measure columns)."""
     o = load_table(spark, sf_dir, "orders")
     cube = (
@@ -399,6 +383,31 @@ def profiling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99",
         )
     )
-    return cube.unionByName(pct)
+    one = e.agg(
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_null_{c}")
+            for c in _NULL_PROFILE_COLS
+        ],
+        F.count(F.lit(1)).alias("_n_rows"),
+    )
+    stack_args = ", ".join(f"'{c}', _null_{c}" for c in _NULL_PROFILE_COLS)
+    nulls = one.select(
+        F.expr(
+            f"stack({len(_NULL_PROFILE_COLS)}, {stack_args}) AS (dim1, n)"
+        ),
+        F.col("_n_rows"),
+    ).select(
+        F.lit("nulls").alias("op"),
+        "dim1",
+        F.lit(None).cast("string").alias("dim2"),
+        "n",
+        F.col("_n_rows").cast("double").alias("total"),
+        F.lit(None).cast("double").alias("p50"),
+        F.lit(None).cast("double").alias("p90"),
+        F.lit(None).cast("double").alias("p99"),
+    )
+    return cube.unionByName(pct).unionByName(nulls)
 
 

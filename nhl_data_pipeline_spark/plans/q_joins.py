@@ -318,48 +318,48 @@ def entity_resolution_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "cross_join_scalar",
-    covers="J7",
+    "cross_anti_join_flags",
+    covers="J7,J8,J9",
     oracle="""
-        SELECT c.c_custkey, g.max_order_ts
+        SELECT c.c_custkey, c.c_name,
+               CASE WHEN EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey)
+                    THEN 'has_orders' ELSE 'no_orders' END AS order_status,
+               g.max_order_ts
         FROM customer c
         CROSS JOIN (SELECT max(o_orderdate) AS max_order_ts FROM orders) g
     """,
 )
-def cross_join_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar broadcast cross join: attach a single-row aggregate to all rows.
+def cross_anti_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar broadcast cross join + semi/anti partition of one dimension
+    (merged `cross_join_scalar` + `anti_join_unmatched`, round-4 registry
+    rotation): every customer tagged has_orders/no_orders via a GENUINE
+    left_semi / left_anti pair (both operators stay in the physical plan —
+    pinned in tests/test_plan_shape.py), with the global latest order
+    timestamp attached to every row by a broadcast nested-loop cross join.
 
-    Analog of attaching `current_season` / `next_opponent` to every row
-    (`dim_player.sql:79`, `bruins_opponent_shot_locations.sql:21`).
-    """
-    c = load_table(spark, sf_dir, "customer")
-    g = load_table(spark, sf_dir, "orders").agg(
-        F.max("o_orderdate").alias("max_order_ts")
-    )
-    return c.crossJoin(F.broadcast(g)).select("c_custkey", "max_order_ts")
-
-
-@query(
-    "anti_join_unmatched",
-    covers="J8",
-    oracle="""
-        SELECT c.c_custkey, c.c_name
-        FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def anti_join_unmatched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join: entities with no matching rows.
-
-    Analog of unmatched odds names (`odds_matching_queries.sql:35-44`) and
-    the Iceberg incremental skip-existing anti join
-    (`iceberg/bronze_odds_player_props.py:274-291`).
+    Analogs: attaching `current_season` / `next_opponent` to every row
+    (`dim_player.sql:79`, `bruins_opponent_shot_locations.sql:21`);
+    unmatched odds names (`odds_matching_queries.sql:35-44`) and the
+    Iceberg incremental skip-existing anti join
+    (`iceberg/bronze_odds_player_props.py:274-291`). At scale both halves
+    broadcast the orders key set (or shuffle on custkey when it outgrows
+    the broadcast threshold); the scalar side is always a 1-row broadcast.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    g = o.agg(F.max("o_orderdate").alias("max_order_ts"))
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("order_status", F.lit("has_orders"))
     )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("order_status", F.lit("no_orders"))
+    )
+    return semi.unionByName(anti).crossJoin(F.broadcast(g))
 
 
 @query(

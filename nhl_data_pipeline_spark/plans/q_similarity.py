@@ -195,42 +195,13 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_cosine_neardup",
-    covers="LLM-dedup-embedding",
-    oracle=f"""
-        WITH normed AS (
-            SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
-        )
-        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_COS} AS cosine
-        FROM normed q JOIN normed c ON q.vec_id < c.vec_id
-        WHERE {_COS} >= 0.4
-    """,
-)
-def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs above a threshold.
-
-    Exact all-pairs form (the verify stage), executed by the vectorized
-    bit-exact scorer (operators.similarity.cosine_allpairs_numpy): an
-    Arrow-batched per-DIMENSION accumulation loop reproduces the JVM/DuckDB
-    left-to-right float64 fold bit-for-bit while scoring batch×n pairs at C
-    speed — ~15× over the BNLJ + interpreted-HOF form it replaced, same
-    oracle. Still O(n²) by design; at scale, gate with the banded
-    hyperplane LSH below or the IVF buckets above so only same-bucket
-    pairs are scored — same output contract.
-    """
-    return cosine_allpairs_numpy(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
-    )
-
-
 _DIM, _LSH_BANDS, _LSH_ROWS = 64, 8, 3
 _BBKT_SQL = hyperplane_band_buckets_sql("embedding", _DIM, _LSH_BANDS, _LSH_ROWS)
 
 
 @query(
-    "embedding_neardup_lsh",
-    covers="LLM-dedup-embedding,LLM-dedup-simhash",
+    "embedding_neardup_pairs",
+    covers="LLM-dedup-embedding,LLM-dedup-embedding-lsh",
     oracle=f"""
         WITH normed AS (
             SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
@@ -248,33 +219,44 @@ _BBKT_SQL = hyperplane_band_buckets_sql("embedding", _DIM, _LSH_BANDS, _LSH_ROWS
               ON a.band_idx = b.band_idx AND a.bucket = b.bucket
              AND a.vec_id < b.vec_id
         )
-        SELECT p.vec_a, p.vec_b, {_COS} AS cosine
-        FROM cand p
-        JOIN normed q ON q.vec_id = p.vec_a
-        JOIN normed c ON c.vec_id = p.vec_b
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_COS} AS cosine,
+               EXISTS (SELECT 1 FROM cand
+                       WHERE cand.vec_a = q.vec_id AND cand.vec_b = c.vec_id)
+                   AS in_lsh
+        FROM normed q JOIN normed c ON q.vec_id < c.vec_id
         WHERE {_COS} >= 0.4
     """,
 )
-def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH-gated embedding near-dup pairs — the scale path whose
-    output the exact all-pairs `embedding_cosine_neardup` bounds.
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs, each flagged with whether the
+    banded hyperplane LSH ALSO surfaces it (merged
+    `embedding_cosine_neardup` + `embedding_neardup_lsh`, both formerly
+    separate green rows — one registry slot, and the in_lsh flag makes the
+    LSH's empirical recall a directly-audited quantity instead of a
+    docstring claim).
 
-    8 bands x 3 deterministic +/-1 hyperplanes: a pair is a candidate if all
-    3 signs agree in ANY band (recall ~= 1-(1-p^3)^8 ~= 0.9 at cosine 0.4;
-    a single 24-plane AND-bucket would have recall p^24 ~= 0 — banding is
-    what makes sign-LSH usable). Candidates then get the exact cosine
-    verify at the same threshold, so precision is 1. Cost tracks band
-    bucket occupancy, not n^2; at 100 TB raise rows-per-band to keep
-    buckets small and make band_idx+bucket the shuffle key. Same banding
-    construction as dedup_minhash_lsh; bucket ids are bit-stable across
-    engines because dots sum left-to-right in float64.
+    The exact side is the vectorized bit-exact all-pairs scorer
+    (operators.similarity.cosine_allpairs_numpy — Arrow-batched
+    per-dimension accumulation reproducing the JVM/DuckDB left-to-right
+    float64 fold); O(n²) by design, the declared audit baseline. The LSH
+    side is 8 bands × 3 deterministic ±1 hyperplanes (recall ≈
+    1-(1-p³)⁸ ≈ 0.9 at cosine 0.4; banding is what makes sign-LSH usable —
+    a 24-plane AND-bucket would have recall p²⁴ ≈ 0); LSH-verified pairs ⊆
+    exact pairs (precision 1), so the flag is a left join of candidates
+    onto the exact pair set. At 100 TB run the LSH side alone (cost tracks
+    band-bucket occupancy, not n²) with band_idx+bucket as the shuffle
+    key; bucket ids are bit-stable across engines because dots sum
+    left-to-right in float64.
     """
-    e = with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+    exact = cosine_allpairs_numpy(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
         "bkts", hyperplane_band_buckets("embedding", _DIM, _LSH_BANDS, _LSH_ROWS)
-    ).persist()
+    )
     banded = e.select(
         "vec_id", F.posexplode("bkts").alias("band_idx", "bucket")
-    )
+    ).persist()
     a = banded.select(
         F.col("vec_id").alias("vec_a"), "band_idx", "bucket"
     )
@@ -286,22 +268,186 @@ def embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()
+        .withColumn("_hit", F.lit(True))
     )
-    q = e.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    # LSH-verified pairs are a subset of the exact pair set (precision 1),
+    # so flagging = a left join of candidates onto the exact pairs.
+    return exact.join(cand, ["vec_a", "vec_b"], "left").select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.coalesce("_hit", F.lit(False)).alias("in_lsh"),
     )
-    c = e.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+
+
+# ---------------------------------------------------------------- round 4:
+# driver rows for the k-means / PQ families. Both use PINNED deterministic
+# centroids (the k smallest-id corpus vectors — operators.kmeans.
+# init_centroids) so the oracle is pure SQL: the Lloyd UPDATE step's
+# decimal-exact mean is deliberately NOT in the oracle path because
+# float->decimal casts are not cross-engine bit-stable (Spark rounds via
+# JDK Double.toString's shortest-repr, DuckDB via the exact binary
+# expansion — measured divergence at scale 18, e.g. 123.456001281738280000
+# vs ...276864), while the assignment/blocking/ADC arithmetic below is the
+# proven left-to-right float64 idiom. The trained variants (kmeans n_iter>0,
+# train_codebooks) are numpy-parity + recall-gate verified in
+# tests/test_kmeans.py / tests/test_pq.py.
+
+_KM_K = 8  # clusters for the semantic-dedup blocking key
+_KM_THRESHOLD = 0.4
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    """DuckDB twin of operators.kmeans._sq_dist (left-to-right float64)."""
     return (
-        cand.join(q, "vec_a")
-        .join(c, "vec_b")
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.4)
-        .select("vec_a", "vec_b", "cosine")
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+@query(
+    "kmeans_semantic_dedup",
+    covers="LLM-kmeans,LLM-dedup-embedding",
+    oracle=f"""
+        WITH cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {_KM_K})
+        ),
+        dists AS (
+            SELECT e.vec_id, e.embedding, c.cluster_id,
+                   {_sqd_sql('e.embedding', 'c.cvec')} AS d
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cluster_id,
+                   {norm_sql('embedding')} AS nrm
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+                  FROM dists)
+            WHERE rn = 1
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+                   AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)
+              >= {_KM_THRESHOLD}
+    """,
+)
+def kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs searched only WITHIN k-means clusters — the
+    learned-blocking-key scale form of the exact all-pairs audit
+    (`embedding_neardup_pairs`): sum-of-squares-of-cluster-sizes work
+    instead of n².
+
+    Assignment is pure whole-stage codegen (literal centroid matrix,
+    zip_with/aggregate squared-L2 fold, array_position first-min
+    tiebreak); the blocked self-join shuffles on cluster_id only. This
+    driver row pins the centroids at init (k smallest-id vectors,
+    n_iter=0) so DuckDB can replay the exact assignment arithmetic; the
+    Lloyd's refinement (decimal-exact order-independent means) is
+    numpy-parity verified in tests/test_kmeans.py — see the module comment
+    above for why float→decimal rounding can't cross the engine boundary.
+    Reference analog: `dbt_nhl/models/staging/stg_player_name_crosswalk.sql:66-139`
+    (blocking keys for entity resolution), learned instead of derived.
+    """
+    from nhl_data_pipeline_spark.operators import kmeans as KM
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return KM.semantic_neardup_pairs(e, _KM_THRESHOLD, _KM_K, n_iter=0)
+
+
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8  # 8 subspaces x 16 centroids over 64 dims
+_PQ_TOPK = 50
+
+
+def _pq_slice(expr: str, j: str) -> str:
+    return f"list_slice({expr}, {j}*{_PQ_SUB}+1, {j}*{_PQ_SUB}+{_PQ_SUB})"
+
+
+@query(
+    "pq_adc_topk",
+    covers="LLM-pq-adc",
+    oracle=f"""
+        WITH cb AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                   embedding AS cvec
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY vec_id LIMIT {_PQ_K})
+        ),
+        subs AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+        enc AS (
+            SELECT vec_id, j, code FROM (
+                SELECT e.vec_id, s.j, cb.code,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, s.j
+                           ORDER BY {_sqd_sql(_pq_slice('e.embedding', 's.j'),
+                                              _pq_slice('cb.cvec', 's.j'))},
+                                    cb.code
+                       ) AS rn
+                FROM embeddings e CROSS JOIN subs s CROSS JOIN cb
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 1),
+        lut AS (
+            SELECT s.j, cb.code,
+                   {_sqd_sql(_pq_slice('q.qvec', 's.j'),
+                             _pq_slice('cb.cvec', 's.j'))} AS dist
+            FROM subs s CROSS JOIN cb CROSS JOIN q
+        ),
+        adc AS (
+            SELECT e.vec_id,
+                   array_to_string(list(e.code ORDER BY e.j), '-') AS pq_code,
+                   list_sum(list(l.dist ORDER BY e.j)) AS adc_dist
+            FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+            GROUP BY e.vec_id
+        )
+        SELECT vec_id, pq_code, adc_dist, CAST(rnk AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY adc_dist, vec_id) AS rnk
+              FROM adc)
+        WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode + asymmetric-distance top-k — the
+    memory side of 100 TB vector search (4-byte codes instead of 256-byte
+    vectors; ADC scores rows from an m×k literal lookup table, never
+    touching the original vectors).
+
+    Codebooks here are PINNED (each subspace's codebook = the k smallest-id
+    vectors' sub-slices) so the encode argmin and the driver-side float64
+    LUT replay exactly in DuckDB; k-means-trained codebooks
+    (operators.pq.train_codebooks) are the production path, verified by
+    numpy-bitwise + planted-cluster ranking tests (tests/test_pq.py).
+    Encode is one codegen projection (operators/pq.py:63-86); ADC is m
+    element_at lookups + left-assoc adds per row; top-k is a global
+    row_number with (dist, id) tiebreak — at scale, per-partition top-k
+    then merge (the cosine_topk pattern).
+    """
+    from nhl_data_pipeline_spark.operators import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pinned = e.select("vec_id", "embedding").orderBy("vec_id").limit(_PQ_K).collect()
+    base = [[float(v) for v in r["embedding"]] for r in pinned]
+    books = [
+        [row[j * _PQ_SUB : (j + 1) * _PQ_SUB] for row in base]
+        for j in range(_PQ_M)
+    ]
+    codes = PQ.encode(e, books)
+    scored = PQ.adc_scores(codes, base[0], books)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return (
+        codes.join(scored, "vec_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            "vec_id",
+            F.concat_ws("-", F.col("pq_code")).alias("pq_code"),
+            "adc_dist",
+            "rank",
+        )
     )

@@ -56,3 +56,60 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = es.read_events_stream(spark, sf_dir)
     agg = es.tumbling_counts(stream, window="1 hour", watermark="3650 days")
     return es.run_available_now_complete(spark, agg)
+
+
+@query(
+    "streaming_sessionize",
+    covers="§2.10-streaming-stateful",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                              IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER (
+                                 PARTITION BY user_id ORDER BY ts)) > 3600
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        g AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM ordered
+        ),
+        sess AS (
+            SELECT user_id, sid, min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY 1, 2
+        )
+        SELECT user_id, session_start, session_end, n_events
+        FROM sess
+        WHERE sid < (SELECT max(sid) FROM sess s2
+                     WHERE s2.user_id = sess.user_id)
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization EXECUTED BY THE STREAMING ENGINE
+    (applyInPandasWithState, per-user state across micro-batches,
+    ``availableNow``), hash-checked against the batch gap-sessionization
+    SQL (lag → gap flag → cumulative-sum session ids) — the one operator
+    family with nontrivial custom state logic, now driver-checked.
+
+    The stream emits CLOSED sessions only (a user's final session stays in
+    state when the input is exhausted), so the oracle excludes each user's
+    last session. Determinism: the whole events file arrives in one
+    micro-batch under availableNow (single parquet file), so per-user
+    event order inside the state function is total; on a real unbounded
+    stream, per-key ordered replay (or event-time sessionization with a
+    watermark) is required — see streaming/sessionize.py for the
+    ProcessingTimeTimeout state-eviction variant (wall-clock-dependent by
+    nature, pytest-verified instead).
+    """
+    from nhl_data_pipeline_spark.streaming import sessionize as sz
+
+    stream = es.read_events_stream(spark, sf_dir)
+    sessions = sz.sessionize(
+        stream.select("user_id", "ts"), gap_seconds=3600
+    )
+    return es.run_available_now(spark, sessions)

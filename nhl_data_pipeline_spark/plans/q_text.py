@@ -16,6 +16,8 @@ from nhl_data_pipeline_spark.catalog import load_table
 from nhl_data_pipeline_spark.operators import cluster as C
 from nhl_data_pipeline_spark.operators import dedup as D
 from nhl_data_pipeline_spark.operators import lines as L
+from nhl_data_pipeline_spark.operators import lm as LM
+from nhl_data_pipeline_spark.operators import sketch as SK
 from nhl_data_pipeline_spark.operators import mixing as MX
 from nhl_data_pipeline_spark.operators import multimodal as M
 from nhl_data_pipeline_spark.operators import text as X
@@ -161,24 +163,51 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_fingerprint_dedup",
-    covers="LLM-dedup-exact,A1",
+    "doc_signature_dedup",
+    covers="LLM-dedup-exact,LLM-dedup-simhash,A1",
     oracle=f"""
-        SELECT {X.fingerprint_sql('text')} AS fp,
-               CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
-               CAST(count(*) AS BIGINT) AS n_dups
-        FROM documents
-        GROUP BY 1
+        WITH sig AS (
+            SELECT doc_id, {X.fingerprint_sql('text')} AS fp,
+                   {D.simhash_sql(_TOKS, 16)} AS simhash16
+            FROM documents
+        ),
+        grp AS (
+            SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM sig GROUP BY 1
+        )
+        SELECT s.doc_id, s.fp, g.keep_doc_id, g.n_dups, s.simhash16
+        FROM sig s JOIN grp g USING (fp)
     """,
 )
-def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via canonical fingerprint; keep the smallest doc_id.
+def doc_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content signatures + exact dedup verdict in one result
+    (merged `doc_fingerprint_dedup` + `dedup_simhash`, both formerly
+    separate green rows — same operators, one registry slot).
 
-    One hash-aggregate shuffle on the 16-byte fingerprint — at 100 TB this
-    moves hashes, never documents.
+    Columns: the doc's 16-byte canonical fingerprint (exact-dedup key),
+    the group's keep_doc_id / n_dups from the hash-aggregate dedup
+    (`operators/dedup.exact_dedup_keep_min`), and the 16-bit SimHash
+    near-dup bucket (`simhash_exploded`, codegen explode+sum form).
+    Scale shape: the dedup aggregate moves 16-byte fingerprints only; the
+    annotate-back join is fp↔fp hash join (both sides already hashed by
+    fp); SimHash is one exchange of (id, 16 partial sums).
     """
-    d = load_table(spark, sf_dir, "documents")
-    return D.exact_dedup_keep_min(d, X.fingerprint(F.col("text")), "doc_id")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    sh = D.simhash_exploded(
+        d.select("doc_id", X.tokens(F.col("text")).alias("toks")),
+        F.col("toks"),
+        16,
+    )
+    fps = d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+    grp = D.exact_dedup_keep_min(d, X.fingerprint(F.col("text")), "doc_id")
+    return (
+        fps.join(grp, "fp")
+        .join(sh, "doc_id")
+        .select("doc_id", "fp", "keep_doc_id", "n_dups", "simhash16")
+    )
 
 
 _SH_SQL = D.shingles_sql(_TOKS, 3)
@@ -356,30 +385,8 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash",
-    covers="LLM-dedup-simhash",
-    oracle=f"""
-        SELECT doc_id, {D.simhash_sql(_TOKS, 16)} AS simhash16
-        FROM documents
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (md5-nibble bits, ±1 majority vote).
-
-    Join-free near-dup bucketing: one value per doc, cluster by equality
-    (or probe neighboring buckets for Hamming distance ≤ d at scale).
-    Computed via the explode + sum-aggregate form (codegen, md5 once per
-    token, measured 2.6× over the interpreted array fold — see simhash_exploded).
-    """
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
-    )
-    return D.simhash_exploded(
-        d.select("doc_id", X.tokens(F.col("text")).alias("toks")),
-        F.col("toks"),
-        16,
-    )
+# (dedup_simhash folded into doc_signature_dedup above — round-4 registry
+# rotation to free driver slots for the round-3 operator families.)
 
 
 @query(
@@ -997,3 +1004,106 @@ def pii_winnow_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_fps", F.lit(0).cast("bigint")).alias("n_fps"),
         "min_fp",
     )
+
+
+# ---------------------------------------------------------------- round 4:
+# driver rows for the n-gram LM and count-min-sketch families (their
+# DuckDB twins existed since round 3; the registry rotation freed the
+# slots).
+
+
+@query(
+    "ngram_lm_quality",
+    covers="LLM-lm-quality",
+    oracle=LM.ngram_lm_score_sql(),
+)
+def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style trigram-LM quality score per document (self-scored):
+    train add-k-smoothed trigram/context counts over the corpus, score
+    each doc by its mean in-context trigram probability.
+
+    Cross-engine hash-exact by construction: probabilities are computed in
+    fixed-point integer arithmetic (DECIMAL(38,0) numerator, BIGINT sums)
+    with ONE final double division — see operators/lm.py. Scale shape: the
+    model side is the distinct-ngram table (two map-side-combinable
+    groupBys), orders of magnitude smaller than the corpus; scoring is two
+    hash joins on the gram/context keys.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return LM.ngram_lm_score(d)
+
+
+_CMS_TOP = 20
+
+
+@query(
+    "cms_heavy_hitters",
+    covers="LLM-sketch-cms",
+    oracle=f"""
+        WITH cells AS ({SK.cms_build_sql()}),
+        tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+        top AS (
+            SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt
+            FROM tok WHERE length(t) > 0
+            GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {_CMS_TOP}
+        ),
+        probe AS (
+            SELECT token, row_i,
+                   substr(md5(CAST(row_i AS VARCHAR) || '|' || token), 1, 2)
+                       AS bucket
+            FROM top
+            CROSS JOIN (SELECT unnest(generate_series(0, {SK.D_ROWS - 1}))
+                        AS row_i)
+        ),
+        est AS (
+            SELECT p.token, min(COALESCE(c.n, 0)) AS n
+            FROM probe p
+            LEFT JOIN cells c ON c.row_i = p.row_i AND c.bucket = p.bucket
+            GROUP BY 1
+        )
+        SELECT 'cell' AS kind, row_i, bucket, CAST(NULL AS VARCHAR) AS token, n
+        FROM cells
+        UNION ALL
+        SELECT 'est', CAST(NULL AS INT), CAST(NULL AS VARCHAR), token, n
+        FROM est
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + heavy-hitter estimation, one tagged result:
+    'cell' rows are the full d×w counter table (≤ 1024 rows whatever the
+    corpus size — built in ONE corpus scan, operators/sketch.py), 'est'
+    rows are the min-over-rows estimates for the corpus's top-20 exact
+    tokens (the estimate ≥ exact-count CMS guarantee is asserted per
+    token in tests/test_sketch.py; here both engines build the identical
+    sketch row-for-row because the hash rows are md5-prefix buckets).
+    Scale: the sketch is a constant-size broadcastable summary; estimation
+    is a map-side join however many tokens are probed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sketch = SK.cms_build(d)
+    tok = d.select(F.explode(X.tokens(F.col("text"))).alias("t")).filter(
+        F.length("t") > 0
+    )
+    top = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("t"))
+        .limit(_CMS_TOP)
+        .select(F.col("t").alias("token"))
+    )
+    est = SK.cms_estimate(sketch, top, token_col="token")
+    cells = sketch.select(
+        F.lit("cell").alias("kind"),
+        "row_i",
+        "bucket",
+        F.lit(None).cast("string").alias("token"),
+        "n",
+    )
+    ests = est.select(
+        F.lit("est").alias("kind"),
+        F.lit(None).cast("int").alias("row_i"),
+        F.lit(None).cast("string").alias("bucket"),
+        "token",
+        F.col("est").alias("n"),
+    )
+    return cells.unionByName(ests)

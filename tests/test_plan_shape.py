@@ -64,7 +64,12 @@ def test_aggregation_is_partial_then_final(spark):
 
 def test_semi_and_anti_joins_stay_joins(spark):
     assert "LeftSemi" in plan_str(run(spark, "semi_join_latest_order"))
-    assert "LeftAnti" in plan_str(run(spark, "anti_join_unmatched"))
+    # The merged cross+semi/anti query must keep BOTH join types as real
+    # join operators (plus the scalar broadcast nested-loop cross join).
+    merged = plan_str(run(spark, "cross_anti_join_flags"))
+    assert "LeftAnti" in merged
+    assert "LeftSemi" in merged
+    assert "BroadcastNestedLoopJoin" in merged
 
 
 def test_partition_pruning_on_partitioned_write(spark, tmp_path):
