@@ -106,10 +106,42 @@ def rewrite_iff(sql: str) -> str:
     return _IFF_RE.sub("if(", sql)
 
 
-def spark_sql_compat(spark: SparkSession, sql: str) -> DataFrame:
+def rewrite_qualified_names(sql: str, name_map: dict[str, str]) -> str:
+    """Catalog mapping: rewrite Snowflake `db.schema.`-qualified table
+    prefixes onto the engine's registered view namespace.
+
+    The reference worksheets address three-part names
+    (`nhl_analytics.silver.fact_team_game_stats`,
+    `dbt_nhl/analysis/team_shot_example_queries.sql:19`); Spark's session
+    catalog resolves two-part names at most, so the shim maps each
+    `db.schema.` prefix (case-insensitive, word-boundary-anchored) to a
+    caller-chosen view prefix — '' to mount the schema at the root, or
+    e.g. 'ref_' to mount it beside an existing namespace.
+    """
+    for prefix, repl in name_map.items():
+        sql = re.sub(
+            r"(?<![A-Za-z0-9_.])" + re.escape(prefix),
+            repl,
+            sql,
+            flags=re.IGNORECASE,
+        )
+    return sql
+
+
+def spark_sql_compat(
+    spark: SparkSession,
+    sql: str,
+    *,
+    name_map: dict[str, str] | None = None,
+) -> DataFrame:
     """Run (possibly Snowflake-flavored) SQL on Spark: QUALIFY and IFF
-    rewritten, helper column dropped from the result."""
+    rewritten, qualified names mapped, helper column dropped from the
+    result. Everything else the reference's worksheets use (`::` casts,
+    aliases in HAVING, tuple-IN subqueries, `INTERVAL '15 days'`) parses
+    natively in Spark 4 (probed, tests/test_worksheet_verbatim.py)."""
     rewritten = rewrite_iff(rewrite_qualify(sql))
+    if name_map:
+        rewritten = rewrite_qualified_names(rewritten, name_map)
     had_qualify = "__qualify" in rewritten
     df = spark.sql(rewritten)
     return df.drop("__qualify") if had_qualify else df
