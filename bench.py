@@ -16,6 +16,7 @@ import json
 import os
 import sys
 import time
+from functools import reduce
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -119,6 +120,7 @@ def _dedup_scale_probe(spark) -> dict:
       honest: clean corpora → MinHash-LSH default; boilerplate-heavy →
       strip boilerplate first (operators/lines.py) or use PPJoin.
     """
+    from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
 
     from nhl_data_pipeline_spark.operators import dedup as D
@@ -147,6 +149,26 @@ def _dedup_scale_probe(spark) -> dict:
         timed(probe, "minhash_lsh", qs["dedup_minhash_lsh"].fn(spark, sf_dir))
         out[Path(sf_dir).name] = probe
 
+    def naive_pairs_of(sh):
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
+        ).hint("shuffle_hash")
+        return (
+            a.join(b, ["s"])
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (4 * F.greatest("n_a", "n_b") <= 5 * F.least("n_a", "n_b"))
+            )
+            .groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+                >= 0.8
+            )
+        )
+
     # Hot-shingle regime: 3000 sf0.1 docs + shared 60-token boilerplate.
     # (3000, not 5000: the naive join OOMs at 5000 — see docstring.)
     boiler = " ".join(f"footer{i} legal{i} nav{i}" for i in range(20))
@@ -161,25 +183,15 @@ def _dedup_scale_probe(spark) -> dict:
     sh = D.exploded_distinct_shingles(
         docs, X.tokens(F.col("text")), 3, hash_shingles=True
     ).persist()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s").hint(
-        "shuffle_hash"
+    timed(probe, "ngram_jaccard_naive", naive_pairs_of(sh))
+    # Stop-shingle gate ON: drop shingles with df > 100 (the 58 boilerplate
+    # shingles have df = 3000) before the same join — the README's
+    # prescribed 100-TB skew mitigation, here actually measured.
+    timed(
+        probe,
+        "ngram_jaccard_naive_stopcap100",
+        naive_pairs_of(D.drop_stop_shingles(sh, max_df=100)),
     )
-    naive_pairs = (
-        a.join(b, ["s"])
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (4 * F.greatest("n_a", "n_b") <= 5 * F.least("n_a", "n_b"))
-        )
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .filter(
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-            >= 0.8
-        )
-    )
-    timed(probe, "ngram_jaccard_naive", naive_pairs)
     sh.unpersist()
     shl = (
         D.exploded_distinct_shingles(docs, X.tokens(F.col("text")), 3)
@@ -197,6 +209,57 @@ def _dedup_scale_probe(spark) -> dict:
     probe["minhash_lsh"] = round(time.perf_counter() - t0, 3)
     probe["minhash_lsh_candidate_pairs"] = float(n_cand)
     out["sf0.1_boiler3k"] = probe
+
+    # sf1-equivalent decade: 10× the sf0.1 corpus (50K docs). Replica r>0
+    # prefixes every 4th token with a replica salt, which kills every
+    # 3-shingle window covering a mutated position: cross-replica jaccard
+    # of the same doc is ~0.14 (windows at pos ≡ 1 mod 4 survive), far
+    # below the 0.8 threshold, while WITHIN-replica near-dup structure is
+    # preserved exactly (the same mutation hits both members of a planted
+    # pair). The surviving ~1/4 of shingles are identical across all 10
+    # replicas — df × 10 on a quarter of the universe — so the probe
+    # genuinely stresses the naive join's Σdf² fan-out one decade up, not
+    # just 10× more rows of independent text.
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    reps = [base]
+    for r in range(1, 10):
+        mut = F.array_join(
+            F.transform(
+                X.tokens(F.col("text")),
+                lambda tok, i: F.when(
+                    i % 4 == 0, F.concat(F.lit(f"r{r}x"), tok)
+                ).otherwise(tok),
+            ),
+            " ",
+        )
+        reps.append(
+            base.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                mut.alias("text"),
+            )
+        )
+    big = reduce(DataFrame.unionAll, reps).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    probe = {}
+    sh = D.exploded_distinct_shingles(
+        big, X.tokens(F.col("text")), 3, hash_shingles=True
+    ).persist()
+    timed(probe, "ngram_jaccard_naive", naive_pairs_of(sh))
+    timed(
+        probe,
+        "ngram_jaccard_naive_stopcap100",
+        naive_pairs_of(D.drop_stop_shingles(sh, max_df=100)),
+    )
+    sh.unpersist()
+    shl = (
+        D.exploded_distinct_shingles(big, X.tokens(F.col("text")), 3)
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("sh"))
+    )
+    timed(probe, "ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
+    timed(probe, "minhash_lsh", minhash_band_pairs(big))
+    out["sf1_50k"] = probe
     return out
 
 

@@ -79,6 +79,49 @@ def exploded_distinct_shingles(
     )
 
 
+def drop_stop_shingles(
+    sh: DataFrame, max_df: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` from an
+    exploded (id, n, s) shingle table, recomputing the per-doc set size.
+
+    This is the skew gate the naive all-shingle jaccard join needs at scale
+    (module docstring, "drop top-frequency shingles before the join"): the
+    join's fan-out is Σ df(s)² over shingles, so a boilerplate shingle shared
+    by every doc of a web template contributes df² pairs on its own. Hot
+    shingles are FEW by definition (df > max_df bounds their count at
+    |corpus-shingle-rows| / max_df), so the hot set broadcasts and the drop
+    is a broadcast anti-join — no extra shuffle on the big side beyond the
+    df groupBy.
+
+    Semantics: downstream jaccard is exact over the REDUCED shingle universe
+    — i.e. boilerplate is treated as stop-words, which for near-dup curation
+    is usually the wanted behavior (two docs are not near-dups merely for
+    sharing a nav bar; cf. the line-level pass in operators/lines.py which
+    removes boilerplate from the text itself). Docs whose shingles are all
+    hot drop out entirely and must be handled by the caller (they are pure
+    boilerplate). Measured effect: bench.py::_dedup_scale_probe's boiler3k
+    corpus — the naive join goes from quadratic blow-up to clean-corpus
+    speed once the 58 boilerplate shingles (df=3000) are dropped.
+    """
+    from pyspark.sql.window import Window
+
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+    return (
+        sh.join(F.broadcast(hot), "s", "left_anti")
+        .select(id_col, "s")
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("bigint"),
+        )
+    )
+
+
 def shingles(tokens_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a tokens array.
 

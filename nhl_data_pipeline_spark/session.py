@@ -15,6 +15,12 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# local[n] runs driver + all n executor threads in ONE JVM whose heap
+# defaults to 1g — 32 concurrent shuffle tasks in 1 GiB is permanent GC
+# pressure and OOMs on any join with real fan-out (the container has
+# 128 GiB). On a cluster this comes from spark-submit --driver-memory /
+# --executor-memory; locally we must set it before the JVM starts.
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 
 def get_spark(
@@ -31,6 +37,9 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
+        # Honored only at JVM launch (first session in the process) —
+        # exactly the local-mode case; on a cluster spark-submit wins.
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         # AQE: runtime partition coalescing, skew-join splitting, and
         # dynamic join-strategy switching. Essential at 100 TB, harmless
         # locally.

@@ -91,6 +91,58 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
     assert len(fast) > 0
 
 
+def test_drop_stop_shingles(spark):
+    """Hot shingles (df > cap) vanish, n is recomputed over the survivors,
+    pure-boilerplate docs drop out, and naive jaccard over the filtered
+    table no longer pairs docs that share only boilerplate."""
+    from nhl_data_pipeline_spark.operators.dedup import (
+        drop_stop_shingles,
+        exploded_distinct_shingles,
+    )
+    from nhl_data_pipeline_spark.operators.text import tokens
+
+    boiler = "nav home about contact legal footer"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon " + boiler),
+            (2, "alpha beta gamma delta zeta " + boiler),  # near-dup of 1
+            (3, "one two three four five six seven " + boiler),
+            (4, "eight nine ten eleven twelve thirteen " + boiler),
+            (5, boiler),  # pure boilerplate
+        ],
+        "doc_id: bigint, text: string",
+    )
+    sh = exploded_distinct_shingles(docs, tokens(F.col("text")), 3)
+    kept = drop_stop_shingles(sh, max_df=3).persist()
+    # every surviving shingle has df <= 3
+    assert kept.groupBy("s").count().filter(F.col("count") > 3).count() == 0
+    # n matches the recomputed distinct-shingle count per doc
+    bad = (
+        kept.groupBy("doc_id", "n")
+        .agg(F.count_distinct("s").alias("m"))
+        .filter(F.col("n") != F.col("m"))
+    )
+    assert bad.count() == 0
+    # the pure-boilerplate doc is gone
+    assert kept.filter(F.col("doc_id") == 5).count() == 0
+    # naive jaccard over the filtered table: only the true content pair
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(
+            F.col("c").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("c"))
+            >= 0.2
+        )
+    )
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
+    kept.unpersist()
+
+
 def test_dedup_against_reference_increment(spark):
     """Cross-snapshot dedup: docs whose fingerprint is already in the
     reference ledger are dropped; novel docs (and novel content reusing
