@@ -205,6 +205,18 @@ def train_bpe_batched(
     only loses count, so the prefix IS the sequential trajectory. The
     equivalence is additionally property-tested against both
     :func:`train_bpe` and the plain-Python reference in tests/test_bpe.py.
+
+    MEASURED BOUND (sf0.1 corpus, 89 effective merges, local[32]): the
+    provably-safe prefix averages only 1.6 merges/round (histogram
+    24×1, 28×2, 3×3) — natural text has near-tied counts and
+    chain-adjacent pairs ('e'+'r' then 'er'+'s'), which violate
+    disjointness/strict-bound almost every round — while each round costs
+    3 jobs (pair count, triple bound, collision scan) vs sequential's 1.
+    Net: 52.6 s batched vs 19.2 s sequential. So batching is NOT the
+    production scale path; it is kept as the provably-safe construction.
+    The real answer at 100 TB is :func:`train_bpe_driver` below: the
+    corpus-scale stage is the one word-frequency groupBy, and the merge
+    loop runs driver-local on the compact vocabulary table.
     """
     words = (
         word_frequencies(docs, text_col=text_col)
@@ -260,6 +272,89 @@ def train_bpe_batched(
             eager=True
         )
     return merges, words
+
+
+def train_bpe_driver(
+    docs: DataFrame,
+    n_merges: int,
+    *,
+    text_col: str = "text",
+    max_words: int = 20_000_000,
+) -> list[Merge]:
+    """BPE training the way production tokenizer trainers actually run at
+    corpus scale: Spark does the ONE corpus-sized job (the word-frequency
+    groupBy — map-side combinable, shuffles only distinct words), then the
+    merge loop runs driver-local over the compact vocabulary table with
+    incremental pair-count maintenance.
+
+    Why this is the 100 TB path: every distributed merge iteration costs a
+    full Spark job over the word table (launch + shuffle latency dominate
+    — measured 19.2 s for 89 merges at sf0.1, and the provably-safe
+    batched variant is slower still, see :func:`train_bpe_batched`),
+    while the word table itself grows only ~O(corpus^0.7) (Heaps' law).
+    The driver loop does the same 89 merges in milliseconds; a 32K-merge
+    production vocab needs seconds, not 32K Spark jobs. ``max_words``
+    makes the driver-residency assumption explicit — beyond it (extreme
+    vocabularies: no pre-tokenization, heavy code/URL content), raise and
+    fall back to :func:`train_bpe`, which stays fully distributed.
+
+    Identical semantics to :func:`train_bpe` / the plain-Python reference
+    in tests/test_bpe.py: pairs weighted by word frequency, argmax by
+    (count DESC, pair ASC), left-to-right non-overlapping replacement,
+    stop when the best count is ≤ 1. Parity is asserted merge-for-merge
+    in tests/test_bpe.py.
+    """
+    from collections import Counter
+
+    wf = word_frequencies(docs, text_col=text_col)
+    rows = wf.limit(max_words + 1).collect()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"word-frequency table exceeds max_words={max_words}; "
+            "use train_bpe (distributed) for this corpus"
+        )
+    freq = {r["word"]: r["freq"] for r in rows}
+    # Deterministic iteration order (collect order is partition-dependent).
+    words = sorted(freq)
+    segs = {w: list(w) for w in words}
+    counts: Counter = Counter()
+    for w in words:
+        f, syms = freq[w], segs[w]
+        for x, y in zip(syms, syms[1:]):
+            counts[(x, y)] += f
+    merges: list[Merge] = []
+    for _ in range(n_merges):
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] <= 1:
+            break
+        merges.append(best)
+        a, b = best
+        for w in words:
+            syms = segs[w]
+            # cheap adjacency test before paying the rebuild
+            has = any(
+                x == a and y == b for x, y in zip(syms, syms[1:])
+            )
+            if not has:
+                continue
+            f = freq[w]
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] -= f
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            segs[w] = out
+            for x, y in zip(out, out[1:]):
+                counts[(x, y)] += f
+        counts = +counts  # drop zero/negative residue so argmax stays clean
+    return merges
 
 
 def encode(

@@ -70,6 +70,24 @@ def test_train_bpe_matches_python_reference(spark, corpus):
     assert got_segs == want_segs
 
 
+def test_train_bpe_driver_matches_reference(spark, corpus):
+    """Driver-local trainer (the 100 TB path: corpus-scale word count in
+    Spark, merge loop on the compact vocabulary) is merge-for-merge
+    identical to the Python reference and the distributed trainer."""
+    wf = {
+        r["word"]: r["freq"]
+        for r in bpe.word_frequencies(corpus).collect()
+    }
+    want_merges, _ = _py_bpe(wf, N_MERGES)
+    got = bpe.train_bpe_driver(corpus, N_MERGES)
+    assert got == want_merges and len(got) > 0
+
+
+def test_train_bpe_driver_max_words_guard(spark, corpus):
+    with pytest.raises(ValueError, match="max_words"):
+        bpe.train_bpe_driver(corpus, N_MERGES, max_words=3)
+
+
 def test_encode_reproduces_training_segmentation(spark, corpus):
     merges, words = bpe.train_bpe(corpus, N_MERGES)
     segs = {r["word"]: list(r["syms"]) for r in words.collect()}
