@@ -1,0 +1,86 @@
+"""Fixed-token chunking: DuckDB twin parity + reconstruction properties."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.operators.chunking import (
+    chunk_documents,
+    chunk_documents_sql,
+)
+from tests.conftest import TEST_SF_DIR
+
+CHUNK, OVERLAP = 16, 4  # small windows so the 50-token test docs multi-chunk
+
+
+@pytest.fixture(scope="module")
+def chunks(spark):
+    docs = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, chunk_tokens=CHUNK, overlap=OVERLAP
+    ).collect()
+
+
+def test_matches_duckdb_twin(spark, duck, chunks):
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunks"], r["n_tokens"], r["chunk_text"])
+        for r in chunks
+    }
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in duck.sql(
+            chunk_documents_sql(chunk_tokens=CHUNK, overlap=OVERLAP)
+        ).fetchall()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_reconstruction_and_sizes(spark, chunks):
+    """Dropping each non-first chunk's leading overlap and concatenating
+    reproduces the original token stream; every chunk is ≤ CHUNK tokens
+    and non-empty; chunk_ids are dense from 0."""
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    stride = CHUNK - OVERLAP
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_chunks"] == len(rows) for r in rows)
+        rebuilt: list[str] = []
+        for r in rows:
+            toks = r["chunk_text"].split(" ")
+            assert 0 < len(toks) <= CHUNK
+            rebuilt.extend(toks if r["chunk_id"] == 0 else toks[OVERLAP:])
+        n_tokens = rows[0]["n_tokens"]
+        assert len(rebuilt) == n_tokens
+        # windows past the first start at chunk_id*stride: token at any
+        # absolute position must agree between rebuilt stream and chunks
+        for r in rows[1:]:
+            start = r["chunk_id"] * stride
+            assert r["chunk_text"].split(" ")[:OVERLAP] == rebuilt[start:start + OVERLAP]
+
+
+def test_short_and_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, "   "), (4, " ".join(f"t{i}" for i in range(CHUNK)))],
+        "doc_id: bigint, text: string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=CHUNK, overlap=OVERLAP).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1, 4}  # empty/whitespace docs emit nothing
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == "a b c"
+    assert len(by_doc[4]) == 1  # exactly CHUNK tokens -> single chunk
+
+
+def test_bad_params_raise(spark):
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=-1)
