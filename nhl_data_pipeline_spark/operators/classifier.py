@@ -1,0 +1,169 @@
+"""Linear quality-classifier INFERENCE at corpus scale.
+
+The model-based curation stage (fastText/CCNet-style "wiki vs crawl"
+quality filters): a trained linear model over hashed bag-of-words
+features, applied to every document. Training such a model is a
+single-node / MLlib job over a small labeled set and is out of scope —
+what a 100 TB pipeline needs from the ENGINE is cheap, deterministic,
+resumable inference, which is exactly a broadcast join plus one
+aggregation:
+
+  features:  explode tokens → md5-prefix bucket (portable hash) →
+             per-(doc, bucket) term frequency. One shuffle, reusable
+             doc_id partitioning.
+  score:     broadcast the (bucket, weight) table — 2^k rows however big
+             the corpus — multiply-accumulate per doc, add bias.
+  decision:  logit > 0 (sigmoid is monotone; prob column is convenience).
+
+Cross-engine determinism: weights are DECIMAL(12,6) and term frequencies
+BIGINT, so every product and the per-doc sum are EXACT decimal
+arithmetic — the logit matches the DuckDB twin bit-for-bit (same rule as
+operators/lm.py: keep the hot path in integers/decimals, spend doubles
+only on the final monotone transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nhl_data_pipeline_spark.operators.text import tokens
+
+BUCKET_HEX = 3  # md5-prefix nibbles -> 4096 buckets
+
+
+def _bucket(col: F.Column) -> F.Column:
+    return F.substring(F.md5(col), 1, BUCKET_HEX)
+
+
+def hashed_token_features(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, bucket, tf) hashed bag-of-words. Bucket = first 3 md5 hex
+    chars of the token (4096 buckets) — portable to any engine, unlike
+    xxhash64/murmur. Collisions are the point (hashing trick)."""
+    tok = docs.select(
+        id_col,
+        F.explode(
+            F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+        ).alias("_t"),
+    )
+    return tok.groupBy(id_col, _bucket(F.col("_t")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: str = "0",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, logit, prob, keep) — logit exact DECIMAL, keep = logit > 0.
+
+    ``weights``: (bucket string, weight DECIMAL(12,6)) — broadcast (≤ 4096
+    rows). ``bias``: decimal string literal so the addition stays exact.
+    Buckets without weights contribute 0 (left join), mirroring a sparse
+    model. The per-doc aggregation reuses the feature groupBy's id
+    partitioning — one exchange end-to-end on the corpus side.
+    """
+    feats = hashed_token_features(docs, id_col=id_col, text_col=text_col)
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.sum(
+                    F.coalesce(F.col("weight"), F.lit(0).cast("decimal(12,6)"))
+                    * F.col("tf")
+                )
+                + F.expr(f"CAST({bias} AS DECIMAL(20,6))")
+            ).alias("logit")
+        )
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit").cast("double")))
+    return scored.select(
+        id_col,
+        F.col("logit").cast("decimal(38,6)").alias("logit"),
+        p.alias("prob"),
+        (F.col("logit") > 0).alias("keep"),
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _hex6_int_sql(expr: str) -> str:
+    """First-6-hex-chars-of-md5 → integer, in SQL text valid in BOTH Spark
+    SQL and DuckDB (instr nibble lookup — same trick as simhash_sql)."""
+    terms = " + ".join(
+        f"(instr('{_HEX}', substring(md5({expr}), {j + 1}, 1)) - 1) "
+        f"* {16 ** (5 - j)}"
+        for j in range(6)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _demo_weight_sql(bucket_expr: str) -> str:
+    """Deterministic stand-in weight for a bucket: md5-derived integer in
+    [0, 2^24) centered to ±8.388608, exact DECIMAL(12,6)."""
+    h = _hex6_int_sql(f"'w|' || {bucket_expr}")
+    # intermediate needs 7 integer digits (|h - 2^23| < 8388608)
+    return f"CAST(CAST({h} - 8388608 AS DECIMAL(14,6)) / 1000000 AS DECIMAL(12,6))"
+
+
+def demo_weights(spark) -> DataFrame:
+    """Deterministic stand-in model: weight(bucket) derived from md5 of the
+    bucket id, centered on zero — exercises the full inference path
+    without shipping a trained artifact (same policy as the multimodal
+    stand-in codecs). Real use: load trained weights from parquet."""
+    return (
+        spark.range(0, 16**BUCKET_HEX)
+        .select(
+            F.lpad(F.lower(F.expr("hex(id)")), BUCKET_HEX, "0").alias("bucket")
+        )
+        .select("bucket", F.expr(_demo_weight_sql("bucket")).alias("weight"))
+    )
+
+
+def classifier_score_sql(
+    bias: str = "0",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of demo_weights + classifier_score (exact logits)."""
+    toks = (
+        f"list_filter(string_split_regex({text_col}, '\\s+'), "
+        "t -> length(t) > 0)"
+    )
+    bucket = f"lpad(lower(to_hex(i)), {BUCKET_HEX}, '0')"
+    return f"""
+        WITH w AS (
+            SELECT {bucket} AS bucket,
+                   {_demo_weight_sql(bucket)} AS weight
+            FROM unnest(generate_series(0, {16**BUCKET_HEX - 1})) AS t(i)
+        ),
+        feats AS (
+            SELECT {id_col},
+                   substr(md5(t), 1, {BUCKET_HEX}) AS bucket,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT {id_col}, unnest({toks}) AS t FROM {table})
+            GROUP BY 1, 2
+        ),
+        logits AS (
+            SELECT f.{id_col},
+                   sum(COALESCE(w.weight, 0) * f.tf)
+                       + CAST({bias} AS DECIMAL(20,6)) AS logit
+            FROM feats f LEFT JOIN w USING (bucket)
+            GROUP BY 1
+        )
+        SELECT {id_col},
+               CAST(logit AS DECIMAL(38,6)) AS logit,
+               1.0 / (1.0 + exp(-CAST(logit AS DOUBLE))) AS prob,
+               logit > 0 AS keep
+        FROM logits
+    """
