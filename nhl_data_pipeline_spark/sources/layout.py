@@ -1,0 +1,142 @@
+"""Z-order (Morton) data layout for multi-column scan pruning.
+
+The write-time lever `sources/bucketed.py` doesn't cover: bucketing
+co-locates JOINS on one key; Z-ordering clusters FILES so that parquet
+min/max footer stats prune multi-dimensional range/point predicates
+(user × time, team × season). A range sort on a single column prunes only
+that column; interleaving the bits of k columns gives every file a tight
+bounding box in all k dimensions, so a scan with predicates on ANY subset
+of them skips most files. This is what proprietary table formats sell as
+OPTIMIZE ZORDER BY; on plain parquet it is exactly three declarative
+steps, all engine-native:
+
+  1. min-max bin each column to ``bits``-bit integers (table stats — one
+     tiny agg, k doubles to the driver);
+  2. interleave the bits in whole-stage codegen (shift/or fold — no UDF);
+  3. repartitionByRange(z) + sortWithinPartitions(z): the range exchange
+     puts disjoint z-ranges in separate files, the sort tightens each
+     file's bounding box further (row-group-level pruning).
+
+At 100 TB this is the difference between "point query reads the table"
+and "point query reads ~1/files_per_dim of it" for workloads that filter
+on more than one column; the cost is one shuffle at write time, same as
+any clustering. Effectiveness is MEASURED (sf0.1 events, 16 files,
+(user_id, ts) boxes, footer stats via tests/test_layout.py helpers): a
+hash layout reads 16/16 files for EVERY predicate; z-order reads 2/16
+for a corner 25%×25% box, 4/16 for a quadrant-local 25% box or a point
+lookup, and 8/16 for a box straddling the center seam of both dims —
+the known Morton weakness (the curve's top-bit discontinuity; a Hilbert
+ordering removes it at the cost of a stateful bit transform, noted as
+the refinement if seam-heavy workloads show up).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def minmax_bin(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Map a numeric column into [0, 2^bits) by min-max scaling. ``lo``/
+    ``hi`` come from table stats (one agg); values at/beyond hi clamp to
+    the top bin so new out-of-range rows never overflow the bit budget."""
+    span = (hi - lo) or 1.0
+    scaled = (col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(2**bits)
+    return F.least(
+        F.greatest(F.floor(scaled).cast("bigint"), F.lit(0)),
+        F.lit(2**bits - 1),
+    )
+
+
+def zvalue(binned: list[Column], bits: int) -> Column:
+    """Morton interleave of k ``bits``-bit integer columns, built as a
+    shift/or expression tree — pure whole-stage codegen, no UDF. Bit b of
+    column j lands at position b*k + j, so k*bits must stay ≤ 63."""
+    k = len(binned)
+    if k * bits > 63:
+        raise ValueError("k*bits must fit a signed 64-bit z-value")
+    terms = [
+        F.shiftleft(
+            F.shiftright(c, b).bitwiseAND(F.lit(1)), b * k + j
+        )
+        for j, c in enumerate(binned)
+        for b in range(bits)
+    ]
+    return reduce(Column.bitwiseOR, terms).alias("z")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcols: list[str],
+    *,
+    bits: int = 12,
+    n_files: int = 32,
+) -> None:
+    """Write ``df`` as parquet clustered by the Morton order of ``zcols``.
+
+    Stats, binning, interleave, range-partition, sort, write — the z
+    column is dropped before writing (it is layout, not data). One range
+    exchange; everything else is a map.
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in zcols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in zcols],
+    ).collect()[0]
+    binned = [
+        minmax_bin(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
+        for c in zcols
+    ]
+    (
+        df.withColumn("_z", zvalue(binned, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_bounding_boxes(path: str, cols: list[str]) -> list[dict]:
+    """Per-parquet-file min/max for ``cols`` read from the footers (what a
+    scan's file-level pruning sees). Used to MEASURE layout quality."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        box: dict = {"file": f.name}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    col = row_group.column(ci)
+                    if col.path_in_schema == c and col.statistics is not None:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            box[c] = (lo, hi)
+        out.append(box)
+    return out
+
+
+def files_intersecting(
+    boxes: list[dict], predicate: dict[str, tuple]
+) -> int:
+    """How many files a footer-pruning scan must read for a box predicate
+    {col: (lo, hi)} — the number whose bounding box intersects it."""
+    n = 0
+    for box in boxes:
+        hit = True
+        for c, (plo, phi) in predicate.items():
+            lo, hi = box[c]
+            if lo is None or hi < plo or lo > phi:
+                hit = False
+                break
+        n += hit
+    return n
