@@ -21,13 +21,21 @@ At 100 TB this is the difference between "point query reads the table"
 and "point query reads ~1/files_per_dim of it" for workloads that filter
 on more than one column; the cost is one shuffle at write time, same as
 any clustering. Effectiveness is MEASURED (sf0.1 events, 16 files,
-(user_id, ts) boxes, footer stats via tests/test_layout.py helpers): a
-hash layout reads 16/16 files for EVERY predicate; z-order reads 2/16
-for a corner 25%×25% box, 4/16 for a quadrant-local 25% box or a point
-lookup, and 8/16 for a box straddling the center seam of both dims —
-the known Morton weakness (the curve's top-bit discontinuity; a Hilbert
-ordering removes it at the cost of a stateful bit transform, noted as
-the refinement if seam-heavy workloads show up).
+(user_id, ts) boxes, footer stats via tests/test_layout.py helpers):
+a hash layout reads 16/16 files for EVERY predicate; same-run paired
+comparison of the two curves —
+
+  box predicate        morton   hilbert
+  corner 25%×25%        2/16     1/16
+  quadrant-local 25%    5/16     4/16
+  center-seam 25%       7/16     4/16
+  centered 10%          7/16     4/16
+
+Morton (default) is the cheaper expression and generalizes to k columns;
+its weakness is the top-bit discontinuity (boxes straddling the center
+seam of both dims). The Hilbert curve (`with_hilbert`, 2-D) is
+continuous and strictly dominated Morton at every measured predicate —
+choose it for seam-heavy 2-D workloads via ``curve="hilbert"``.
 """
 
 from __future__ import annotations
@@ -67,6 +75,50 @@ def zvalue(binned: list[Column], bits: int) -> Column:
     return reduce(Column.bitwiseOR, terms).alias("z")
 
 
+def with_hilbert(
+    df: DataFrame, x: Column, y: Column, bits: int, out: str = "z"
+) -> DataFrame:
+    """Append the 2-D Hilbert index of two ``bits``-bit integer columns
+    (the standard xy2d bit-rotation walk, public domain). Unlike Morton,
+    the Hilbert curve is continuous — no center-seam discontinuity — so
+    box predicates straddling the midlines of both dimensions prune
+    better (measured in the module docstring).
+
+    The per-level rotation is stateful, and naively nesting the levels
+    into one Column triples the expression tree per level (3^bits nodes —
+    the first attempt OOMed the ANALYZER at bits=10). Instead each level
+    is projected to named intermediate columns, so every level references
+    the previous one by ATTRIBUTE and the plan stays O(bits) — a chain of
+    projections Catalyst collapses into one codegen stage, no UDF."""
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit a signed 64-bit value")
+    d = df.withColumns(
+        {
+            "_hd": F.lit(0).cast("bigint"),
+            "_hx": x.cast("bigint"),
+            "_hy": y.cast("bigint"),
+        }
+    )
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx = F.shiftright(F.col("_hx"), lvl).bitwiseAND(F.lit(1))
+        ry = F.shiftright(F.col("_hy"), lvl).bitwiseAND(F.lit(1))
+        flip = rx == 1
+        fx = F.when(flip, F.lit(s - 1) - F.col("_hx")).otherwise(F.col("_hx"))
+        fy = F.when(flip, F.lit(s - 1) - F.col("_hy")).otherwise(F.col("_hy"))
+        keep = ry == 1
+        d = d.withColumns(
+            {
+                "_hd": F.col("_hd")
+                + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry),
+                # rotate: swap after flip
+                "_hx": F.when(keep, F.col("_hx")).otherwise(fy),
+                "_hy": F.when(keep, F.col("_hy")).otherwise(fx),
+            }
+        )
+    return d.withColumnRenamed("_hd", out).drop("_hx", "_hy")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -74,8 +126,10 @@ def write_zordered(
     *,
     bits: int = 12,
     n_files: int = 32,
+    curve: str = "morton",
 ) -> None:
-    """Write ``df`` as parquet clustered by the Morton order of ``zcols``.
+    """Write ``df`` as parquet clustered by the Morton (default) or
+    Hilbert (2 columns only) order of ``zcols``.
 
     Stats, binning, interleave, range-partition, sort, write — the z
     column is dropped before writing (it is layout, not data). One range
@@ -89,8 +143,16 @@ def write_zordered(
         minmax_bin(F.col(c), stats[f"lo_{c}"], stats[f"hi_{c}"], bits)
         for c in zcols
     ]
+    if curve == "hilbert":
+        if len(zcols) != 2:
+            raise ValueError("hilbert layout supports exactly 2 columns")
+        staged = with_hilbert(df, binned[0], binned[1], bits, out="_z")
+    elif curve == "morton":
+        staged = df.withColumn("_z", zvalue(binned, bits))
+    else:
+        raise ValueError(f"unknown curve {curve!r}")
     (
-        df.withColumn("_z", zvalue(binned, bits))
+        staged
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
         .drop("_z")

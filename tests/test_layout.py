@@ -10,6 +10,7 @@ from nhl_data_pipeline_spark.sources.layout import (
     file_bounding_boxes,
     files_intersecting,
     minmax_bin,
+    with_hilbert,
     write_zordered,
     zvalue,
 )
@@ -27,6 +28,23 @@ def test_zvalue_interleaves_bits(spark):
     zs = [r["z"] for r in df.select(zvalue([F.col("x"), F.col("y")], 2)).collect()]
     assert len(set(zs)) == len(pts)
     assert min(zs) == 0 and max(zs) == 15
+
+
+def test_hilbert_is_the_classic_curve(spark):
+    """All 2^(2b) cells distinct in [0, 4^b), and CONSECUTIVE indices are
+    grid neighbors — the continuity property Morton lacks (and the reason
+    hilbert prunes seam-straddling boxes better, see module docstring)."""
+    for bits, n in ((2, 4), (3, 8)):
+        pts = [(a, b) for a in range(n) for b in range(n)]
+        df = spark.createDataFrame(pts, "x: bigint, y: bigint")
+        rows = with_hilbert(df, F.col("x"), F.col("y"), bits).collect()
+        m = {r["z"]: (r["x"], r["y"]) for r in rows}
+        assert len(m) == n * n
+        assert min(m) == 0 and max(m) == n * n - 1
+        assert all(
+            abs(m[i][0] - m[i + 1][0]) + abs(m[i][1] - m[i + 1][1]) == 1
+            for i in range(n * n - 1)
+        )
 
 
 def test_minmax_bin_clamps(spark):
@@ -76,5 +94,15 @@ def test_zorder_prunes_box_queries(spark, tmp_path):
     # z-order: the box predicate touches a small corner of the z-curve
     assert z_hit <= n_files // 2, (z_hit, h_hit)
 
+    # hilbert: continuous curve — at least as good on this seam-adjacent
+    # box as morton, and never the full file set
+    gpath = str(tmp_path / "g")
+    write_zordered(
+        ev, gpath, ["user_id", "ts_s"], bits=10, n_files=n_files, curve="hilbert"
+    )
+    g_hit = files_intersecting(file_bounding_boxes(gpath, ["user_id", "ts_s"]), pred)
+    assert g_hit <= z_hit, (g_hit, z_hit)
+
     # and the data survives the round trip
     assert spark.read.parquet(zpath).count() == ev.count()
+    assert spark.read.parquet(gpath).count() == ev.count()
