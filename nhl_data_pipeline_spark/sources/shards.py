@@ -45,3 +45,42 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def epoch_order(key, seed: int):
+    """Seeded deterministic shuffle order: xxhash64(seed, key). Trainers
+    get a different-but-reproducible global permutation per epoch by
+    bumping ``seed`` — no Math.random, so a re-run of epoch k reproduces
+    epoch k's order byte-for-byte on any cluster size. Ties are impossible
+    modulo 64-bit hash collisions; pair with the key itself as a final
+    tiebreak when keys may collide."""
+    return F.xxhash64(F.lit(seed), key)
+
+
+def write_epoch_shuffled_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    seed: int,
+) -> None:
+    """Training shards whose in-shard row order is the epoch-``seed``
+    permutation: shard membership stays FIXED across epochs (ranks keep
+    their data locality / cache), only the within-shard order changes —
+    the standard data-parallel shuffle discipline, as one sort key. The
+    order column is dropped after the sort (a narrow projection keeps
+    intra-partition order), so shard files carry only the data columns."""
+    out = df.withColumns(
+        {
+            "shard": shard_id(F.col(key_col), n_shards),
+            "_ord": epoch_order(F.col(key_col), seed),
+        }
+    )
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord", key_col)
+        .drop("_ord")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -417,3 +417,36 @@ def test_training_shards_deterministic_and_ordered(spark, tmp_path):
         a = {r.doc_id for r in spark.read.parquet(str(Path(out) / d)).collect()}
         b = {r.doc_id for r in spark.read.parquet(str(Path(out2) / d)).collect()}
         assert a == b
+
+
+def test_epoch_shuffled_shards(spark, tmp_path):
+    """Per-epoch seeded shuffle: shard MEMBERSHIP is epoch-invariant, the
+    within-shard ORDER is a reproducible permutation that changes with the
+    seed."""
+    from pathlib import Path
+
+    from nhl_data_pipeline_spark.sources.shards import (
+        write_epoch_shuffled_shards,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "lang")
+
+    def orders(path: str) -> dict[str, list[int]]:
+        return {
+            d.name: [
+                r.doc_id for r in spark.read.parquet(str(d)).collect()
+            ]
+            for d in sorted(Path(path).iterdir())
+            if d.name.startswith("shard=")
+        }
+
+    e0, e0b, e1 = (str(tmp_path / x) for x in ("e0", "e0b", "e1"))
+    write_epoch_shuffled_shards(docs, e0, 4, "doc_id", seed=0)
+    write_epoch_shuffled_shards(docs.repartition(5), e0b, 4, "doc_id", seed=0)
+    write_epoch_shuffled_shards(docs, e1, 4, "doc_id", seed=1)
+    o0, o0b, o1 = orders(e0), orders(e0b), orders(e1)
+    assert o0 == o0b  # same epoch reproduces byte-identical order
+    for shard in o0:
+        assert set(o0[shard]) == set(o1[shard])  # membership fixed
+        assert o0[shard] != o1[shard]  # order is a new permutation
+        assert sorted(o0[shard]) != o0[shard]  # and actually shuffled
