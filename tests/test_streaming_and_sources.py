@@ -175,6 +175,56 @@ def test_streaming_foreachbatch_upsert(spark, tmp_path):
     assert spark.read.parquet(target).count() == got.count()
 
 
+def test_upsert_stream_checkpoint_resume(spark, tmp_path, monkeypatch):
+    """Restarting the upsert query against a grown input dir must process
+    ONLY the new files (checkpoint resume), update existing keys
+    latest-wins, and add the new ones — the exactly-once story across
+    restarts, not just within one run."""
+    import datetime as dt
+
+    from nhl_data_pipeline_spark.sources import lake
+
+    src, target = str(tmp_path / "src"), str(tmp_path / "tgt")
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    mk = lambda ids, ts, v: spark.createDataFrame(  # noqa: E731
+        [(i, ts, v) for i in ids],
+        "event_id: bigint, ts: timestamp, value: double",
+    )
+    mk(range(100), t0, 1.0).coalesce(1).write.mode("append").parquet(src)
+
+    processed: list[int] = []
+    real = lake.upsert_latest
+
+    def spying(spark_, path, batch_df, key, order_cols):
+        processed.append(batch_df.count())
+        return real(spark_, path, batch_df, key, order_cols)
+
+    monkeypatch.setattr(lake, "upsert_latest", spying)
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, value double"
+        ).parquet(src)
+        es.upsert_stream(spark, stream, target, "event_id", ("ts",))
+
+    run()
+    assert sum(processed) == 100
+    assert spark.read.parquet(target).count() == 100
+
+    # grow the input: 50-149 re-delivered with a LATER ts and new value
+    mk(range(50, 150), t1, 2.0).coalesce(1).write.mode("append").parquet(src)
+    processed.clear()
+    run()
+    assert sum(processed) == 100  # only the NEW file's rows, not 200
+    got = {
+        r["event_id"]: (r["value"], r["ts"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert len(got) == 150  # no dupes
+    assert all(got[i] == (1.0, t0) for i in range(50))  # untouched
+    assert all(got[i] == (2.0, t1) for i in range(50, 150))  # latest wins
+
+
 def test_rest_fetch_with_injected_fetcher(spark):
     calls = []
 
