@@ -76,8 +76,18 @@ def ngram_lm_score(
     in-context probability, quantized at 10⁻¹² (see module docstring).
     Docs with < 3 tokens produce no row (no trigrams to score).
     """
-    ref = reference if reference is not None else docs
-    tri_ref = _ngrams(ref, 3, id_col=id_col, text_col=text_col)
+    # The corpus-side trigram explode feeds THREE consumers in the
+    # self-scored case (tri_counts, ctx_counts, and the scoring side) —
+    # without a persist Spark recomputes the scan+explode for each, the
+    # dominant cost at corpus scale. One persisted exploded table serves
+    # all three (MEMORY_AND_DISK default spills rather than OOMs; at
+    # 100 TB you would materialize it to the lake instead).
+    tri_ref = _ngrams(
+        reference if reference is not None else docs,
+        3,
+        id_col=id_col,
+        text_col=text_col,
+    ).persist()
     tri_counts = tri_ref.groupBy("gram").agg(F.count(F.lit(1)).alias("c_tri"))
     ctx_counts = (
         tri_ref.select(F.expr("substring_index(gram, ' ', 2)").alias("ctx"))
@@ -86,7 +96,11 @@ def ngram_lm_score(
     )
     v = tri_counts.select(F.count(F.lit(1)).alias("v"))
 
-    tri_doc = _ngrams(docs, 3, id_col=id_col, text_col=text_col).select(
+    tri_doc = (
+        tri_ref
+        if reference is None
+        else _ngrams(docs, 3, id_col=id_col, text_col=text_col)
+    ).select(
         id_col,
         F.col("gram"),
         F.expr("substring_index(gram, ' ', 2)").alias("ctx"),
