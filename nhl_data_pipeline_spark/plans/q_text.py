@@ -189,22 +189,30 @@ def doc_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group's keep_doc_id / n_dups from the hash-aggregate dedup
     (`operators/dedup.exact_dedup_keep_min`), and the 16-bit SimHash
     near-dup bucket (`simhash_exploded`, codegen explode+sum form).
-    Scale shape: the dedup aggregate moves 16-byte fingerprints only; the
-    annotate-back join is fp↔fp hash join (both sides already hashed by
-    fp); SimHash is one exchange of (id, 16 partial sums).
+    Scale shape: ONE persisted base projection (doc_id, fp, toks) feeds
+    all three consumers — without it the plan scans the documents table
+    three times (plan-audited round 4); the dedup aggregate moves 16-byte
+    fingerprints only; the annotate-back join is fp↔fp hash join (both
+    sides already hashed by fp); SimHash is one exchange of (id, 16
+    partial sums).
     """
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        .select(
+            "doc_id",
+            X.fingerprint(F.col("text")).alias("fp"),
+            X.tokens(F.col("text")).alias("toks"),
+        )
+        .persist()
     )
     sh = D.simhash_exploded(
-        d.select("doc_id", X.tokens(F.col("text")).alias("toks")),
-        F.col("toks"),
-        16,
+        base.select("doc_id", "toks"), F.col("toks"), 16
     )
-    fps = d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
-    grp = D.exact_dedup_keep_min(d, X.fingerprint(F.col("text")), "doc_id")
+    grp = D.exact_dedup_keep_min(base, F.col("fp"), "doc_id")
     return (
-        fps.join(grp, "fp")
+        base.select("doc_id", "fp")
+        .join(grp, "fp")
         .join(sh, "doc_id")
         .select("doc_id", "fp", "keep_doc_id", "n_dups", "simhash16")
     )
