@@ -162,3 +162,56 @@ def test_line_dedup_boilerplate_set_broadcasts(spark):
     p = plan_str(L.strip_frequent_lines(docs, 5))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_chunking_is_a_pure_map(spark):
+    """Document chunking must compile to a shuffle-free plan (generate +
+    project over the scan) with no Python stage — it pipelines into
+    whatever reads it at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.catalog import load_table
+    from nhl_data_pipeline_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    p = plan_str(chunk_documents(docs, 16, 4))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Generate" in p  # the posexplode fan-out
+
+
+def test_classifier_weights_broadcast(spark):
+    """Quality-classifier inference: the (bucket, weight) model joins onto
+    the hashed features as a broadcast — the corpus never shuffles for
+    the model — and the whole path is codegen (no Python stage)."""
+    from nhl_data_pipeline_spark.catalog import load_table
+    from nhl_data_pipeline_spark.operators.classifier import (
+        classifier_score,
+        demo_weights,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    p = plan_str(classifier_score(docs, demo_weights(spark)))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_stop_shingle_hot_set_broadcasts(spark):
+    """drop_stop_shingles: the hot-shingle set must anti-join as a
+    broadcast (it is small by definition); the corpus-sized shingle table
+    must not sort-merge for the drop."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.catalog import load_table
+    from nhl_data_pipeline_spark.operators.dedup import (
+        drop_stop_shingles,
+        exploded_distinct_shingles,
+    )
+    from nhl_data_pipeline_spark.operators.text import tokens
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    sh = exploded_distinct_shingles(docs, tokens(F.col("text")), 3)
+    p = plan_str(drop_stop_shingles(sh, max_df=100))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
