@@ -84,3 +84,48 @@ def test_bad_params_raise(spark):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=-1)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=60), min_size=1, max_size=8
+        ),
+        st.integers(min_value=2, max_value=12),
+        st.integers(min_value=0, max_value=6),
+    )
+    def test_chunking_reconstruction_on_random_docs(
+        spark, n_tokens_per_doc, chunk, overlap
+    ):
+        """Generative invariant: for arbitrary doc lengths and any valid
+        (chunk, overlap), concatenating chunks minus each non-first
+        chunk's leading overlap reproduces the token stream exactly, and
+        every chunk fits the window."""
+        if overlap >= chunk:
+            overlap = chunk - 1
+        rows = [
+            (i, " ".join(f"d{i}t{j}" for j in range(n)))
+            for i, n in enumerate(n_tokens_per_doc)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id: bigint, text: string")
+        out = chunk_documents(docs, chunk, overlap).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, n in enumerate(n_tokens_per_doc):
+            if n == 0:
+                assert i not in by_doc
+                continue
+            rows_i = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            rebuilt: list[str] = []
+            for r in rows_i:
+                toks = r["chunk_text"].split(" ")
+                assert 0 < len(toks) <= chunk
+                rebuilt.extend(toks if r["chunk_id"] == 0 else toks[overlap:])
+            assert rebuilt == [f"d{i}t{j}" for j in range(n)]
+
+except ImportError:  # pragma: no cover
+    pass

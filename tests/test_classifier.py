@@ -70,3 +70,33 @@ def test_sparse_weights_default_zero(spark):
     )
     rows = classifier_score(docs, empty_w, bias="0.5").collect()
     assert len(rows) == 1 and rows[0]["logit"] == Decimal("0.5")
+
+
+def test_logit_matches_python_reference(spark):
+    """Independent-reference parity: per-doc logit equals the plain-Python
+    sum of md5-bucket weights over tokens (same stand-in weight
+    derivation), computed entirely outside Spark."""
+    import hashlib
+    from decimal import Decimal
+
+    docs_rows = [
+        (1, "the quick brown fox"),
+        (2, "the the the"),
+        (3, "lorem ipsum dolor sit amet"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id: bigint, text: string")
+
+    def bucket(tok: str) -> str:
+        return hashlib.md5(tok.encode()).hexdigest()[:3]
+
+    def weight(b: str) -> Decimal:
+        h = int(hashlib.md5(f"w|{b}".encode()).hexdigest()[:6], 16)
+        return (Decimal(h - 8388608) / 1000000).quantize(Decimal("0.000001"))
+
+    got = {
+        r["doc_id"]: r["logit"]
+        for r in classifier_score(docs, demo_weights(spark)).collect()
+    }
+    for doc_id, text in docs_rows:
+        want = sum((weight(bucket(t)) for t in text.split()), Decimal(0))
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
