@@ -106,3 +106,41 @@ def test_zorder_prunes_box_queries(spark, tmp_path):
     # and the data survives the round trip
     assert spark.read.parquet(zpath).count() == ev.count()
     assert spark.read.parquet(gpath).count() == ev.count()
+
+
+def test_ivf_centroid_partitioned_layout_prunes(spark, tmp_path):
+    """Back the IVF docstring claim 'centroid buckets = write-time
+    partition pruning' with a plan: write the corpus partitionBy(cluster),
+    probe a 2-cluster subset, and assert the scan's PartitionFilters prune
+    to exactly the probed directories (partition pruning, stronger than
+    footer stats — unprobed clusters are never opened)."""
+    from nhl_data_pipeline_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans,
+    )
+
+    emb = load_table(spark, TEST_SF_DIR, "embeddings")
+    _, cents = kmeans(emb, k=4, n_iter=3)
+    path = str(tmp_path / "ivf")
+    assign_clusters(emb, cents).write.partitionBy("cluster_id").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("cluster_id").isin(0, 2))
+    p = probed.sparkSession._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in p and "cluster_id" in p
+    # only the probed partitions' files are actually read
+    # (input_file_name reflects post-pruning scan; .inputFiles() does not)
+    from pathlib import Path
+
+    all_parts = {d.name for d in Path(path).iterdir() if d.name.startswith("cluster_id=")}
+    assert len(all_parts) >= 3  # the corpus actually spreads over clusters
+    read_parts = {
+        r[0].split("cluster_id=")[1].split("/")[0]
+        for r in probed.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_parts <= {"0", "2"}
+    # and the probe result is exactly the rows of those clusters
+    assigned = assign_clusters(emb, cents)
+    want = assigned.filter(F.col("cluster_id").isin(0, 2)).count()
+    assert probed.count() == want
