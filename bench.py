@@ -259,6 +259,32 @@ def _dedup_scale_probe(spark) -> dict:
     )
     timed(probe, "ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
     timed(probe, "minhash_lsh", minhash_band_pairs(big))
+    # Quality metrics at the decade scale (not just wall-clock): the
+    # stop-cap's semantic cost (pairs lost by treating hot shingles as
+    # stop-words) and MinHash-LSH candidate recall vs the exact pair set.
+    sh = D.exploded_distinct_shingles(
+        big, X.tokens(F.col("text")), 3, hash_shingles=True
+    ).persist()
+    exact = naive_pairs_of(sh).select("doc_a", "doc_b").persist()
+    n_exact = exact.count()
+    n_stopcap = (
+        naive_pairs_of(D.drop_stop_shingles(sh, max_df=100))
+        .select("doc_a", "doc_b")
+        .join(exact, ["doc_a", "doc_b"], "left_semi")
+        .count()
+    )
+    n_lsh_hit = (
+        minhash_band_pairs(big)
+        .join(exact, ["doc_a", "doc_b"], "left_semi")
+        .count()
+    )
+    probe["exact_pairs"] = float(n_exact)
+    probe["stopcap_recall"] = round(n_stopcap / n_exact, 4) if n_exact else 1.0
+    probe["minhash_lsh_recall"] = (
+        round(n_lsh_hit / n_exact, 4) if n_exact else 1.0
+    )
+    exact.unpersist()
+    sh.unpersist()
     out["sf1_50k"] = probe
     return out
 
