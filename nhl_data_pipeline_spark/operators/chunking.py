@@ -80,6 +80,79 @@ def chunk_documents(
     )
 
 
+def length_bucketed_batches(
+    docs: DataFrame,
+    batch_size: int = 32,
+    bin_width: int = 16,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_tokens, bin, batch_id) — inference batches grouped by token
+    length so each batch pads to its own max, not the corpus max.
+
+    A batch of mixed lengths wastes compute on padding: cost is
+    batch_size × max(len). Binning by ⌊n_tokens / bin_width⌋ and batching
+    WITHIN a bin bounds per-row padding waste to bin_width − 1 tokens.
+    batch_id is globally unique ((bin, seq) packed) and DETERMINISTIC:
+    rows order by (n_tokens, id) inside their bin, so a re-run on any
+    partitioning emits identical batches — the same reproducibility rule
+    as the shard sink.
+
+    Scale shape: one exchange (the bin-partitioned window); no driver
+    state. The window's per-bin sort is the padding-efficiency price —
+    at 100 TB shard first (sources/shards.py) and batch within shards so
+    each sort is shard-local.
+    """
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(
+        F.filter(tokens(F.col(text_col)), lambda t: F.length(t) > 0)
+    )
+    binned = docs.select(
+        id_col, n_tok.cast("int").alias("n_tokens")
+    ).withColumn("bin", F.floor(F.col("n_tokens") / bin_width).cast("int"))
+    w = Window.partitionBy("bin").orderBy("n_tokens", id_col)
+    return binned.withColumn(
+        "batch_id",
+        F.col("bin").cast("bigint") * 1_000_000_000
+        + F.floor((F.row_number().over(w) - 1) / batch_size),
+    )
+
+
+def length_bucketed_batches_sql(
+    batch_size: int = 32,
+    bin_width: int = 16,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`length_bucketed_batches`."""
+    toks = (
+        f"list_filter(string_split_regex({text_col}, '\\s+'), "
+        "t -> length(t) > 0)"
+    )
+    return f"""
+        WITH sized AS (
+            SELECT {id_col}, CAST(len({toks}) AS INT) AS n_tokens
+            FROM {table}
+        ),
+        binned AS (
+            SELECT {id_col}, n_tokens,
+                   CAST(floor(n_tokens / CAST({bin_width} AS DOUBLE)) AS INT)
+                       AS bin
+            FROM sized
+        )
+        SELECT {id_col}, n_tokens, bin,
+               CAST(bin AS BIGINT) * 1000000000
+                   + CAST(floor((row_number() OVER
+                         (PARTITION BY bin ORDER BY n_tokens, {id_col})
+                         - 1) / {batch_size}) AS BIGINT) AS batch_id
+        FROM binned
+    """
+
+
 def chunk_documents_sql(
     chunk_tokens: int = 512,
     overlap: int = 64,

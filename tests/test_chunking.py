@@ -129,3 +129,37 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_length_bucketed_batches_twin_and_properties(spark, duck):
+    from nhl_data_pipeline_spark.operators.chunking import (
+        length_bucketed_batches,
+        length_bucketed_batches_sql,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    got_rows = length_bucketed_batches(docs, batch_size=8, bin_width=8).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["bin"], r["batch_id"]) for r in got_rows}
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duck.sql(
+            length_bucketed_batches_sql(batch_size=8, bin_width=8)
+        ).fetchall()
+    }
+    assert got == want and len(got) == docs.count()
+
+    # properties: batch sizes bounded; within-batch length spread < bin
+    by_batch: dict[int, list[int]] = {}
+    for r in got_rows:
+        by_batch.setdefault(r["batch_id"], []).append(r["n_tokens"])
+    assert all(len(v) <= 8 for v in by_batch.values())
+    assert all(max(v) - min(v) < 8 for v in by_batch.values())
+
+    # determinism across partitionings
+    again = {
+        r["doc_id"]: (r["n_tokens"], r["bin"], r["batch_id"])
+        for r in length_bucketed_batches(
+            docs.repartition(7), batch_size=8, bin_width=8
+        ).collect()
+    }
+    assert again == got

@@ -384,3 +384,27 @@ def test_interval_join_bucketed_plan_is_hash_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "NestedLoop" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_corpus_report_matches_duckdb_twin(spark, duck):
+    """The one-scan dataset datasheet: every cell (counts, token totals,
+    exact histogram bins, dup rate) matches the DuckDB twin bit-for-bit,
+    and internal invariants hold (histogram partitions n_docs; dup_docs
+    consistent with unique fingerprints)."""
+    from nhl_data_pipeline_spark.operators.report import (
+        corpus_report,
+        corpus_report_sql,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    rows = corpus_report(docs).collect()
+    got = {(r["source"], r["lang"]): tuple(r)[2:] for r in rows}
+    want = {(r[0], r[1]): tuple(r[2:]) for r in duck.sql(corpus_report_sql()).fetchall()}
+    assert got == want and len(got) > 1
+    for r in rows:
+        hist = [r[c] for c in r.asDict() if c.startswith("docs_")]
+        assert sum(hist) == r["n_docs"]
+        assert r["n_unique_fps"] <= r["n_docs"]
+        # dup_docs counts members of multi-doc fingerprint groups
+        assert r["dup_docs"] != 1  # impossible: groups have >= 2 members
+        assert r["dup_docs"] <= r["n_docs"]
