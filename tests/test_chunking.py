@@ -163,3 +163,55 @@ def test_length_bucketed_batches_twin_and_properties(spark, duck):
         ).collect()
     }
     assert again == got
+
+
+def test_curation_to_training_composition(spark, tmp_path):
+    """The round-4 stages compose end-to-end: chunk long docs → score each
+    chunk with the quality classifier → keep positives → length-bucketed
+    batches → epoch-shuffled training shards. Checks the handoffs (column
+    contracts) and the end state (every kept chunk lands in exactly one
+    shard file, reproducibly)."""
+    from pathlib import Path
+
+    from nhl_data_pipeline_spark.operators.chunking import (
+        chunk_documents,
+        length_bucketed_batches,
+    )
+    from nhl_data_pipeline_spark.operators.classifier import (
+        classifier_score,
+        demo_weights,
+    )
+    from nhl_data_pipeline_spark.sources.shards import (
+        write_epoch_shuffled_shards,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+        F.col("chunk_text"),
+    )
+    scored = classifier_score(
+        chunks, demo_weights(spark), id_col="chunk_key", text_col="chunk_text"
+    )
+    kept = chunks.join(
+        scored.filter(F.col("keep")).select("chunk_key"), "chunk_key"
+    )
+    n_kept = kept.count()
+    assert 0 < n_kept < chunks.count()  # the filter actually splits
+
+    batched = length_bucketed_batches(
+        kept, batch_size=8, bin_width=8, id_col="chunk_key", text_col="chunk_text"
+    )
+    assert batched.count() == n_kept
+
+    out = str(tmp_path / "shards")
+    write_epoch_shuffled_shards(kept, out, 4, "chunk_key", seed=1)
+    shard_keys = []
+    for d in sorted(Path(out).iterdir()):
+        if d.name.startswith("shard="):
+            shard_keys += [
+                r["chunk_key"] for r in spark.read.parquet(str(d)).collect()
+            ]
+    assert sorted(shard_keys) == sorted(
+        r["chunk_key"] for r in kept.collect()
+    )  # exactly once, no loss
