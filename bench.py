@@ -118,7 +118,15 @@ def _dedup_scale_probe(spark) -> dict:
       the downstream exact verifier inherits a near-quadratic workload.
       The probe records the candidate count so the regime split stays
       honest: clean corpora → MinHash-LSH default; boilerplate-heavy →
-      strip boilerplate first (operators/lines.py) or use PPJoin.
+      strip boilerplate first (operators/lines.py), use PPJoin, or gate
+      the naive join behind drop_stop_shingles (measured on/off below:
+      17.0 s → 3.7 s at boiler3k, faster than PPJoin's 7.2 s).
+    - sf1-equivalent decade (50K docs, replica-salted ×10 — construction
+      details at the block below): all four paths one decade up, plus
+      QUALITY numbers — stop-cap recall vs the exact pair set (1.0 on
+      this corpus: the df>100 drop loses no true pair) and MinHash-LSH
+      candidate recall (0.9992), so the speed/recall trade is measured,
+      not asserted.
     """
     from pyspark.sql import DataFrame
     from pyspark.sql import functions as F
