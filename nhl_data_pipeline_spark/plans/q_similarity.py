@@ -309,6 +309,7 @@ def _sqd_sql(a: str, b: str) -> str:
 @query(
     "kmeans_semantic_dedup",
     covers="LLM-kmeans,LLM-dedup-embedding",
+    bench=True,
     oracle=f"""
         WITH cents AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id,
@@ -372,6 +373,7 @@ def _pq_slice(expr: str, j: str) -> str:
 @query(
     "pq_adc_topk",
     covers="LLM-pq-adc",
+    bench=True,
     oracle=f"""
         WITH cb AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,

@@ -1024,6 +1024,7 @@ def pii_winnow_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_lm_quality",
     covers="LLM-lm-quality",
     oracle=LM.ngram_lm_score_sql(),
+    bench=True,
 )
 def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style trigram-LM quality score per document (self-scored):
