@@ -347,19 +347,26 @@ def kmeans_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Assignment is pure whole-stage codegen (literal centroid matrix,
     zip_with/aggregate squared-L2 fold, array_position first-min
-    tiebreak); the blocked self-join shuffles on cluster_id only. This
-    driver row pins the centroids at init (k smallest-id vectors,
-    n_iter=0) so DuckDB can replay the exact assignment arithmetic; the
-    Lloyd's refinement (decimal-exact order-independent means) is
-    numpy-parity verified in tests/test_kmeans.py — see the module comment
-    above for why float→decimal rounding can't cross the engine boundary.
+    tiebreak); the corpus is scanned once and shuffled once (on
+    cluster_id) into a per-cluster Arrow pair stage whose per-dimension
+    sequential accumulation is bit-identical to the JVM/DuckDB fold
+    (verified on the full 15K-pair set; the pure-JVM self-join form,
+    operators/kmeans.py::semantic_neardup_pairs, is 3× slower at sf0.1
+    and kept as the no-Python fallback). This driver row pins the
+    centroids at init (k smallest-id vectors, n_iter=0) so DuckDB can
+    replay the exact assignment arithmetic; the Lloyd's refinement
+    (decimal-exact order-independent means) is numpy-parity verified in
+    tests/test_kmeans.py — see the module comment above for why
+    float→decimal rounding can't cross the engine boundary.
     Reference analog: `dbt_nhl/models/staging/stg_player_name_crosswalk.sql:66-139`
     (blocking keys for entity resolution), learned instead of derived.
     """
     from nhl_data_pipeline_spark.operators import kmeans as KM
 
     e = load_table(spark, sf_dir, "embeddings")
-    return KM.semantic_neardup_pairs(e, _KM_THRESHOLD, _KM_K, n_iter=0)
+    return KM.semantic_neardup_pairs_blocked_numpy(
+        e, _KM_THRESHOLD, _KM_K, n_iter=0
+    )
 
 
 _PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8  # 8 subspaces x 16 centroids over 64 dims

@@ -106,6 +106,23 @@ def test_semantic_neardup_subset_of_exact_and_finds_planted(spark, emb):
     assert set(range(5)) <= kept_ids  # keep-lowest-id survivors
 
 
+def test_blocked_numpy_variant_is_bit_identical(spark, emb):
+    """The one-pass Arrow pair stage must return the exact tuple set —
+    cosine BITS included — of the pure-JVM self-join form, at a
+    threshold low enough that every within-cluster pair is emitted."""
+    jvm = {
+        tuple(r)
+        for r in KM.semantic_neardup_pairs(emb, -1.0, 6, n_iter=1).collect()
+    }
+    arrow = {
+        tuple(r)
+        for r in KM.semantic_neardup_pairs_blocked_numpy(
+            emb, -1.0, 6, n_iter=1
+        ).collect()
+    }
+    assert jvm == arrow and len(jvm) > 100
+
+
 def test_trained_ivf_recall_beats_arbitrary_centroids(spark, emb):
     """k-means-trained IVF must reach high recall@10 vs brute force, and
     at least match the registered arbitrary-centroid IVF at the same
