@@ -755,20 +755,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SH4_SQL = D.shingles_sql(_TOKS, 4)
+_SIG4_SQL = D.minhash_signature_sql("sh", 12)
+_BK4_SQL = D.lsh_band_keys_sql("sig", 4, 3)
 
 
 @query(
     "contamination_check",
-    covers="LLM-decontamination,J9,A1",
+    covers="LLM-decontamination,LLM-fuzzy-decontamination,J9,A1",
     oracle=f"""
-        WITH sh AS (
-            SELECT doc_id, unnest({_SH4_SQL}) AS s
+        WITH shg AS (
+            SELECT doc_id, {_SH4_SQL} AS sh
             FROM documents WHERE len({_TOKS}) >= 4
         ),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM shg),
         eval_sh AS (
-            SELECT DISTINCT s FROM sh WHERE doc_id % 7 = 0
+            SELECT DISTINCT s FROM ex WHERE doc_id % 7 = 0
         ),
-        train AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0),
+        train AS (SELECT doc_id, s FROM ex WHERE doc_id % 7 <> 0),
         sizes AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
             FROM train GROUP BY doc_id
@@ -777,31 +780,79 @@ _SH4_SQL = D.shingles_sql(_TOKS, 4)
             SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
             FROM train t JOIN eval_sh e USING (s)
             GROUP BY t.doc_id
+        ),
+        exact_rows AS (
+            SELECT doc_id, 'exact4' AS method, n_shingles, n_contaminated,
+                   CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
+            FROM sizes JOIN hits USING (doc_id)
+        ),
+        sigs AS (
+            SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, {_SIG4_SQL} AS sig
+            FROM shg WHERE len(sh) >= 1
+        ),
+        bands AS (
+            SELECT doc_id, n, sig,
+                   unnest(generate_series(1, 4)) AS band_idx,
+                   unnest({_BK4_SQL}) AS band_key
+            FROM sigs
+        ),
+        cand AS (
+            SELECT t.doc_id, t.n,
+                   len(list_filter(range(1, 13), i -> t.sig[i] = e.sig[i]))
+                       AS agree
+            FROM bands t
+            JOIN bands e ON t.band_idx = e.band_idx
+                        AND t.band_key = e.band_key
+            WHERE t.doc_id % 7 <> 0 AND e.doc_id % 7 = 0
+        ),
+        fuzzy_rows AS (
+            SELECT doc_id, 'minhash12' AS method,
+                   n AS n_shingles,
+                   CAST(max(agree) AS BIGINT) AS n_contaminated,
+                   CAST(max(agree) AS DOUBLE) / 12 AS contamination
+            FROM cand GROUP BY doc_id, n
+            HAVING max(agree) >= 6
         )
-        SELECT doc_id, n_shingles, n_contaminated,
-               CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination
-        FROM sizes JOIN hits USING (doc_id)
+        SELECT * FROM exact_rows UNION ALL SELECT * FROM fuzzy_rows
     """,
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval decontamination: for every training document sharing at
-    least one 5-gram with the held-out eval slice (doc_id % 7 = 0), the
-    fraction of its distinct 5-grams that appear anywhere in the eval set.
+    """Train/eval decontamination, exact AND fuzzy, in one union.
 
-    The benchmark-leakage scan every serious pretraining pipeline runs
-    (the reference has no analog — its dedup is exact-key only). N-gram
+    ``method='exact4'``: for every training document sharing at least one
+    4-gram with the held-out eval slice (doc_id % 7 = 0), the fraction of
+    its distinct 4-grams that appear anywhere in the eval set — the
+    benchmark-leakage scan every serious pretraining pipeline runs (the
+    reference has no analog — its dedup is exact-key only). N-gram
     granularity is the usual contamination unit: long enough that overlap
     means shared passages, short enough to catch partial quotes.
 
-    Plan shape for scale: the corpus is shingled ONCE (the codegen
-    lead-window path of dedup_ngram_jaccard, persisted, hashed to 8-byte
-    longs) and split into eval/train by a pushed filter; the distinct eval
-    shingle set is tiny by construction (benchmarks are MBs, corpora are
-    TBs), so it BROADCASTS and the contamination scan is a map-side
-    left-semi join over the train shingles — no shuffle of the 100 TB side
-    at all, then one partial-agg groupBy per doc. The xxhash64 bridge
-    trades a ~D²/2⁶⁵ collision bound for string-free exchanges; the
-    string-keyed DuckDB oracle cross-checks every count.
+    ``method='minhash12'``: fuzzy decontamination — catches paraphrased or
+    partially edited benchmark text that exact n-gram overlap misses.
+    Train docs become LSH candidates (the same MinHash k=12, 4×3 banding
+    as dedup_minhash_lsh, over the SAME 4-gram shingles) against any eval
+    doc; ``contamination`` is the best signature-agreement Jaccard
+    estimate (agreeing positions / 12) and a doc is flagged at est-J ≥
+    0.5 (≥ 6 agreeing positions). ``n_contaminated`` holds the agreeing-
+    position count, ``n_shingles`` the doc's distinct-shingle count.
+
+    Plan shape for scale (both branches stay O(corpus) with the eval side
+    broadcast — benchmarks are MBs, corpora are TBs):
+    - exact: the corpus is shingled ONCE (the codegen lead-window path of
+      dedup_ngram_jaccard, persisted, hashed to 8-byte longs); the
+      distinct eval shingle set broadcasts and the scan is a map-side
+      left-semi join — no shuffle of the 100 TB side at all, then one
+      partial-agg groupBy per doc. The xxhash64 bridge trades a ~D²/2⁶⁵
+      collision bound for string-free exchanges; the string-keyed DuckDB
+      oracle cross-checks every count.
+    - fuzzy: signatures via 12 plain min-aggregates over string shingles
+      (the seeded-md5 MinHash family is defined over the string form —
+      see exploded_distinct_shingles; partial agg states are 12 md5s per
+      doc, so map-side combine keeps that exchange tiny); eval band keys
+      + signatures broadcast, so candidate generation is a map-side hash
+      join carrying the train signature through — the only corpus shuffle
+      is the final per-doc max groupBy. Duplicate (train, eval) band
+      collisions need no distinct: max() of the agreement absorbs them.
     """
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
@@ -811,12 +862,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     eval_sh = sh.filter(F.col("doc_id") % 7 == 0).select("s").distinct()
     train_sh = sh.filter(F.col("doc_id") % 7 != 0)
-    return (
+    exact_rows = (
         train_sh.join(F.broadcast(eval_sh), "s", "left_semi")
         .groupBy("doc_id", "n")
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
         .select(
             "doc_id",
+            F.lit("exact4").alias("method"),
             F.col("n").alias("n_shingles"),
             "n_contaminated",
             (F.col("n_contaminated").cast("double") / F.col("n")).alias(
@@ -824,6 +876,49 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+    str_sh = D.exploded_distinct_shingles(d, X.tokens(F.col("text")), 4)
+    sigs = str_sh.groupBy("doc_id", "n").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(12)
+        ]
+    )
+    band_key = lambda b: F.md5(  # noqa: E731
+        F.concat_ws("|", *[F.col(f"h{b * 3 + r}") for r in range(3)])
+    )
+    bands = sigs.select(
+        "doc_id",
+        "n",
+        F.array(*[F.col(f"h{i}") for i in range(12)]).alias("sig"),
+        F.posexplode(F.array(*[band_key(b) for b in range(4)])).alias(
+            "band_idx0", "band_key"
+        ),
+    ).select(
+        "doc_id", "n", "sig", (F.col("band_idx0") + 1).alias("band_idx"), "band_key"
+    )
+    ev = bands.filter(F.col("doc_id") % 7 == 0).select(
+        "band_idx", "band_key", F.col("sig").alias("esig")
+    )
+    tr = bands.filter(F.col("doc_id") % 7 != 0)
+    agree = F.size(
+        F.filter(F.zip_with("sig", "esig", lambda x, y: x == y), lambda v: v)
+    )
+    fuzzy_rows = (
+        tr.join(F.broadcast(ev), ["band_idx", "band_key"])
+        .select("doc_id", "n", agree.alias("agree"))
+        .groupBy("doc_id", "n")
+        .agg(F.max("agree").alias("agree"))
+        .filter(F.col("agree") >= 6)
+        .select(
+            "doc_id",
+            F.lit("minhash12").alias("method"),
+            F.col("n").alias("n_shingles"),
+            F.col("agree").cast("bigint").alias("n_contaminated"),
+            (F.col("agree").cast("double") / 12).alias("contamination"),
+        )
+    )
+    return exact_rows.unionByName(fuzzy_rows)
 
 
 _SEQ_LEN = 2048  # tokens per packed training sequence
