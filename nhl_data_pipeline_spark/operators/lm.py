@@ -76,35 +76,39 @@ def ngram_lm_score(
     in-context probability, quantized at 10⁻¹² (see module docstring).
     Docs with < 3 tokens produce no row (no trigrams to score).
     """
-    # The corpus-side trigram explode feeds THREE consumers in the
-    # self-scored case (tri_counts, ctx_counts, and the scoring side) —
-    # without a persist Spark recomputes the scan+explode for each, the
-    # dominant cost at corpus scale. One persisted exploded table serves
-    # all three (MEMORY_AND_DISK default spills rather than OOMs; at
-    # 100 TB you would materialize it to the lake instead).
+    # The corpus-side trigram explode feeds TWO consumers in the
+    # self-scored case (tri_counts and the scoring side) — without a
+    # persist Spark recomputes the scan+explode for each, the dominant
+    # cost at corpus scale. (MEMORY_AND_DISK default spills rather than
+    # OOMs; at 100 TB you would materialize it to the lake instead.)
     tri_ref = _ngrams(
         reference if reference is not None else docs,
         3,
         id_col=id_col,
         text_col=text_col,
     ).persist()
-    tri_counts = tri_ref.groupBy("gram").agg(F.count(F.lit(1)).alias("c_tri"))
+    # Persisted: three consumers (v, ctx_counts, the model join) would
+    # otherwise each re-run the corpus-scale gram groupBy; the table
+    # itself is model-scale (distinct grams).
+    tri_counts = (
+        tri_ref.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+        .persist()
+    )
+    # Context counts from the MODEL table, not the corpus: every trigram
+    # occurrence contributes exactly 1 to its 2-token prefix, so
+    # c_ctx = Σ c_tri over grams sharing the prefix — identical counts,
+    # but the groupBy runs at distinct-gram scale instead of re-shuffling
+    # every corpus occurrence on the ctx string.
     ctx_counts = (
-        tri_ref.select(F.expr("substring_index(gram, ' ', 2)").alias("ctx"))
+        tri_counts.select(
+            F.expr("substring_index(gram, ' ', 2)").alias("ctx"), "c_tri"
+        )
         .groupBy("ctx")
-        .agg(F.count(F.lit(1)).alias("c_ctx"))
+        .agg(F.sum("c_tri").alias("c_ctx"))
     )
     v = tri_counts.select(F.count(F.lit(1)).alias("v"))
 
-    tri_doc = (
-        tri_ref
-        if reference is None
-        else _ngrams(docs, 3, id_col=id_col, text_col=text_col)
-    ).select(
-        id_col,
-        F.col("gram"),
-        F.expr("substring_index(gram, ' ', 2)").alias("ctx"),
-    )
     # DECIMAL(38,0) numerator: (10*c_tri+1)*10^12 would wrap BIGINT once
     # c_tri exceeds ~9.2e5 on a large/self-similar corpus; decimal keeps it
     # exact to ~1e25 and `div` (IntegralDivide) on decimals still returns
@@ -115,13 +119,47 @@ def ngram_lm_score(
     den = (10 * F.coalesce("c_ctx", F.lit(0)) + F.col("v")).cast("decimal(38,0)")
     # true integer division ((num/den).cast(bigint) would round-trip
     # through double and reintroduce the float wobble)
-    scored = (
-        tri_doc.join(tri_counts, "gram", "left")
-        .join(ctx_counts, "ctx", "left")
-        .crossJoin(F.broadcast(v))
-        .select(id_col, num.alias("_n"), den.alias("_d"))
-        .select(id_col, F.expr("_n div _d").alias("p_fixed"))
-    )
+    if reference is None:
+        # Self-scored: every doc trigram is in the model by construction,
+        # and p_fixed is a function of the GRAM alone — so compute it once
+        # per distinct gram (model scale: ctx join + arithmetic over the
+        # distinct-ngram table) and join it back to occurrences on an
+        # 8-byte xxhash64 key instead of the ~20-byte gram string. A
+        # gram-hash collision would merge two model rows (birthday bound
+        # ~G²/2⁶⁵); the string-keyed DuckDB oracle cross-checks every
+        # score. Corpus-scale work drops from [ctx groupBy + 2-key join +
+        # doc groupBy] to [gram-count groupBy + 1 long-key join + doc
+        # groupBy].
+        model = (
+            tri_counts.withColumn(
+                "ctx", F.expr("substring_index(gram, ' ', 2)")
+            )
+            .join(ctx_counts, "ctx")
+            .crossJoin(F.broadcast(v))
+            .select(
+                F.xxhash64("gram").alias("gk"),
+                F.expr(
+                    f"(CAST(10 * c_tri + 1 AS DECIMAL(38,0)) * {FIXED_POINT})"
+                    " div CAST(10 * c_ctx + v AS DECIMAL(38,0))"
+                ).alias("p_fixed"),
+            )
+        )
+        scored = tri_ref.select(
+            id_col, F.xxhash64("gram").alias("gk")
+        ).join(model, "gk")
+    else:
+        tri_doc = _ngrams(docs, 3, id_col=id_col, text_col=text_col).select(
+            id_col,
+            F.col("gram"),
+            F.expr("substring_index(gram, ' ', 2)").alias("ctx"),
+        )
+        scored = (
+            tri_doc.join(tri_counts, "gram", "left")
+            .join(ctx_counts, "ctx", "left")
+            .crossJoin(F.broadcast(v))
+            .select(id_col, num.alias("_n"), den.alias("_d"))
+            .select(id_col, F.expr("_n div _d").alias("p_fixed"))
+        )
     # Exact BIGINT sum (order-independent), then ONE identical double
     # division sequence in both engines.
     return scored.groupBy(id_col).agg(

@@ -20,7 +20,13 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # pressure and OOMs on any join with real fan-out (the container has
 # 128 GiB). On a cluster this comes from spark-submit --driver-memory /
 # --executor-memory; locally we must set it before the JVM starts.
-DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+# 12g, not "as big as fits": measured on the clearCache'd minhash query
+# at sf0.1 (6 consecutive runs), steady state is ~1.0 s at 8-12g but
+# DEGRADES 5-10× at 24g (G1 young-gen scaling at large heaps turns this
+# allocation-heavy md5/string workload into GC churn — 24g: [9.2, 2.0,
+# 1.8, 7.3, 9.5, 9.9] vs 12g: [7.8, 1.3, 1.0, 1.0, 1.0, 0.9]). 12g still
+# clears the boiler5000/sf1-probe fan-out that OOM'd the 1g default.
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
 
 
 def get_spark(
