@@ -99,27 +99,37 @@ def adc_scores(
     The m×k lookup table is computed driver-side in float64 and embedded
     as literals; per row the scan does m element_at + adds. Lower = closer.
     """
+    return codes.select(
+        F.col(id_col),
+        adc_dist_column(query, books, code_col=code_col).alias("adc_dist"),
+    )
+
+
+def adc_dist_column(
+    query: list[float], books: Codebooks, *, code_col: str = "pq_code"
+) -> Column:
+    """The ADC distance as a bare Column over an existing ``code_col`` —
+    lets a caller append the score to the coded frame in the SAME
+    projection (``coded.withColumn(..)``) instead of re-encoding and
+    self-joining on the id (encode is the expensive stage; computing it
+    once halves the query)."""
     m = len(books)
     sub_dim = len(books[0][0])
-    tables = []
+    dist = None
     for j in range(m):
         q_sub = query[j * sub_dim : (j + 1) * sub_dim]
         # (a-b)*(a-b), NOT (a-b)**2: CPython's ** routes through libm pow,
         # which differs from the plain multiply by 1 ulp on some inputs —
         # the JVM/DuckDB sq-dist twin multiplies, and the ADC lookup table
         # must be bit-identical to it (measured: 2/128 cells diverge).
-        tables.append(
-            [
-                sum(
-                    (float(a) - float(b)) * (float(a) - float(b))
-                    for a, b in zip(q_sub, cent)
-                )
-                for cent in books[j]
-            ]
-        )
-    dist = None
-    for j in range(m):
-        lut = F.array(*[F.lit(v) for v in tables[j]])
+        table = [
+            sum(
+                (float(a) - float(b)) * (float(a) - float(b))
+                for a, b in zip(q_sub, cent)
+            )
+            for cent in books[j]
+        ]
+        lut = F.array(*[F.lit(v) for v in table])
         term = F.element_at(lut, F.element_at(F.col(code_col), j + 1) + 1)
         dist = term if dist is None else dist + term
-    return codes.select(F.col(id_col), dist.alias("adc_dist"))
+    return dist

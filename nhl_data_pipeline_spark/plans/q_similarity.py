@@ -446,12 +446,15 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         [row[j * _PQ_SUB : (j + 1) * _PQ_SUB] for row in base]
         for j in range(_PQ_M)
     ]
-    codes = PQ.encode(e, books)
-    scored = PQ.adc_scores(codes, base[0], books)
+    # ADC dist appended to the coded frame in the same projection — the
+    # encode (the expensive stage: m×k interpreted sq-dist argmins per
+    # row) runs ONCE and there is no self-join on the id.
+    scored = PQ.encode(e, books).withColumn(
+        "adc_dist", PQ.adc_dist_column(base[0], books)
+    )
     w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
     return (
-        codes.join(scored, "vec_id")
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _PQ_TOPK)
         .select(
             "vec_id",
