@@ -167,3 +167,132 @@ def classifier_score_sql(
                logit > 0 AS keep
         FROM logits
     """
+
+
+# ------------------------------------------------------------- training
+
+BIAS_BUCKET = "_b_"  # 3-hex feature buckets can never collide with this
+ERR_FIXED = 1_000_000_000  # error quantization: 10^-9
+
+
+def train_logreg(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_iter: int = 5,
+    lr: float = 0.5,
+    l2: float = 0.0,
+) -> tuple[DataFrame, str]:
+    """Distributed logistic-regression training over hashed features —
+    the missing half of :func:`classifier_score` (which consumes the
+    (bucket, weight) table this produces). Returns ``(weights_df, bias)``
+    ready to feed straight into ``classifier_score(docs, weights_df,
+    bias)``.
+
+    Batch gradient descent, the k-means execution pattern: per iteration
+    ONE corpus-scale pass; the model (≤ 4096 weights + bias, a few KB)
+    lives on the driver and broadcasts back as a literal-sized table.
+
+    Per iteration:
+      margins: feats ⋈ broadcast(weights) on bucket, then a per-doc sum —
+               EXACT decimal arithmetic (weights DECIMAL(12,6) × tf
+               BIGINT), so the logit is partitioning-invariant to the bit.
+      error:   sigmoid(logit) − y in float64, then TRUNCATED to 10⁻⁹
+               fixed-point BIGINT — from here on every sum is exact
+               integer/decimal again, so gradients (and therefore the
+               whole training trajectory) are identical under any
+               partitioning or reduction order.
+      gradient: feats ⋈ error on the id (both sides carry the feature
+               build's id-hash partitioning — no extra exchange), then
+               groupBy bucket with a DECIMAL(38,0) sum: 4096 partial rows
+               per partition, map-side combined.
+      update:  driver-side w ← w·(1−lr·l2) − lr·g/n, re-quantized to
+               DECIMAL(12,6) (truncation) before re-broadcast.
+
+    The label rides INSIDE the feature table (one extra groupBy key of a
+    doc-constant) — no per-iteration label join. The bias is just one
+    more feature row per doc (tf=1, bucket='_b_'), so the same gradient
+    machinery trains it; it is returned separately because inference
+    features never contain the bias bucket.
+
+    Float caveat, stated honestly: sigmoid goes through libm exp, which
+    is not correctly rounded — JVM vs numpy can differ in the last ulp,
+    so cross-ENGINE parity is asserted to 1e-6 (tests), while
+    cross-PARTITIONING equality within Spark is exact by construction.
+
+    Reference analog: none (the reference ships no ML); this extends its
+    curation surface the way demo_weights documents — SURVEY §8.
+    """
+    from decimal import ROUND_DOWN, Decimal
+
+    spark = docs.sparkSession
+    feats = hashed_token_features(docs, id_col=id_col, text_col=text_col)
+    bias_rows = docs.select(
+        F.col(id_col),
+        F.lit(BIAS_BUCKET).alias("bucket"),
+        F.lit(1).cast("bigint").alias("tf"),
+    )
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("double").alias("_y")
+    )
+    feats = (
+        feats.unionByName(bias_rows)
+        .join(labels, id_col)
+        .persist()
+    )
+    n_docs = docs.count()
+    buckets = [r["bucket"] for r in feats.select("bucket").distinct().collect()]
+    w: dict[str, Decimal] = {b: Decimal(0) for b in buckets}
+
+    def q6(x: float) -> Decimal:
+        return Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_DOWN)
+
+    for _ in range(n_iter):
+        wdf = spark.createDataFrame(
+            [(b, w[b]) for b in buckets], "bucket string, weight decimal(12,6)"
+        )
+        err = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col, "_y")
+            .agg(F.sum(F.col("weight") * F.col("tf")).alias("_logit"))
+            .select(
+                id_col,
+                (
+                    (
+                        F.lit(1.0)
+                        / (F.lit(1.0) + F.exp(-F.col("_logit").cast("double")))
+                        - F.col("_y")
+                    )
+                    * ERR_FIXED
+                )
+                .cast("bigint")  # truncation toward zero, like numpy trunc
+                .alias("_err_f"),
+            )
+        )
+        grads = (
+            feats.join(err, id_col)
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    (F.col("_err_f") * F.col("tf")).cast("decimal(38,0)")
+                ).alias("_g")
+            )
+            .collect()
+        )
+        g = {r["bucket"]: int(r["_g"]) for r in grads}
+        w = {
+            b: q6(
+                float(w[b]) * (1.0 - lr * l2)
+                - lr * (g.get(b, 0) / ERR_FIXED) / n_docs
+            )
+            for b in buckets
+        }
+
+    feats.unpersist()
+    bias = w.pop(BIAS_BUCKET, Decimal(0))
+    weights_df = spark.createDataFrame(
+        sorted(w.items()), "bucket string, weight decimal(12,6)"
+    )
+    return weights_df, str(bias)
