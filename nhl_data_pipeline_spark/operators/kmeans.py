@@ -58,6 +58,37 @@ def _sq_dist(vec: Column, centroid: Column) -> Column:
     return F.aggregate(diff2, F.lit(0.0).cast("double"), lambda acc, v: acc + v)
 
 
+def _sq_dist_lit(vec: Column, centroid: list[float], offset: int = 0) -> Column:
+    """Same left-to-right float64 squared distance as :func:`_sq_dist`,
+    emitted as PLAIN arithmetic over a Python-literal centroid instead of
+    interpreted HOFs. Bit-identical (pinned in
+    tests/test_kmeans.py::test_dists_lit_bitwise_equals_hof_form): the
+    aggregate's fold starts at 0.0 and every term is ≥ +0.0, so
+    (0.0+t₁)+t₂+… ≡ t₁+t₂+…. ``offset`` indexes a subvector of ``vec``
+    directly (the PQ case) without a slice allocation.
+
+    MEASURED, and the HOF form won: at this engine's shapes (16
+    centroids × 64 dims, or 8×16×8 for PQ) the expanded tree is 1-2k
+    nodes and the argmin pattern duplicates it — codegen overflows into
+    fallback interpretation of the DEEP tree, which is slower than the
+    HOF loop (pq_adc_topk 1.9 s HOF vs 9.2 s expanded; kmeans assign
+    1.1 s vs 4.5 s, sf0.1). Kept as the documented alternative: for
+    SMALL centroid sets (≲ a few hundred expanded nodes) this form stays
+    inside whole-stage codegen and wins; the call sites use the HOF form
+    because our matrices are past that point."""
+    d = None
+    for i, cv in enumerate(centroid):
+        x = F.element_at(vec, offset + i + 1).cast("double") - F.lit(float(cv))
+        t = x * x
+        d = t if d is None else d + t
+    return d
+
+
+def _dists_lit(vec: Column, centroids: Matrix, offset: int = 0) -> Column:
+    """Array of per-centroid squared distances, all in plain codegen."""
+    return F.array(*[_sq_dist_lit(vec, c, offset) for c in centroids])
+
+
 def init_centroids(
     df: DataFrame, k: int, *, vec: str = "embedding", id_col: str = "vec_id"
 ) -> Matrix:

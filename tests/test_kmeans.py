@@ -196,3 +196,31 @@ def test_assign_is_codegen_only(spark, emb):
     )
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_dists_lit_bitwise_equals_hof_form(spark):
+    """The plain-codegen distance array (_dists_lit) must be bit-identical
+    to the interpreted HOF reference form (transform + zip_with/aggregate
+    _sq_dist) — same element order, same fold order, same casts."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.operators import kmeans as KM
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 8), "
+            "i -> CAST(sin(id * 31 + i) * 10 AS FLOAT))"
+        ).alias("embedding"),
+    )
+    cents = [[(i * 7 + j) * 0.3125 - 1.5 for j in range(8)] for i in range(5)]
+    hof = F.transform(
+        KM._lit_matrix(cents), lambda c: KM._sq_dist(F.col("embedding"), c)
+    )
+    lit = KM._dists_lit(F.col("embedding"), cents)
+    rows = df.select(hof.alias("a"), lit.alias("b")).collect()
+    bits = lambda x: struct.pack("<d", x)  # noqa: E731
+    for r in rows:
+        assert [bits(v) for v in r["a"]] == [bits(v) for v in r["b"]]
