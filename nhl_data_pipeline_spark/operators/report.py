@@ -138,3 +138,79 @@ def corpus_report_sql(table: str = "documents") -> str:
                {", ".join("h." + b.split(" AS ")[-1] for b in bins)}
         FROM rollup r JOIN hist h USING (source, lang)
     """
+
+
+QUANTILES = (0.5, 0.95, 0.99)
+
+
+def group_quantiles(
+    docs: DataFrame,
+    *,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    qs: tuple[float, ...] = QUANTILES,
+) -> DataFrame:
+    """EXACT per-group token-count quantiles, no sort of the corpus.
+
+    approx_percentile is a sketch whose merge order varies run-to-run and
+    differs per engine; a full sort is a corpus-wide exchange. This is the
+    exact middle path for value domains with bounded cardinality (token
+    counts, lengths, scores-quantized): compress the distribution first —
+    groupBy (group, value) COUNT moves one row per DISTINCT value (map-
+    side combined), then a per-group cumulative sum over the few hundred
+    distinct values gives rank boundaries, and quantile q is the FIRST
+    value whose running count reaches ceil(q·n) (the lower discrete
+    quantile — same definition in the DuckDB twin, so cells match
+    bit-for-bit; ties and duplicates are exact, not estimated).
+
+    Output: group_cols + one BIGINT column per q (``p50 p95 p99``).
+    """
+    from pyspark.sql.window import Window
+
+    gc = list(group_cols)
+    val = token_count(F.col("text")).cast("bigint").alias("v")
+    dist = docs.select(*gc, val).groupBy(*gc, "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy(*gc).orderBy("v")
+    cum = dist.select(
+        *gc,
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy(*gc)).alias("n"),
+    )
+    aggs = []
+    for q in qs:
+        name = f"p{int(q * 100)}"
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(
+            F.min(F.when(F.col("cum") >= rank, F.col("v"))).alias(name)
+        )
+    return cum.groupBy(*gc).agg(*aggs)
+
+
+def group_quantiles_sql(
+    table: str = "documents",
+    *,
+    qs: tuple[float, ...] = QUANTILES,
+) -> str:
+    """DuckDB twin of :func:`group_quantiles` (same discrete-rank rule)."""
+    toks = "len(string_split_regex(text, '\\s+'))"
+    cols = ", ".join(
+        f"min(CASE WHEN cum >= ceil({q} * n) THEN v END) AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+        WITH dist AS (
+            SELECT source, lang, CAST({toks} AS BIGINT) AS v,
+                   count(*) AS c
+            FROM {table} GROUP BY 1, 2, 3
+        ),
+        cum AS (
+            SELECT source, lang, v,
+                   sum(c) OVER (PARTITION BY source, lang ORDER BY v) AS cum,
+                   sum(c) OVER (PARTITION BY source, lang) AS n
+            FROM dist
+        )
+        SELECT source, lang, {cols}
+        FROM cum GROUP BY 1, 2
+    """

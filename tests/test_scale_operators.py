@@ -408,3 +408,35 @@ def test_corpus_report_matches_duckdb_twin(spark, duck):
         # dup_docs counts members of multi-doc fingerprint groups
         assert r["dup_docs"] != 1  # impossible: groups have >= 2 members
         assert r["dup_docs"] <= r["n_docs"]
+
+
+def test_group_quantiles_exact_and_twin(spark, duck):
+    """Exact per-group quantiles via the compressed-distribution path:
+    cells match the DuckDB twin bit-for-bit AND a brute-force Python
+    sort-and-index on the collected values (lower discrete quantile)."""
+    import math
+
+    from nhl_data_pipeline_spark.operators.report import (
+        QUANTILES,
+        group_quantiles,
+        group_quantiles_sql,
+    )
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    rows = group_quantiles(docs).collect()
+    got = {(r["source"], r["lang"]): tuple(r)[2:] for r in rows}
+    want = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in duck.sql(group_quantiles_sql()).fetchall()
+    }
+    assert got == want and len(got) > 1
+
+    vals = {}
+    for r in docs.selectExpr(
+        "source", "lang", "size(split(text, '\\\\s+')) AS v"
+    ).collect():
+        vals.setdefault((r["source"], r["lang"]), []).append(r["v"])
+    for key, qs in got.items():
+        s = sorted(vals[key])
+        for q, got_v in zip(QUANTILES, qs):
+            assert got_v == s[math.ceil(q * len(s)) - 1], (key, q)
