@@ -160,3 +160,48 @@ def drift_report(df: DataFrame) -> DataFrame:
     return row.select(
         F.explode(F.array(*pairs)).alias("s")
     ).select("s.field", "s.n_present", "s.null_rate", "s.type")
+
+
+def stream_json_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    good_path: str,
+    quarantine_path: str,
+    checkpoint: str,
+):
+    """Streaming form of :func:`read_json_quarantine`: a file-source
+    stream whose every micro-batch is split into a good sink and a
+    quarantine sink inside ONE foreachBatch (exactly-once per batch via
+    the checkpoint; the corrupt-column-only restriction doesn't bite
+    because the batch frame is already parsed). `availableNow` turns it
+    into an incremental backfill over whatever landed since the last
+    checkpoint — the streaming and batch contracts stay identical, so the
+    quarantine semantics are tested once against the batch twin.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+    def _split(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL).write.mode(
+            "append"
+        ).parquet(good_path)
+        batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
+            F.col(CORRUPT_COL).alias("raw")
+        ).write.mode("append").parquet(quarantine_path)
+        batch_df.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_split)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -113,3 +113,32 @@ def test_drift_report_census(spark, tmp_path):
     assert rep["team"]["n_present"] == 2
     assert abs(rep["team"]["null_rate"] - 1 / 3) < 1e-12
     assert rep["score"]["type"] == "long"
+
+
+def test_stream_quarantine_matches_batch_twin(spark, tmp_path):
+    """One availableNow pass over the same mixed feed produces exactly the
+    batch split (good rows and quarantined raw lines), and a second pass
+    with new files is incremental (checkpointed)."""
+    path, good = _write_mixed(tmp_path)
+    gp, qp, cp = (
+        str(tmp_path / "good"),
+        str(tmp_path / "quar"),
+        str(tmp_path / "ckpt"),
+    )
+    R.stream_json_quarantine(spark, path, SCHEMA, gp, qp, cp).awaitTermination(120)
+    ok = sorted(
+        (r["game_id"], r["team"], r["score"])
+        for r in spark.read.parquet(gp).collect()
+    )
+    assert ok == [(1, "BOS", 3), (2, "NYR", 1), (3, None, 2)]
+    assert spark.read.parquet(qp).count() == 2
+
+    # incremental: a new file with one good + one bad line
+    import pathlib
+
+    pathlib.Path(path, "part-1.json").write_text(
+        '{"game_id": 9, "team": "CHI", "score": 5}\nbroken{\n'
+    )
+    R.stream_json_quarantine(spark, path, SCHEMA, gp, qp, cp).awaitTermination(120)
+    assert spark.read.parquet(gp).count() == 4  # only the new good row added
+    assert spark.read.parquet(qp).count() == 3
