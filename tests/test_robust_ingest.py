@@ -142,3 +142,74 @@ def test_stream_quarantine_matches_batch_twin(spark, tmp_path):
     R.stream_json_quarantine(spark, path, SCHEMA, gp, qp, cp).awaitTermination(120)
     assert spark.read.parquet(gp).count() == 4  # only the new good row added
     assert spark.read.parquet(qp).count() == 3
+
+
+# ---------------------------------------------------- schema_union laws
+
+
+def _arbitrary_schema(draw):
+    from hypothesis import strategies as st
+
+    from pyspark.sql import types as TT
+
+    types = [
+        TT.LongType(),
+        TT.IntegerType(),
+        TT.DoubleType(),
+        TT.StringType(),
+        TT.BooleanType(),
+    ]
+    names = draw(
+        st.lists(
+            st.sampled_from("abcdefgh"), min_size=1, max_size=5, unique=True
+        )
+    )
+    return TT.StructType(
+        [
+            TT.StructField(n, draw(st.sampled_from(types)), True)
+            for n in names
+        ]
+    )
+
+
+def test_schema_union_laws():
+    """Property: idempotent on itself; result covers every field of both
+    inputs; a field's merged type can parse values of BOTH input types
+    (same type, widened numeric, or string)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        a = _arbitrary_schema(data.draw)
+        b = _arbitrary_schema(data.draw)
+        merged, _ = R.schema_union(a, b)
+        same, _ = R.schema_union(a, a)
+        assert same == T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in a.fields]
+        )
+        names = {f.name for f in merged.fields}
+        assert {f.name for f in a.fields} | {f.name for f in b.fields} == names
+        by = {f.name: f.dataType for f in merged.fields}
+        for src in (a, b):
+            for f in src.fields:
+                t = by[f.name]
+                ok = (
+                    t == f.dataType
+                    or t == T.StringType()
+                    or (
+                        f.dataType.typeName() in ("integer", "long")
+                        and t.typeName() in ("long", "double")
+                    )
+                    or (
+                        f.dataType.typeName() == "double"
+                        and t.typeName() == "double"
+                    )
+                )
+                assert ok, (f.name, f.dataType, t)
+        # merge is stable: merging the merge with either input adds nothing
+        again, _ = R.schema_union(merged, a)
+        assert {f.name for f in again.fields} == names
+
+    run()
