@@ -215,3 +215,39 @@ def test_stop_shingle_hot_set_broadcasts(spark):
     p = plan_str(drop_stop_shingles(sh, max_df=100))
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
     assert "SortMergeJoin" not in p
+
+
+def test_lm_scoring_joins_on_hashed_gram_at_model_scale(spark):
+    """ngram_lm_score (self-scored): p_fixed must be computed per
+    DISTINCT gram and joined back on the 8-byte xxhash64 key (not the
+    gram string); the vocab scalar must broadcast. Guards the round-4
+    restructure that removed the corpus-scale ctx shuffle."""
+    from nhl_data_pipeline_spark.catalog import load_table
+    from nhl_data_pipeline_spark.operators.lm import ngram_lm_score
+
+    docs = load_table(spark, TEST_SF_DIR, "documents")
+    p = plan_str(ngram_lm_score(docs))
+    assert "xxhash64" in p  # hashed join key on the corpus side
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p  # v
+    # the ctx equi-join must exist (model-scale) but never as a
+    # BatchEvalPython stage; no Python anywhere in this plan
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_bloom_prejoin_filter_is_scan_side(spark):
+    """bloom_prejoin: the membership conjunction must evaluate in a
+    Filter over the big-side scan (pmod/xxhash64 present), never via a
+    join or Python."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.catalog import load_table
+    from nhl_data_pipeline_spark.operators.bloom import bloom_prejoin
+
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    cust = load_table(spark, TEST_SF_DIR, "customer").filter(
+        F.col("c_nationkey") == 3
+    )
+    p = plan_str(bloom_prejoin(orders, "o_custkey", cust, "c_custkey"))
+    assert "pmod" in p and "xxhash64" in p
+    assert "Join" not in p  # apply side is join-free
+    assert "BatchEvalPython" not in p
