@@ -55,16 +55,34 @@ N_HASHES_DEFAULT = 5
 def _positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
     """k bit positions via double hashing over two xxhash64 seeds.
 
+    The key is normalized to STRING first: xxhash64 is TYPE-sensitive
+    (xxhash64(5 AS INT) ≠ xxhash64(5 AS BIGINT)), so hashing the raw
+    columns would desync a build over an INT dim key from an apply over a
+    BIGINT fact key and silently prune every true match. String-casting
+    makes all integral widths (and equal strings) hash identically on
+    both sides; int-vs-fractional key pairs are rejected in
+    :func:`bloom_prejoin` ('5' ≠ '5.0').
+
     Both hashes are reduced mod n_bits BEFORE the linear combination:
     (h1 mod m + i·(h2 mod m)) mod m ≡ (h1 + i·h2) mod m, and the reduced
     arithmetic can't overflow a long — ANSI mode (the Spark 4 default)
     raises on wraparound instead of wrapping."""
-    h1 = F.pmod(F.xxhash64(key), F.lit(n_bits))
-    h2 = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(n_bits))
+    k = key.cast("string")
+    h1 = F.pmod(F.xxhash64(k), F.lit(n_bits))
+    h2 = F.pmod(F.xxhash64(k, F.lit(0x9E3779B9)), F.lit(n_bits))
     return [
         F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)).cast("long")
         for i in range(n_hashes)
     ]
+
+
+def _check_bits(n_bits: int) -> None:
+    if n_bits <= 0 or n_bits % 64:
+        raise ValueError(
+            f"n_bits must be a positive multiple of 64, got {n_bits}"
+            " (the word table densifies to n_bits/64 longs and the apply"
+            " side re-derives n_bits as len(words)*64)"
+        )
 
 
 def bloom_build(
@@ -77,6 +95,7 @@ def bloom_build(
     """Dense word list (n_bits/64 longs) of the Bloom filter over
     ``small[key]`` — one map-side-combinable aggregation, then a
     driver-side densify of the ≤ n_bits/64 sparse rows."""
+    _check_bits(n_bits)
     pos = F.explode(
         F.array(*_positions(F.col(key), n_hashes, n_bits))
     ).alias("bit")
@@ -134,6 +153,20 @@ def bloom_prejoin(
     unfiltered ``big`` (false positives are discarded by the join, false
     negatives cannot occur), but the shuffle moves ~selectivity+ε of the
     rows instead of all of them."""
+    bt = dict(big.dtypes)[big_key]
+    st = dict(small.dtypes)[small_key]
+    frac = ("float", "double") + tuple(
+        t for t in (bt, st) if t.startswith("decimal")
+    )
+    if bt != st and (bt in frac or st in frac):
+        # '5' vs '5.0' after the string normalization — a plain join would
+        # coerce and match, the bloom filter would not. Refuse loudly
+        # rather than silently prune true matches.
+        raise ValueError(
+            f"bloom_prejoin key types differ with a fractional side"
+            f" ({big_key}: {bt} vs {small_key}: {st}) — cast one side"
+            " explicitly before pruning"
+        )
     words = bloom_build(small, small_key, n_bits=n_bits, n_hashes=n_hashes)
     return big.filter(
         bloom_might_contain(words, F.col(big_key), n_hashes=n_hashes)

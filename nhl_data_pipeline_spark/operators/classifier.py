@@ -282,9 +282,13 @@ def train_logreg(
             .collect()
         )
         g = {r["bucket"]: int(r["_g"]) for r in grads}
+        # Standard LR regularizes WEIGHTS, never the intercept — decaying
+        # the bias would pull learned probabilities away from the class
+        # base rate on imbalanced corpora.
         w = {
             b: q6(
-                float(w[b]) * (1.0 - lr * l2)
+                float(w[b])
+                * (1.0 if b == BIAS_BUCKET else (1.0 - lr * l2))
                 - lr * (g.get(b, 0) / ERR_FIXED) / n_docs
             )
             for b in buckets

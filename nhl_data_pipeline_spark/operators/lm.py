@@ -63,6 +63,24 @@ def _ngrams(d: DataFrame, n: int, *, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _p_fixed_expr() -> "F.Column":
+    """Add-k-smoothed trigram probability at 10⁻¹² fixed point, over
+    c_tri / c_ctx / v columns — the ONE definition both scoring branches
+    share, so self-scored and reference-scored can never drift.
+
+    DECIMAL(38,0) numerator: (10·c_tri+1)·10¹² would wrap BIGINT once
+    c_tri exceeds ~9.2e5 on a large/self-similar corpus; decimal keeps it
+    exact to ~1e25 and `div` (IntegralDivide) on decimals still returns an
+    exact BIGINT (a double round-trip would reintroduce float wobble).
+    COALESCE covers the reference-scored branch's left joins (gram/ctx
+    absent from the model → 0); in the self-scored inner join it is the
+    identity."""
+    return F.expr(
+        f"(CAST(10 * COALESCE(c_tri, 0) + 1 AS DECIMAL(38,0)) * {FIXED_POINT})"
+        " div CAST(10 * COALESCE(c_ctx, 0) + v AS DECIMAL(38,0))"
+    )
+
+
 def ngram_lm_score(
     docs: DataFrame,
     *,
@@ -109,16 +127,6 @@ def ngram_lm_score(
     )
     v = tri_counts.select(F.count(F.lit(1)).alias("v"))
 
-    # DECIMAL(38,0) numerator: (10*c_tri+1)*10^12 would wrap BIGINT once
-    # c_tri exceeds ~9.2e5 on a large/self-similar corpus; decimal keeps it
-    # exact to ~1e25 and `div` (IntegralDivide) on decimals still returns
-    # an exact BIGINT.
-    num = (10 * F.coalesce("c_tri", F.lit(0)) + 1).cast("decimal(38,0)") * F.lit(
-        FIXED_POINT
-    )
-    den = (10 * F.coalesce("c_ctx", F.lit(0)) + F.col("v")).cast("decimal(38,0)")
-    # true integer division ((num/den).cast(bigint) would round-trip
-    # through double and reintroduce the float wobble)
     if reference is None:
         # Self-scored: every doc trigram is in the model by construction,
         # and p_fixed is a function of the GRAM alone — so compute it once
@@ -138,10 +146,7 @@ def ngram_lm_score(
             .crossJoin(F.broadcast(v))
             .select(
                 F.xxhash64("gram").alias("gk"),
-                F.expr(
-                    f"(CAST(10 * c_tri + 1 AS DECIMAL(38,0)) * {FIXED_POINT})"
-                    " div CAST(10 * c_ctx + v AS DECIMAL(38,0))"
-                ).alias("p_fixed"),
+                _p_fixed_expr().alias("p_fixed"),
             )
         )
         scored = tri_ref.select(
@@ -157,8 +162,7 @@ def ngram_lm_score(
             tri_doc.join(tri_counts, "gram", "left")
             .join(ctx_counts, "ctx", "left")
             .crossJoin(F.broadcast(v))
-            .select(id_col, num.alias("_n"), den.alias("_d"))
-            .select(id_col, F.expr("_n div _d").alias("p_fixed"))
+            .select(id_col, _p_fixed_expr().alias("p_fixed"))
         )
     # Exact BIGINT sum (order-independent), then ONE identical double
     # division sequence in both engines.

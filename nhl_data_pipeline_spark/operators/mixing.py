@@ -209,16 +209,22 @@ def train_val_test_split_sql(
     val_hi = int(val * 16**8)
     test_hi = val_hi + int(test * 16**8)
     # hex→int via the instr nibble trick (valid in BOTH DuckDB and Spark
-    # SQL — same device as classifier._hex6_int_sql)
-    md5_expr = f"md5('{salt}|' || CAST({id_col} AS VARCHAR))"
+    # SQL — same device as classifier._hex6_int_sql); the md5 and the sum
+    # are computed ONCE per row in a subquery, not once per CASE arm.
     v = " + ".join(
-        f"(instr('0123456789abcdef', substr({md5_expr}, {j + 1}, 1)) - 1)"
+        f"(instr('0123456789abcdef', substr(_h, {j + 1}, 1)) - 1)"
         f" * {16 ** (7 - j)}"
         for j in range(8)
     )
     return f"""
-        SELECT *, CASE WHEN ({v}) < {val_hi} THEN 'val'
-                       WHEN ({v}) < {test_hi} THEN 'test'
+        SELECT * EXCLUDE (_h, _v), CASE WHEN _v < {val_hi} THEN 'val'
+                       WHEN _v < {test_hi} THEN 'test'
                        ELSE 'train' END AS split
-        FROM {table}
+        FROM (
+            SELECT *, ({v}) AS _v
+            FROM (
+                SELECT *, md5('{salt}|' || CAST({id_col} AS VARCHAR)) AS _h
+                FROM {table}
+            )
+        )
     """

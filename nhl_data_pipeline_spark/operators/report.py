@@ -168,8 +168,14 @@ def group_quantiles(
 
     gc = list(group_cols)
     val = token_count(F.col("text")).cast("bigint").alias("v")
-    dist = docs.select(*gc, val).groupBy(*gc, "v").agg(
-        F.count(F.lit(1)).alias("c")
+    # NULL values (null text) are excluded in BOTH engines explicitly:
+    # Spark windows order NULLS FIRST, DuckDB NULLS LAST, so leaving them
+    # in would silently skew the rank lookup differently per engine.
+    dist = (
+        docs.select(*gc, val)
+        .filter(F.col("v").isNotNull())
+        .groupBy(*gc, "v")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.partitionBy(*gc).orderBy("v")
     cum = dist.select(
@@ -203,7 +209,9 @@ def group_quantiles_sql(
         WITH dist AS (
             SELECT source, lang, CAST({toks} AS BIGINT) AS v,
                    count(*) AS c
-            FROM {table} GROUP BY 1, 2, 3
+            FROM {table}
+            WHERE {toks} IS NOT NULL
+            GROUP BY 1, 2, 3
         ),
         cum AS (
             SELECT source, lang, v,

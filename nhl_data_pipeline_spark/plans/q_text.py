@@ -883,15 +883,17 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
             for i in range(12)
         ]
+    ).select(
+        "doc_id", "n", F.array(*[F.col(f"h{i}") for i in range(12)]).alias("sig")
     )
-    band_key = lambda b: F.md5(  # noqa: E731
-        F.concat_ws("|", *[F.col(f"h{b * 3 + r}") for r in range(3)])
-    )
+    # band keys via the ONE shared constructor (operators/dedup.py) — the
+    # SQL oracle is generated from its lsh_band_keys_sql twin, so banding
+    # parameters can never drift between the engines or the dedup family.
     bands = sigs.select(
         "doc_id",
         "n",
-        F.array(*[F.col(f"h{i}") for i in range(12)]).alias("sig"),
-        F.posexplode(F.array(*[band_key(b) for b in range(4)])).alias(
+        "sig",
+        F.posexplode(D.lsh_band_keys(F.col("sig"), 4, 3)).alias(
             "band_idx0", "band_key"
         ),
     ).select(

@@ -172,12 +172,19 @@ def stream_json_quarantine(
 ):
     """Streaming form of :func:`read_json_quarantine`: a file-source
     stream whose every micro-batch is split into a good sink and a
-    quarantine sink inside ONE foreachBatch (exactly-once per batch via
-    the checkpoint; the corrupt-column-only restriction doesn't bite
-    because the batch frame is already parsed). `availableNow` turns it
-    into an incremental backfill over whatever landed since the last
-    checkpoint — the streaming and batch contracts stay identical, so the
-    quarantine semantics are tested once against the batch twin.
+    quarantine sink inside ONE foreachBatch. `availableNow` turns it into
+    an incremental backfill over whatever landed since the last
+    checkpoint; the quarantine output carries (source_file, raw) exactly
+    like the batch form, so replay tooling works against either.
+
+    Idempotence, stated honestly: foreachBatch is at-least-once — a crash
+    between the two appends (or before the checkpoint commit) REPLAYS the
+    batch. Both writes therefore partition by the deterministic batch id
+    and OVERWRITE only their own partition (dynamic partitionOverwriteMode),
+    so a replayed batch replaces its own previous output instead of
+    appending a duplicate — the effective semantics become exactly-once.
+    (The corrupt-column-only restriction doesn't bite here: the batch
+    frame foreachBatch hands over is already parsed.)
     """
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -187,21 +194,46 @@ def stream_json_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
+        # capture at scan time, as in the batch form
+        .select("*", F.input_file_name().alias("_source_file"))
     )
 
-    def _split(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.persist()
-        batch_df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL).write.mode(
-            "append"
-        ).parquet(good_path)
-        batch_df.filter(F.col(CORRUPT_COL).isNotNull()).select(
-            F.col(CORRUPT_COL).alias("raw")
-        ).write.mode("append").parquet(quarantine_path)
-        batch_df.unpersist()
-
+    split = quarantine_batch_writer(good_path, quarantine_path)
     return (
-        stream.writeStream.foreachBatch(_split)
+        stream.writeStream.foreachBatch(split)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quarantine_batch_writer(good_path: str, quarantine_path: str):
+    """The foreachBatch body of :func:`stream_json_quarantine`, exposed so
+    the replay-idempotence property is directly testable: calling it twice
+    with the same (frame, batch_id) must leave the sinks unchanged."""
+
+    def _split(batch_df: DataFrame, batch_id: int) -> None:
+        tagged = batch_df.withColumn("_batch_id", F.lit(batch_id)).persist()
+        (
+            tagged.filter(F.col(CORRUPT_COL).isNull())
+            .drop(CORRUPT_COL, "_source_file")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(good_path)
+        )
+        (
+            tagged.filter(F.col(CORRUPT_COL).isNotNull())
+            .select(
+                F.col("_source_file").alias("source_file"),
+                F.col(CORRUPT_COL).alias("raw"),
+                "_batch_id",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(quarantine_path)
+        )
+        tagged.unpersist()
+
+    return _split

@@ -88,3 +88,30 @@ def test_filter_sits_below_the_join_exchange(spark):
     # Executed-plan text lists operators top-down (sink first): the
     # Exchange prints ABOVE the scan-side Filter that feeds it.
     assert exchange_pos < filter_pos
+
+
+def test_mixed_integral_widths_still_match(spark):
+    """xxhash64 is type-sensitive; the string normalization must make an
+    INT build side and a BIGINT apply side agree (no false negatives)."""
+    small = spark.range(100).selectExpr("CAST(id AS INT) AS k")
+    big = spark.range(1000).selectExpr("CAST(id AS BIGINT) AS k")
+    pruned = B.bloom_prejoin(big, "k", small, "k", n_bits=1 << 12)
+    survivors = {r["k"] for r in pruned.collect()}
+    assert set(range(100)) <= survivors  # every true match survives
+
+
+def test_fractional_type_mismatch_rejected(spark):
+    import pytest
+
+    small = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS k")
+    big = spark.range(10).selectExpr("CAST(id AS BIGINT) AS k")
+    with pytest.raises(ValueError, match="fractional"):
+        B.bloom_prejoin(big, "k", small, "k")
+
+
+def test_bad_n_bits_rejected(spark):
+    import pytest
+
+    small = spark.range(10).selectExpr("id AS k")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        B.bloom_build(small, "k", n_bits=100)

@@ -156,7 +156,11 @@ def _py_train_logreg(rows, n_iter=5, lr=0.5, l2=0.0):
             for b, c in tf.items():
                 g[b] += err_f * c
         w = {
-            b: q6(float(w[b]) * (1.0 - lr * l2) - lr * (g[b] / ERR_FIXED) / n)
+            b: q6(
+                float(w[b])
+                * (1.0 if b == BIAS_BUCKET else (1.0 - lr * l2))
+                - lr * (g[b] / ERR_FIXED) / n
+            )
             for b in buckets
         }
     bias = w.pop(BIAS_BUCKET)
@@ -211,3 +215,26 @@ def test_train_logreg_partitioning_invariant(spark):
     w2, b2 = train_logreg(docs.repartition(13), label_col="y", n_iter=3)
     assert b1 == b2
     assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+
+def test_train_logreg_l2_decays_weights_not_bias(spark):
+    """With L2 on, the Python-reference parity must still hold (exercises
+    the decay path) and the intercept must NOT be regularized."""
+    from nhl_data_pipeline_spark.operators.classifier import train_logreg
+
+    rows = _train_docs()
+    docs = spark.createDataFrame(rows, "doc_id: bigint, text: string, y: int")
+    wdf, bias = train_logreg(docs, label_col="y", n_iter=3, l2=0.2)
+    got = {r["bucket"]: r["weight"] for r in wdf.collect()}
+    want, want_bias = _py_train_logreg(rows, n_iter=3, l2=0.2)
+    for b in want:
+        assert abs(float(got[b]) - float(want[b])) <= 2e-6
+    assert abs(float(bias) - float(want_bias)) <= 2e-6
+    # the decayed run shrinks feature weights vs the unregularized run,
+    # but the bias stays on the unregularized trajectory's scale
+    w0, b0 = train_logreg(docs, label_col="y", n_iter=3, l2=0.0)
+    mag = lambda df: sum(  # noqa: E731
+        abs(float(r["weight"])) for r in df.collect()
+    )
+    assert mag(wdf) < mag(w0)
+    assert abs(float(bias)) >= 0.5 * abs(float(b0))

@@ -141,7 +141,38 @@ def test_stream_quarantine_matches_batch_twin(spark, tmp_path):
     )
     R.stream_json_quarantine(spark, path, SCHEMA, gp, qp, cp).awaitTermination(120)
     assert spark.read.parquet(gp).count() == 4  # only the new good row added
-    assert spark.read.parquet(qp).count() == 3
+    q = spark.read.parquet(qp)
+    assert q.count() == 3
+    # the streaming quarantine carries the batch contract's source_file
+    assert {"source_file", "raw"} <= set(q.columns)
+    assert all(r["source_file"] for r in q.collect())
+
+
+def test_stream_quarantine_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running the SAME (frame, batch_id)
+    — the crash-replay case — must overwrite its own partition, not append
+    a duplicate."""
+    from pyspark.sql import functions as F
+
+    path, _ = _write_mixed(tmp_path)
+    gp, qp = str(tmp_path / "g2"), str(tmp_path / "q2")
+    full = R.T.StructType(
+        list(SCHEMA.fields)
+        + [R.T.StructField(R.CORRUPT_COL, R.T.StringType())]
+    )
+    frame = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", R.CORRUPT_COL)
+        .json(path)
+        .select("*", F.input_file_name().alias("_source_file"))
+    )
+    split = R.quarantine_batch_writer(gp, qp)
+    split(frame, 0)
+    n_good, n_bad = spark.read.parquet(gp).count(), spark.read.parquet(qp).count()
+    split(frame, 0)  # replay
+    assert spark.read.parquet(gp).count() == n_good
+    assert spark.read.parquet(qp).count() == n_bad
 
 
 # ---------------------------------------------------- schema_union laws
