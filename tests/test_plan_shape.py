@@ -251,3 +251,39 @@ def test_bloom_prejoin_filter_is_scan_side(spark):
     assert "pmod" in p and "xxhash64" in p
     assert "Join" not in p  # apply side is join-free
     assert "BatchEvalPython" not in p
+
+
+def test_aqe_switches_to_broadcast_at_runtime(spark):
+    """AQE demonstration pin: a join whose small side only becomes small
+    AFTER a selective filter (static file-size stats say 'big') must be
+    re-planned to a broadcast join at RUNTIME. This is the engine's
+    'declare the plan, let AQE pick the strategy' contract — if this
+    breaks, every selective-dim join in the engine silently degrades to
+    a shuffle."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.catalog import load_table
+
+    # Disable the STATIC broadcast threshold so the initial plan is a
+    # shuffle join; only AQE's runtime threshold (set explicitly) can
+    # promote it — which it must, once the filter's true output size is
+    # observed at the shuffle boundary.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", str(10 << 20)
+    )
+    try:
+        orders = load_table(spark, TEST_SF_DIR, "orders")
+        tiny = load_table(spark, TEST_SF_DIR, "customer").filter(
+            F.col("c_custkey") % 97 == 0  # ~1% of rows, unknown statically
+        )
+        joined = orders.join(tiny, orders.o_custkey == tiny.c_custkey)
+        static = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in static  # static planner: shuffle
+        joined.collect()  # executes THIS Dataset's queryExecution
+        p = joined._jdf.queryExecution().executedPlan().toString()
+        assert "AdaptiveSparkPlan isFinalPlan=true" in p
+        assert "BroadcastHashJoin" in p  # AQE promoted it at runtime
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
