@@ -1,0 +1,43 @@
+"""Plan-fingerprint regression gate: the multiset of scale-relevant
+operators (exchanges, join strategies, Python evals) in every registered
+query's static physical plan must match the committed baseline.
+
+Value-level tests can't see an extra Exchange — it's invisible at sf0.01
+and a cliff at 100 TB. After an INTENTIONAL plan change, regenerate with
+`python tools/plan_fingerprints.py` and review the JSON diff like code.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from nhl_data_pipeline_spark.plans.registry import all_queries
+from tests.conftest import TEST_SF_DIR
+
+BASELINE = Path(__file__).parent / "plan_fingerprints.json"
+
+
+def test_static_plans_match_committed_fingerprints(spark):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_fingerprints import fingerprint
+
+    want = json.loads(BASELINE.read_text())
+    drift = {}
+    for name, spec in all_queries().items():
+        plan = (
+            spec.fn(spark, TEST_SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        got = fingerprint(plan)
+        if got != want.get(name):
+            drift[name] = {"want": want.get(name), "got": got}
+    assert not drift, (
+        f"{len(drift)} quer{'y' if len(drift) == 1 else 'ies'} changed "
+        f"plan shape: {json.dumps(drift, indent=1)}\n"
+        "If intentional: python tools/plan_fingerprints.py && review diff"
+    )
