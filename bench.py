@@ -91,6 +91,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "dedup_scale_probe": _dedup_scale_probe(spark),
+                "ann_scale_probe": _ann_scale_probe(spark),
             }
         )
     )
@@ -295,6 +296,147 @@ def _dedup_scale_probe(spark) -> dict:
     sh.unpersist()
     out["sf1_50k"] = probe
     return out
+
+
+def _ann_scale_probe(spark) -> dict:
+    """Vector-search scale evidence, the ANN analog of the dedup probe.
+
+    The sf0.1 embeddings table is tiny (2K vectors), so the probe also
+    builds a 50×-replicated corpus (100K vectors; replica r>0 perturbs
+    every element deterministically so the copies are distinct points in
+    tight clusters — the natural-embedding regime, unlike the base
+    table's near-uniform synthetic vectors). At both scales:
+    - brute-force cosine top-10, JVM HOF form (exact baseline; x1 only at
+      the big scale's query load it would dominate the bench) and the
+      Arrow/numpy matmul form (the exact throughput path);
+    - IVF split into its true cost centers: TRAIN+ASSIGN (k-means fit +
+      corpus bucketing — at 100 TB this is WRITE-time partitioning, paid
+      once per ingest) vs SCORE (probes join + rank over nprobe/k of the
+      corpus — the recurring READ-side cost);
+    - IVF top-10 recall vs the exact baseline at nprobe=4 and 8.
+    Expected story, measured not asserted: recall on the near-uniform x1
+    vectors is poor (random points don't bucket — IVF presumes
+    clusterable data) and rises on the clustered x50 corpus; the scoring
+    side is the only cost that recurs per query batch.
+    """
+    import time as _t
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.operators.kmeans import kmeans
+    from nhl_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_numpy,
+        norm,
+    )
+    from nhl_data_pipeline_spark.operators.similarity import dot as _dot
+
+    n_queries, k = 16, 10
+    base = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    queries = base.filter(F.col("vec_id") < n_queries)
+
+    reps = [base]
+    for r in range(1, 50):
+        perturbed = F.transform(
+            F.col("embedding"),
+            lambda x, i: x + F.lit(float(r)) * 0.003 * ((i % 7).cast("float") - 3.0),
+        )
+        reps.append(
+            base.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                perturbed.alias("embedding"),
+            )
+        )
+    big = reduce(_DF.unionAll, reps).repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
+
+    def ivf_score(assigned, cents, nprobe):
+        from pyspark.sql.window import Window as W
+
+        from nhl_data_pipeline_spark.operators.kmeans import (
+            _lit_matrix,
+            _sq_dist,
+        )
+
+        qd = F.transform(_lit_matrix(cents), lambda c: _sq_dist(F.col("embedding"), c))
+        probes = queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            norm(F.col("embedding")).alias("q_nrm"),
+            F.posexplode(F.slice(F.array_sort(qd), 1, nprobe)).alias("_i", "_d"),
+            qd.alias("_all"),
+        ).select(
+            "query_id",
+            "q_vec",
+            "q_nrm",
+            (F.array_position(F.col("_all"), F.col("_d")) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+        )
+        cand = assigned.select(
+            "cluster_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            norm(F.col("embedding")).alias("c_nrm"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("neighbor_id")
+        )
+        return (
+            probes.join(cand, "cluster_id")
+            .withColumn(
+                "cosine",
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_nrm") * F.col("c_nrm")),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    out: dict[str, dict] = {}
+    for label, corpus in (("x1_2k", base), ("x50_100k", big)):
+        cands = corpus.filter(F.col("vec_id") >= n_queries)
+        block: dict[str, float] = {}
+
+        def timed(name: str, df) -> None:
+            t0 = _t.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            block[name] = round(_t.perf_counter() - t0, 3)
+
+        if label == "x1_2k":
+            timed("bruteforce_hof", cosine_topk(queries, cands, k))
+        timed("bruteforce_numpy", cosine_topk_numpy(queries, cands, k))
+
+        t0 = _t.perf_counter()
+        assigned, cents = kmeans(cands, 32, 2)
+        assigned = assigned.persist()
+        assigned.write.format("noop").mode("overwrite").save()
+        block["ivf_train_assign_writetime"] = round(_t.perf_counter() - t0, 3)
+        timed("ivf_score_readtime_nprobe4", ivf_score(assigned, cents, 4))
+
+        exact = (
+            cosine_topk(queries, cands, k)
+            .select("query_id", "neighbor_id")
+            .persist()
+        )
+        n_exact = exact.count()
+        for nprobe in (4, 8):
+            n_hit = (
+                ivf_score(assigned, cents, nprobe)
+                .join(exact, ["query_id", "neighbor_id"], "left_semi")
+                .count()
+            )
+            block[f"ivf_recall_at_10_nprobe{nprobe}"] = (
+                round(n_hit / n_exact, 4) if n_exact else 1.0
+            )
+        exact.unpersist()
+        assigned.unpersist()
+        out[label] = block
+    return out
+
 
 
 if __name__ == "__main__":
