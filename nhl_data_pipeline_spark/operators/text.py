@@ -11,6 +11,7 @@ DuckDB SQL fragment builder (suffix ``_sql``) used by the oracle strings.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -510,3 +511,36 @@ def gopher_flags_sql(text_expr: str) -> str:
         " stopwords_ok := {st},"
         " pass_gopher := ({wc} AND {ml} AND {sy} AND {al} AND {st}))"
     ).format(wc=wc, ml=ml, sy=sy, al=al, st=st)
+
+
+def compression_ratio(col: Column | str) -> Column:
+    """zlib-compressibility quality signal: compressed_len / raw_len.
+
+    The Gopher/FineWeb-style repetition detector that n-gram ratios miss:
+    machine-generated or template text compresses far below prose (~0.3
+    vs ~0.6+), and boilerplate-stuffed pages sit in between. Low ratio ⇒
+    repetitive ⇒ usually drop or down-weight.
+
+    This is one of the few legitimately-Python operators in the engine:
+    there is no JVM-side zlib expression, so it runs as an Arrow-batched
+    pandas UDF (never row-at-a-time). Deterministic: zlib level 6 output
+    is stable for a given input across platforms/versions in practice,
+    and the TESTS pin parity against direct python zlib, not a stored
+    constant. Empty/NULL text → NULL (no signal, not 'perfectly
+    compressible').
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def f(t):
+            if t is None or len(t) == 0:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(f)
+
+    return _ratio(F.col(col) if isinstance(col, str) else col)
