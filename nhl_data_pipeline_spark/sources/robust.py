@@ -169,6 +169,7 @@ def stream_json_quarantine(
     good_path: str,
     quarantine_path: str,
     checkpoint: str,
+    max_files_per_trigger: int | None = None,
 ):
     """Streaming form of :func:`read_json_quarantine`: a file-source
     stream whose every micro-batch is split into a good sink and a
@@ -189,11 +190,18 @@ def stream_json_quarantine(
     full = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
-    stream = (
+    reader = (
         spark.readStream.schema(full)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+    )
+    if max_files_per_trigger:
+        # Bounded backfill: cap each micro-batch at N source files so a
+        # month-long catch-up over a 100 TB lake proceeds in restartable,
+        # memory-bounded increments instead of one giant batch.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.json(path)
         # capture at scan time, as in the batch form
         .select("*", F.input_file_name().alias("_source_file"))
     )

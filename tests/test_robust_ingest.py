@@ -244,3 +244,23 @@ def test_schema_union_laws():
         assert {f.name for f in again.fields} == names
 
     run()
+
+
+def test_stream_quarantine_bounded_backfill(spark, tmp_path):
+    """maxFilesPerTrigger=1 over two files must produce two micro-batch
+    partitions — the restartable, memory-bounded catch-up shape."""
+    p = tmp_path / "feed3"
+    p.mkdir()
+    (p / "a.json").write_text('{"game_id": 1, "team": "BOS", "score": 3}\n')
+    (p / "b.json").write_text('{"game_id": 2, "team": "NYR", "score": 1}\n')
+    gp, qp, cp = (
+        str(tmp_path / "g3"),
+        str(tmp_path / "q3"),
+        str(tmp_path / "c3"),
+    )
+    R.stream_json_quarantine(
+        spark, str(p), SCHEMA, gp, qp, cp, max_files_per_trigger=1
+    ).awaitTermination(120)
+    out = spark.read.parquet(gp)
+    assert out.count() == 2
+    assert out.select("_batch_id").distinct().count() == 2
