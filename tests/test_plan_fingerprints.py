@@ -24,6 +24,11 @@ def test_static_plans_match_committed_fingerprints(spark):
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     from plan_fingerprints import fingerprint
 
+    # Other tests in the shared session may leave frames cached; a cached
+    # subtree prints as InMemoryTableScan (no Exchange below it) and
+    # falsely drifts the counts. Fingerprints are defined over COLD plans.
+    spark.catalog.clearCache()
+
     want = json.loads(BASELINE.read_text())
     drift = {}
     for name, spec in all_queries().items():
