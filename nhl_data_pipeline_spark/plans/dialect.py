@@ -106,6 +106,23 @@ def rewrite_iff(sql: str) -> str:
     return _IFF_RE.sub("if(", sql)
 
 
+_DATEADD_RE = re.compile(
+    r"\b(dateadd|datediff)\s*\(\s*'(\w+)'", re.IGNORECASE
+)
+
+
+def rewrite_quoted_datetime_units(sql: str) -> str:
+    """Snowflake quotes datetime-part arguments — ``DATEADD('day', -1, d)``
+    (reference: dbt_nhl/models/silver/dim_date.sql,
+    fact_player_sog_props_v2.sql) — but Spark's dateadd/datediff accept
+    only the bare unit keyword (probed both ways: quoted →
+    INVALID_PARAMETER_VALUE.DATETIME_UNIT). Strip the quotes around the
+    first argument; the unit names coincide. date_trunc is deliberately
+    NOT rewritten — Spark's date_trunc takes a STRING unit, so Snowflake's
+    quoted form already parses and un-quoting would break it (probed)."""
+    return _DATEADD_RE.sub(lambda m: f"{m.group(1)}({m.group(2)}", sql)
+
+
 def rewrite_qualified_names(sql: str, name_map: dict[str, str]) -> str:
     """Catalog mapping: rewrite Snowflake `db.schema.`-qualified table
     prefixes onto the engine's registered view namespace.
@@ -139,7 +156,7 @@ def spark_sql_compat(
     result. Everything else the reference's worksheets use (`::` casts,
     aliases in HAVING, tuple-IN subqueries, `INTERVAL '15 days'`) parses
     natively in Spark 4 (probed, tests/test_worksheet_verbatim.py)."""
-    rewritten = rewrite_iff(rewrite_qualify(sql))
+    rewritten = rewrite_quoted_datetime_units(rewrite_iff(rewrite_qualify(sql)))
     if name_map:
         rewritten = rewrite_qualified_names(rewritten, name_map)
     had_qualify = "__qualify" in rewritten

@@ -99,3 +99,35 @@ def test_qualify_untouched_inside_doubled_quote_escape():
     assert out != sql2, "the depth-0 QUALIFY must be rewritten"
     assert "QUALIFY rn = 1" not in out
     assert "don''t qualify here" in out, "the literal must survive intact"
+
+
+def test_quoted_datetime_units_rewrite(spark):
+    """Snowflake's DATEADD('day', ...) / DATEDIFF('day', ...) run through
+    the shim; date_trunc's quoted unit is left alone (Spark requires it)."""
+    from nhl_data_pipeline_spark.plans.dialect import (
+        rewrite_quoted_datetime_units,
+        spark_sql_compat,
+    )
+
+    assert (
+        rewrite_quoted_datetime_units("DATEADD('day', -1, d)")
+        == "DATEADD(day, -1, d)"
+    )
+    assert (
+        rewrite_quoted_datetime_units("date_trunc('day', ts)")
+        == "date_trunc('day', ts)"
+    )
+    # verbatim dim_date.sql idiom (reference:
+    # dbt_nhl/models/silver/dim_date.sql): a date spine via quoted-unit
+    # DATEADD over a generator
+    rows = spark_sql_compat(
+        spark,
+        """
+        SELECT DATEADD('day', n, '2020-01-01'::DATE) AS d,
+               DATEDIFF('day', '2020-01-01'::DATE,
+                        DATEADD('day', n, '2020-01-01'::DATE)) AS delta
+        FROM (SELECT explode(sequence(0, 4)) AS n)
+        """,
+    ).collect()
+    assert len(rows) == 5
+    assert all(r["delta"] == i for i, r in enumerate(sorted(rows, key=lambda r: r["d"])))
