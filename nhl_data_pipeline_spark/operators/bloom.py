@@ -11,12 +11,15 @@ join, guaranteed by Bloom's no-false-negative property and asserted
 bit-for-bit in tests/test_bloom.py).
 
 Spark has this natively as AQE runtime filters
-(``spark.sql.optimizer.runtime.bloomFilter.enabled``,
-InjectRuntimeFilter) — but the expression form (``bloom_filter_agg`` /
-``might_contain``) is NOT registered in the public function registry
-(probed: UNRESOLVED_ROUTINE in pyspark 4.1), and the optimizer rule only
-fires on its own heuristics. This operator is the explicit, composable
-form: build once, apply to any number of scans.
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``, InjectRuntimeFilter
+— ON by default in 4.1, probed) — but the expression form
+(``bloom_filter_agg`` / ``might_contain``) is NOT registered in the
+public function registry (probed: UNRESOLVED_ROUTINE in pyspark 4.1),
+and the optimizer rule fires only on its own thresholds (probed
+defaults: creation side ≤ 10 MB, application-side SCAN ≥ 10 GB — i.e.
+never at local test scale, and never for a pre-computed/reused filter).
+This operator is the explicit, composable form: build once, apply to any
+number of scans, any time.
 
 Plan shape:
 - BUILD (one pass over the small side): k = ``n_hashes`` bit positions
