@@ -361,19 +361,28 @@ def _ann_scale_probe(spark) -> dict:
         )
 
         qd = F.transform(_lit_matrix(cents), lambda c: _sq_dist(F.col("embedding"), c))
+        # probe slots via sorted (distance, index) STRUCTS, not
+        # array_position over raw distances: struct sort breaks distance
+        # ties on the index, so the nprobe slots are always DISTINCT
+        # clusters (array_position would resolve a tie to the first match
+        # twice -> duplicate probes and double-counted recall hits).
+        slots = F.slice(
+            F.array_sort(
+                F.transform(qd, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+            ),
+            1,
+            nprobe,
+        )
         probes = queries.select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_vec"),
             norm(F.col("embedding")).alias("q_nrm"),
-            F.posexplode(F.slice(F.array_sort(qd), 1, nprobe)).alias("_i", "_d"),
-            qd.alias("_all"),
+            F.explode(slots).alias("_s"),
         ).select(
             "query_id",
             "q_vec",
             "q_nrm",
-            (F.array_position(F.col("_all"), F.col("_d")) - 1)
-            .cast("int")
-            .alias("cluster_id"),
+            F.col("_s.i").cast("int").alias("cluster_id"),
         )
         cand = assigned.select(
             "cluster_id",
@@ -417,8 +426,13 @@ def _ann_scale_probe(spark) -> dict:
         block["ivf_train_assign_writetime"] = round(_t.perf_counter() - t0, 3)
         timed("ivf_score_readtime_nprobe4", ivf_score(assigned, cents, 4))
 
+        # recall baseline: the NUMPY exact top-k at BOTH scales (the HOF
+        # exact would re-run an 11 s+ scan at x50 just to re-derive the
+        # same set; numpy vs HOF can differ only on last-ulp rank-k ties,
+        # noise for a recall metric). Persisted: one computation serves
+        # both nprobe points.
         exact = (
-            cosine_topk(queries, cands, k)
+            cosine_topk_numpy(queries, cands, k)
             .select("query_id", "neighbor_id")
             .persist()
         )

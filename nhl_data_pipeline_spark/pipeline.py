@@ -40,6 +40,18 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST = "_pipeline_manifest.json"
 
 
+def _manifest_fp(manifest: Path) -> str | None:
+    """Fingerprint from a manifest, or None if absent/unreadable — a torn
+    or corrupt manifest means the stage is DIRTY (rebuild), never a crash:
+    self-healing is the whole point of the resume contract."""
+    if not manifest.exists():
+        return None
+    try:
+        return json.loads(manifest.read_text()).get("fingerprint")
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
 @dataclass(frozen=True)
 class Stage:
     """One named model: ``fn(spark, inputs)`` where ``inputs`` maps each
@@ -111,6 +123,9 @@ class Pipeline:
         downstream rebuilds too only if fingerprints change — they don't
         on a pure force, matching dbt's `--full-refresh` of one model).
         """
+        unknown = [f for f in force if f not in {s.name for s in self.stages}]
+        if unknown:
+            raise ValueError(f"force names not in pipeline: {unknown}")
         results: dict[str, StageResult] = {}
         fps: dict[str, str] = {}
         for s in self._order:
@@ -122,11 +137,7 @@ class Pipeline:
             fps[s.name] = fp
             out_dir = Path(root) / s.name
             manifest = out_dir / _MANIFEST
-            clean = (
-                s.name not in force
-                and manifest.exists()
-                and json.loads(manifest.read_text()).get("fingerprint") == fp
-            )
+            clean = s.name not in force and _manifest_fp(manifest) == fp
             if clean:
                 results[s.name] = StageResult("skipped", str(out_dir), fp)
                 continue
@@ -140,7 +151,11 @@ class Pipeline:
             if manifest.exists():
                 manifest.unlink()
             df.write.mode("overwrite").parquet(str(out_dir))
-            manifest.write_text(json.dumps({"fingerprint": fp}))
+            # atomic manifest commit: write-to-temp + rename, so a torn
+            # write can never leave a half-manifest at the final path
+            tmp = manifest.with_suffix(".json.tmp")
+            tmp.write_text(json.dumps({"fingerprint": fp}))
+            tmp.rename(manifest)
             results[s.name] = StageResult("built", str(out_dir), fp)
         return results
 

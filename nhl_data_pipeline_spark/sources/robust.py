@@ -195,7 +195,7 @@ def stream_json_quarantine(
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         # Bounded backfill: cap each micro-batch at N source files so a
         # month-long catch-up over a 100 TB lake proceeds in restartable,
         # memory-bounded increments instead of one giant batch.

@@ -22,7 +22,9 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import TEST_SF_DIR as SF_DIR  # noqa: E402 — one
+# source of truth: the gate evaluates plans at the same scale the
+# baseline was generated at (file sizes drive broadcast decisions).
 OUT = Path(__file__).resolve().parent.parent / "tests" / "plan_fingerprints.json"
 
 OPS = (
