@@ -55,13 +55,24 @@ def dim_team(stg_games: DataFrame) -> DataFrame:
     return home.union(away).distinct()
 
 
-def dim_player(stg_player_game_stats: DataFrame, today: str = "2024-11-15") -> DataFrame:
+def dim_player(
+    stg_player_game_stats: DataFrame,
+    today: str = "2024-11-15",
+    dim_team: DataFrame | None = None,
+) -> DataFrame:
     """Sparse player dim: latest observed identity per player
     (dim_player.sql:11-79): name/team/position from the most recent game
     (players can change teams mid-season → current team = last seen),
     two-level position hierarchy (position_code + position_type,
     .context/DECISIONS.md:324-352), current season via the injected
-    as-of date (reproducibility rule SURVEY §7.3.4)."""
+    as-of date (reproducibility rule SURVEY §7.3.4).
+
+    ``current_team_abbrev`` matches the reference's output
+    (dim_player.sql:75 — the crosswalk and its analyst worksheet read it);
+    the reference carries the abbrev inside player-game stats, our staging
+    normalizes to team_id, so the abbrev resolves through the (tiny,
+    broadcast) dim_team when provided — NULL-typed otherwise, keeping the
+    schema stable."""
     w = Window.partitionBy("player_id").orderBy(
         F.desc("game_date"), F.desc("game_id")
     )
@@ -77,5 +88,20 @@ def dim_player(stg_player_game_stats: DataFrame, today: str = "2024-11-15") -> D
             F.col("game_date").alias("last_seen_date"),
         )
     )
+    if dim_team is not None:
+        latest = latest.join(
+            F.broadcast(
+                dim_team.select(
+                    F.col("team_id").alias("current_team_id"),
+                    F.col("team_abbrev").alias("current_team_abbrev"),
+                )
+            ),
+            "current_team_id",
+            "left",
+        )
+    else:
+        latest = latest.withColumn(
+            "current_team_abbrev", F.lit(None).cast("string")
+        )
     current_season = nhl_season_code(F.lit(today).cast("date"))
     return latest.withColumn("current_season", current_season)

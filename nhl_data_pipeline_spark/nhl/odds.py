@@ -29,7 +29,21 @@ def stg_player_name_crosswalk(
     then best match per odds name by confidence (W2, :133-136).
     """
     odds_names = stg_odds_player_props.select("odds_player_name").distinct()
-    roster = dim_player.select("player_id", "player_name")
+    # current_team_abbrev rides the SAME roster broadcast each strategy
+    # already joins — the reference-schema column costs no extra join.
+    roster = dim_player.select(
+        "player_id",
+        "player_name",
+        *(
+            ["current_team_abbrev"]
+            if "current_team_abbrev" in dim_player.columns
+            else []
+        ),
+    )
+    if "current_team_abbrev" not in roster.columns:
+        roster = roster.withColumn(
+            "current_team_abbrev", F.lit(None).cast("string")
+        )
 
     up = lambda c: F.upper(F.trim(c))  # noqa: E731
     fold = lambda c: up(accent_fold(c))  # noqa: E731
@@ -42,7 +56,9 @@ def stg_player_name_crosswalk(
             F.broadcast(roster),
             up(F.col("odds_player_name")) == up(F.col("player_name")),
         )
-        .select("odds_player_name", "player_id", "player_name")
+        .select(
+            "odds_player_name", "player_id", "player_name", "current_team_abbrev"
+        )
         .withColumn("match_confidence", F.lit(1.0))
         .withColumn("match_strategy", F.lit("exact"))
     )
@@ -52,7 +68,9 @@ def stg_player_name_crosswalk(
             F.broadcast(roster),
             fold(F.col("odds_player_name")) == fold(F.col("player_name")),
         )
-        .select("odds_player_name", "player_id", "player_name")
+        .select(
+            "odds_player_name", "player_id", "player_name", "current_team_abbrev"
+        )
         .withColumn("match_confidence", F.lit(0.95))
         .withColumn("match_strategy", F.lit("accent_normalized"))
     )
@@ -60,7 +78,9 @@ def stg_player_name_crosswalk(
     s3_raw = rest3.join(
         F.broadcast(roster),
         key3(F.col("odds_player_name")) == key3(F.col("player_name")),
-    ).select("odds_player_name", "player_id", "player_name")
+    ).select(
+        "odds_player_name", "player_id", "player_name", "current_team_abbrev"
+    )
     # Ambiguity guard: keep only odds names resolving to exactly one player.
     w_cnt = Window.partitionBy("odds_player_name")
     s3 = (
@@ -74,10 +94,21 @@ def stg_player_name_crosswalk(
     w_best = Window.partitionBy("odds_player_name").orderBy(
         F.desc("match_confidence"), F.asc("player_name")
     )
-    return (
+    best = (
         unioned.withColumn("_rn", F.row_number().over(w_best))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+    )
+    # Reference-schema aliases alongside the internal names: the
+    # reference's own worksheet (dbt_nhl/analysis/odds_matching_queries.sql)
+    # and its model contract (stg_player_name_crosswalk.sql:128-136) read
+    # nhl_player_name / match_method / confidence / current_team_abbrev —
+    # a reference user's downstream SQL must run unchanged.
+    return best.select(
+        "*",
+        F.col("player_name").alias("nhl_player_name"),
+        F.col("match_strategy").alias("match_method"),
+        F.col("match_confidence").alias("confidence"),
     )
 
 
@@ -142,7 +173,14 @@ def fact_player_sog_props_v2(
         & (pivoted.home_team_name == games.home_team_name),
         "left",
     ).drop(games.home_team_name)
-    xw = crosswalk.select("odds_player_name", "player_id", "match_confidence")
+    xw = crosswalk.select(
+        "odds_player_name",
+        "player_id",
+        "match_confidence",
+        "match_strategy",
+        "player_name",
+        "current_team_abbrev",
+    )
     with_player = with_game.join(F.broadcast(xw), "odds_player_name", "left")
     actuals = fact_player_game_stats.select(
         "game_id", "player_id", F.col("shots_on_goal").alias("actual_sog")
@@ -180,6 +218,14 @@ def fact_player_sog_props_v2(
         implied.alias("over_implied_prob"),
         "actual_sog",
         outcome.alias("outcome"),
+        # reference-schema names (fact_player_sog_props_v2.sql:181-248):
+        # the analyst worksheet reads these — both spellings ship so
+        # internal consumers (rpt/report/corpus) stay untouched.
+        F.col("match_strategy").alias("match_method"),
+        F.col("player_name").alias("nhl_player_name"),
+        F.col("current_team_abbrev").alias("team_abbrev"),
+        F.col("line_value").alias("sog_line"),
+        (F.col("actual_sog") - F.col("line_value")).alias("sog_vs_line"),
     )
 
 

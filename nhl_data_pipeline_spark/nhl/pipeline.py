@@ -83,7 +83,9 @@ def run_pipeline(
     # dims
     dim_date = emit("dim_date", dims.dim_date(spark))
     dim_team = emit("dim_team", dims.dim_team(stg_games))
-    dim_player = emit("dim_player", dims.dim_player(stg_pgs, today=as_of))
+    dim_player = emit(
+        "dim_player", dims.dim_player(stg_pgs, today=as_of, dim_team=dim_team)
+    )
 
     # facts
     fgr = emit("fact_game_results", facts.fact_game_results(stg_games))

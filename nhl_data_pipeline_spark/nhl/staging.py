@@ -251,4 +251,18 @@ def stg_odds_player_props(odds_raw: DataFrame) -> DataFrame:
         F.col("o.description").alias("odds_player_name"),
         F.col("o.point").alias("line_value"),
         F.col("o.price").alias("odds_american"),
+        # Reference-schema aliases (stg_odds_player_props.sql:95-110):
+        # the reference's analyst worksheet reads player_name / home_team /
+        # away_team / bookmaker_name — a reference user's SQL must run
+        # unchanged against this model. Internal names stay for the rest
+        # of the DAG.
+        F.col("o.description").alias("player_name"),
+        F.col("home_team_name").alias("home_team"),
+        F.col("away_team_name").alias("away_team"),
+        F.col("bookmaker_title").alias("bookmaker_name"),
+        # the reference's odds BRONZE carries game_date from the ingestion
+        # path metadata (stg_odds_player_props.sql:15); our lake keys the
+        # same fact off the commence timestamp — identical value by
+        # construction (fact_player_sog_props_v2 resolves games with it)
+        F.to_date("commence_time").alias("game_date"),
     )

@@ -123,6 +123,78 @@ def rewrite_quoted_datetime_units(sql: str) -> str:
     return _DATEADD_RE.sub(lambda m: f"{m.group(1)}({m.group(2)}", sql)
 
 
+_DBT_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
+
+
+def resolve_dbt_refs(sql: str, name_map: dict[str, str] | None = None) -> str:
+    """``{{ ref('model') }}`` → a queryable relation name — the one piece
+    of dbt templating the reference's analysis worksheets use
+    (dbt_nhl/analysis/odds_matching_queries.sql) and that dbt itself
+    resolves at compile time. ``name_map`` overrides per model; default is
+    the bare model name (the engine registers models as temp views under
+    their model names — nhl/pipeline.py's ``emit``)."""
+    return _DBT_REF_RE.sub(
+        lambda m: (name_map or {}).get(m.group(1), m.group(1)), sql
+    )
+
+
+
+
+_SELECT_DISTINCT_RE = re.compile(r"^\s*select\s+distinct\b", re.IGNORECASE)
+_FROM_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
+_ORDER_BY_RE = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_AS_ALIAS_RE = re.compile(r"^(.*?)\s+as\s+(\w+)\s*$", re.IGNORECASE | re.DOTALL)
+
+
+def rewrite_distinct_order_aliases(sql: str) -> str:
+    """Snowflake permits ``SELECT DISTINCT expr AS alias ... ORDER BY
+    expr``; Spark restricts a DISTINCT's ORDER BY to output columns
+    (UNRESOLVED_COLUMN — hit verbatim by odds_matching_queries.sql §3's
+    ``ORDER BY p.player_name`` under ``SELECT DISTINCT p.player_name AS
+    odds_player_name``). When the outermost SELECT is DISTINCT, replace
+    each ORDER BY expression that textually equals a select-list aliased
+    expression with its alias. Text-exact on purpose: a compat shim should
+    rewrite only what it can prove, and the un-rewritten cases fail loudly
+    in Spark rather than silently reorder."""
+    if not _SELECT_DISTINCT_RE.match(sql):
+        return sql
+    froms = _depth0_spans(sql, _FROM_RE)
+    orders = _depth0_spans(sql, _ORDER_BY_RE)
+    if not froms or not orders:
+        return sql
+    sel_start = _SELECT_DISTINCT_RE.match(sql).end()
+    select_list = sql[sel_start : froms[0].start()]
+    # split the select list on depth-0 commas
+    items, depth, cur = [], 0, []
+    for ch in select_list:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    items.append("".join(cur))
+    aliases = {}
+    for item in items:
+        m = _AS_ALIAS_RE.match(item.strip())
+        if m:
+            aliases[m.group(1).strip()] = m.group(2)
+    if not aliases:
+        return sql
+    ob = orders[-1]
+    head, tail = sql[: ob.end()], sql[ob.end() :]
+    for expr, alias in aliases.items():
+        tail = re.sub(
+            r"(?<![A-Za-z0-9_.])" + re.escape(expr) + r"(?![A-Za-z0-9_])",
+            alias,
+            tail,
+        )
+    return head + tail
+
+
 def rewrite_qualified_names(sql: str, name_map: dict[str, str]) -> str:
     """Catalog mapping: rewrite Snowflake `db.schema.`-qualified table
     prefixes onto the engine's registered view namespace.
@@ -156,7 +228,9 @@ def spark_sql_compat(
     result. Everything else the reference's worksheets use (`::` casts,
     aliases in HAVING, tuple-IN subqueries, `INTERVAL '15 days'`) parses
     natively in Spark 4 (probed, tests/test_worksheet_verbatim.py)."""
-    rewritten = rewrite_quoted_datetime_units(rewrite_iff(rewrite_qualify(sql)))
+    rewritten = rewrite_distinct_order_aliases(
+        rewrite_quoted_datetime_units(rewrite_iff(rewrite_qualify(sql)))
+    )
     if name_map:
         rewritten = rewrite_qualified_names(rewritten, name_map)
     had_qualify = "__qualify" in rewritten
