@@ -63,8 +63,8 @@ def _positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
     columns would desync a build over an INT dim key from an apply over a
     BIGINT fact key and silently prune every true match. String-casting
     makes all integral widths (and equal strings) hash identically on
-    both sides; int-vs-fractional key pairs are rejected in
-    :func:`bloom_prejoin` ('5' ≠ '5.0').
+    both sides; every other cross-type pair ('5' ≠ '5.0', '05' ≠ '5',
+    date ≠ timestamp string forms) is rejected in :func:`bloom_prejoin`.
 
     Both hashes are reduced mod n_bits BEFORE the linear combination:
     (h1 mod m + i·(h2 mod m)) mod m ≡ (h1 + i·h2) mod m, and the reduced
@@ -158,17 +158,20 @@ def bloom_prejoin(
     rows instead of all of them."""
     bt = dict(big.dtypes)[big_key]
     st = dict(small.dtypes)[small_key]
-    frac = ("float", "double") + tuple(
-        t for t in (bt, st) if t.startswith("decimal")
-    )
-    if bt != st and (bt in frac or st in frac):
-        # '5' vs '5.0' after the string normalization — a plain join would
-        # coerce and match, the bloom filter would not. Refuse loudly
-        # rather than silently prune true matches.
+    # The filter hashes STRING forms (see _positions); a plain join instead
+    # coerces under Spark's implicit-cast rules. Any cross-type pair whose
+    # string forms can differ while the join's coercion would match — string
+    # '05' vs bigint 5, date vs timestamp, int 5 vs double 5.0 — desyncs the
+    # two and silently prunes TRUE matches. Only pairs whose string forms are
+    # provably identical for equal values are safe: the same exact type, or
+    # two integral widths (all render 5 as '5'). Everything else is refused.
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    if bt != st and not (bt in integral and st in integral):
         raise ValueError(
-            f"bloom_prejoin key types differ with a fractional side"
-            f" ({big_key}: {bt} vs {small_key}: {st}) — cast one side"
-            " explicitly before pruning"
+            f"bloom_prejoin key types differ ({big_key}: {bt} vs"
+            f" {small_key}: {st}); only identical types or integral-width"
+            " pairs keep the hashed string forms in sync with the join's"
+            " implicit cast — cast one side explicitly before pruning"
         )
     words = bloom_build(small, small_key, n_bits=n_bits, n_hashes=n_hashes)
     return big.filter(

@@ -26,8 +26,8 @@ _QUALIFY_RE = re.compile(r"\bqualify\b", re.IGNORECASE)
 _TAIL_RE = re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
 
 
-def _depth0_spans(sql: str, pattern: re.Pattern) -> list[re.Match]:
-    """Matches of `pattern` at paren depth 0 and outside string literals.
+def _char_depths(sql: str) -> list[int]:
+    """Per-character paren depth; -1 for characters inside string literals.
 
     Handles the SQL doubled-quote escape: inside 'it''s', the '' pair is a
     literal quote, not a close-then-open — without the peek-ahead the
@@ -61,6 +61,12 @@ def _depth0_spans(sql: str, pattern: re.Pattern) -> list[re.Match]:
             depth -= 1
         depths.append(depth)
         i += 1
+    return depths
+
+
+def _depth0_spans(sql: str, pattern: re.Pattern) -> list[re.Match]:
+    """Matches of `pattern` at paren depth 0 and outside string literals."""
+    depths = _char_depths(sql)
     return [m for m in pattern.finditer(sql) if depths[m.start()] == 0]
 
 
@@ -119,7 +125,17 @@ def rewrite_quoted_datetime_units(sql: str) -> str:
     INVALID_PARAMETER_VALUE.DATETIME_UNIT). Strip the quotes around the
     first argument; the unit names coincide. date_trunc is deliberately
     NOT rewritten — Spark's date_trunc takes a STRING unit, so Snowflake's
-    quoted form already parses and un-quoting would break it (probed)."""
+    quoted form already parses and un-quoting would break it (probed).
+
+    Known type drift: Spark's ``dateadd(unit, n, d)`` resolves through
+    timestampadd and returns TIMESTAMP even for a DATE input, whereas
+    Snowflake's ``DATEADD('day', n, date)`` returns DATE. A worksheet that
+    SELECTs the result renders midnight timestamps where Snowflake shows
+    bare dates; WHERE-clause comparisons are unaffected (date/timestamp
+    comparison coerces correctly). Callers needing the Snowflake output
+    type must wrap the call: ``CAST(dateadd(...) AS DATE)`` — the shim
+    cannot do it blindly because the third argument's type is unknown at
+    rewrite time and casting a genuine timestamp result would truncate."""
     return _DATEADD_RE.sub(lambda m: f"{m.group(1)}({m.group(2)}", sql)
 
 
@@ -186,13 +202,28 @@ def rewrite_distinct_order_aliases(sql: str) -> str:
         return sql
     ob = orders[-1]
     head, tail = sql[: ob.end()], sql[ob.end() :]
+    # Substitute only in the ORDER BY expression list itself: stop at a
+    # depth-0 LIMIT, and skip any match inside a string literal (the rest
+    # of the module is literal-aware via _char_depths; a select-list
+    # expression occurring inside a quoted string must not be rewritten).
+    limits = _depth0_spans(tail, re.compile(r"\blimit\b", re.IGNORECASE))
+    cut = limits[0].start() if limits else len(tail)
+    region, rest = tail[:cut], tail[cut:]
     for expr, alias in aliases.items():
-        tail = re.sub(
-            r"(?<![A-Za-z0-9_.])" + re.escape(expr) + r"(?![A-Za-z0-9_])",
-            alias,
-            tail,
+        pat = re.compile(
+            r"(?<![A-Za-z0-9_.])" + re.escape(expr) + r"(?![A-Za-z0-9_])"
         )
-    return head + tail
+        depths = _char_depths(region)
+        out, pos = [], 0
+        for m in pat.finditer(region):
+            if depths[m.start()] == -1:  # inside a string literal
+                continue
+            out.append(region[pos : m.start()])
+            out.append(alias)
+            pos = m.end()
+        out.append(region[pos:])
+        region = "".join(out)
+    return head + region + rest
 
 
 def rewrite_qualified_names(sql: str, name_map: dict[str, str]) -> str:

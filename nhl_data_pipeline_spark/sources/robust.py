@@ -31,6 +31,8 @@ Everything is one scan + codegen filters; quarantine adds no shuffle.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,12 +40,32 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
+@dataclass(frozen=True)
+class QuarantineSplit:
+    """Result of :func:`read_json_quarantine`. Unpacks like the historical
+    2-tuple (``good, bad = read_json_quarantine(...)``) but also carries
+    the cache handle: the split REQUIRES caching the parsed frame (the
+    corrupt-column workaround below), and without a handle every call
+    would pin a corpus read in executor storage for the session lifetime.
+    Call :meth:`unpersist` once both splits are consumed."""
+
+    good: DataFrame
+    quarantined: DataFrame
+    cached: DataFrame
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self.cached.unpersist(blocking)
+
+    def __iter__(self):
+        return iter((self.good, self.quarantined))
+
+
 def read_json_quarantine(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
-) -> tuple[DataFrame, DataFrame]:
-    """(good, quarantined) from one PERMISSIVE read.
+) -> QuarantineSplit:
+    """(good, quarantined[, cache handle]) from one PERMISSIVE read.
 
     good: rows where every schema field parsed (the corrupt column is
     null), corrupt column dropped. quarantined: (source_file, raw) — the
@@ -77,7 +99,7 @@ def read_json_quarantine(
         F.col("_source_file").alias("source_file"),
         F.col(CORRUPT_COL).alias("raw"),
     )
-    return good, quarantined
+    return QuarantineSplit(good=good, quarantined=quarantined, cached=df)
 
 
 _NUMERIC_WIDEN = {

@@ -100,13 +100,26 @@ def test_mixed_integral_widths_still_match(spark):
     assert set(range(100)) <= survivors  # every true match survives
 
 
-def test_fractional_type_mismatch_rejected(spark):
+def test_cross_type_key_pairs_rejected(spark):
+    """Any non-integral cross-type pair desyncs the hashed string form
+    from the join's implicit cast (string '05' vs bigint 5 would match in
+    a join but be pruned here; same for date vs timestamp and int vs
+    double) — all must be refused, not silently mis-pruned."""
     import pytest
 
-    small = spark.range(10).selectExpr("CAST(id AS DOUBLE) AS k")
     big = spark.range(10).selectExpr("CAST(id AS BIGINT) AS k")
-    with pytest.raises(ValueError, match="fractional"):
-        B.bloom_prejoin(big, "k", small, "k")
+    for small_expr in (
+        "CAST(id AS DOUBLE) AS k",
+        "CAST(id AS STRING) AS k",
+        "CAST(id AS DECIMAL(10,2)) AS k",
+    ):
+        small = spark.range(10).selectExpr(small_expr)
+        with pytest.raises(ValueError, match="types differ"):
+            B.bloom_prejoin(big, "k", small, "k")
+    d = spark.sql("SELECT DATE'2024-01-01' AS k")
+    ts = spark.sql("SELECT TIMESTAMP'2024-01-01 00:00:00' AS k")
+    with pytest.raises(ValueError, match="types differ"):
+        B.bloom_prejoin(ts, "k", d, "k")
 
 
 def test_bad_n_bits_rejected(spark):

@@ -131,3 +131,23 @@ def test_quoted_datetime_units_rewrite(spark):
     ).collect()
     assert len(rows) == 5
     assert all(r["delta"] == i for i, r in enumerate(sorted(rows, key=lambda r: r["d"])))
+
+
+def test_distinct_order_alias_rewrite_skips_string_literals(spark):
+    """The alias substitution in the ORDER BY tail must not touch a
+    select-list expression occurring inside a string literal, and must
+    stop at a depth-0 LIMIT (matching the module's literal-aware rules)."""
+    from nhl_data_pipeline_spark.plans.dialect import (
+        rewrite_distinct_order_aliases,
+    )
+
+    sql = (
+        "SELECT DISTINCT p.player_name AS odds_player_name FROM t p "
+        "ORDER BY p.player_name, 'p.player_name is a literal' LIMIT 5"
+    )
+    out = rewrite_distinct_order_aliases(sql)
+    # the bare ORDER BY expression was rewritten to its alias...
+    assert "ORDER BY odds_player_name" in out
+    # ...the literal survived verbatim, and the LIMIT tail is untouched
+    assert "'p.player_name is a literal'" in out
+    assert out.endswith("LIMIT 5")

@@ -51,6 +51,19 @@ def test_quarantine_keeps_totals(spark, tmp_path):
     assert ok.count() + bad.count() == 5  # nothing silently dropped
 
 
+def test_quarantine_cache_handle_unpins(spark, tmp_path):
+    """The split REQUIRES a cache (corrupt-column workaround); the result
+    exposes it so callers can release executor storage — without the
+    handle, every corpus read stays pinned for the session lifetime."""
+    path, _ = _write_mixed(tmp_path)
+    split = R.read_json_quarantine(spark, path, SCHEMA)
+    ok, bad = split  # tuple-unpacking form still works
+    assert ok.count() + bad.count() == 5
+    assert split.cached.storageLevel.useMemory  # pinned while in use
+    split.unpersist(blocking=True)
+    assert not split.cached.storageLevel.useMemory
+
+
 def test_schema_union_widens_and_reports():
     old = SCHEMA
     new = T.StructType(
