@@ -67,10 +67,11 @@ def main() -> None:
     for name, spec in specs.items():
         runs: list[float] = []
         try:
+            bench_fn = spec.bench_fn or spec.fn
             for i in range(5):
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
-                spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                bench_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 if i >= 2:
                     runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001

@@ -14,45 +14,125 @@ from pyspark.sql.window import Window
 from nhl_data_pipeline_spark.functions.scalars import nhl_season_code, sunday_zero_dow
 
 
-def dim_date(spark: SparkSession, start: str = "2020-01-01", days: int = 2500) -> DataFrame:
-    """Generated date spine with calendar flags + NHL season code
-    (dim_date.sql:12-114). Snowflake GENERATOR/SEQ4 → spark.range; the
-    DAYOFWEEK 0=Sunday base is preserved via sunday_zero_dow."""
+def dim_date(
+    spark: SparkSession,
+    start: str = "2020-01-01",
+    days: int = 2500,
+    game_dates: DataFrame | None = None,
+    today: str = "2024-11-15",
+) -> DataFrame:
+    """Generated date spine at full reference-schema parity
+    (dim_date.sql:12-120). Snowflake GENERATOR/SEQ4 → spark.range; the
+    DAYOFWEEK 0=Sunday base is preserved via sunday_zero_dow.
+
+    ``date_key`` is the DATE itself (dim_date.sql:43 — the facts'
+    relationship tests join on it). ``game_dates`` feeds the
+    is_game_day/games_on_date indicators (dim_date.sql:31-38 counts
+    bronze boxscore snapshots per gameDate; our pipeline passes
+    stg_games, the deduped equivalent — one row per game); omitted →
+    every date reads as a non-game day, the same as an empty bronze.
+    ``today`` is injected, never CURRENT_DATE (SURVEY §7.3.4), so the
+    is_today/relative flags are reproducible; nhl_season is NULL in the
+    July–September off-season (dim_date.sql:62-73) while season_code
+    (our pre-existing non-null variant) is kept alongside for engine
+    queries that want a total season mapping.
+    """
     spine = spark.range(0, days)
     d = F.date_add(F.lit(start).cast("date"), F.col("id").cast("int"))
     dow = sunday_zero_dow(d)
-    return spine.select(
-        F.col("id").alias("date_key"),
+    td = F.lit(today).cast("date")
+    mo = F.month(d)
+    out = spine.select(
+        d.alias("date_key"),
         d.alias("date_day"),
         F.year(d).alias("year"),
         F.month(d).alias("month"),
+        F.dayofmonth(d).alias("day"),
         F.dayofmonth(d).alias("day_of_month"),
         dow.alias("day_of_week"),
         F.dayofyear(d).alias("day_of_year"),
         F.weekofyear(d).alias("week_of_year"),
         F.date_format(d, "MMMM").alias("month_name"),
+        F.date_format(d, "MMM").alias("month_abbrev"),
         F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "EEE").alias("day_abbrev"),
+        # NULL off-season Jul-Sep (dim_date.sql:62-73)
+        F.when(mo.isin(7, 8, 9), F.lit(None).cast("int"))
+        .otherwise(nhl_season_code(d))
+        .alias("nhl_season"),
+        F.when(mo.between(10, 12), "Early Season")
+        .when(mo.between(1, 2), "Mid Season")
+        .when(mo.between(3, 4), "Late Season")
+        .when(mo.between(5, 6), "Playoffs")
+        .when(mo.between(7, 9), "Off Season")
+        .otherwise("Unknown")
+        .alias("season_phase"),
         dow.isin(0, 6).alias("is_weekend"),
+        (d == td).alias("is_today"),
+        (d == F.date_sub(td, 1)).alias("is_yesterday"),
+        (d == F.date_add(td, 1)).alias("is_tomorrow"),
+        ((d >= F.date_sub(td, 7)) & (d <= td)).alias("is_last_7_days"),
+        ((d >= F.date_sub(td, 30)) & (d <= td)).alias("is_last_30_days"),
+        (
+            (F.year(d) == F.year(td)) & (F.month(d) == F.month(td))
+        ).alias("is_current_month"),
         nhl_season_code(d).alias("season_code"),
         # NHL regular season months Oct-Apr (dim_date.sql:84-110 flags family)
         F.month(d).isin(10, 11, 12, 1, 2, 3, 4).alias("is_hockey_season"),
     )
+    if game_dates is not None:
+        gd = game_dates.groupBy(
+            F.col("game_date").alias("date_key")
+        ).agg(F.count(F.lit(1)).cast("int").alias("_games"))
+        out = out.join(F.broadcast(gd), "date_key", "left")
+    else:
+        out = out.withColumn("_games", F.lit(None).cast("int"))
+    return out.select(
+        "*",
+        F.col("_games").isNotNull().alias("is_game_day"),
+        F.coalesce(F.col("_games"), F.lit(0)).alias("games_on_date"),
+    ).drop("_games")
 
 
 def dim_team(stg_games: DataFrame) -> DataFrame:
     """Sparse team dim: DISTINCT home ∪ away teams observed in games
-    (dim_team.sql:11-30); full name via concat (:38-46)."""
+    (dim_team.sql:11-30); full name via CONCAT(place, ' ', common)
+    (:38), conference/division placeholders (:40-41 — reference TODO,
+    kept NULL-typed for schema parity) and the NHL-CDN logo URLs
+    constructed from the abbrev (:44-46)."""
     home = stg_games.select(
         F.col("home_team_id").alias("team_id"),
         F.col("home_team_abbrev").alias("team_abbrev"),
-        F.col("home_team_name").alias("team_name"),
+        F.col("home_team_place").alias("place_name"),
+        F.col("home_team_common").alias("common_name"),
     )
     away = stg_games.select(
         F.col("away_team_id").alias("team_id"),
         F.col("away_team_abbrev").alias("team_abbrev"),
-        F.col("away_team_name").alias("team_name"),
+        F.col("away_team_place").alias("place_name"),
+        F.col("away_team_common").alias("common_name"),
     )
-    return home.union(away).distinct()
+    logo = lambda suffix: F.concat(  # noqa: E731
+        F.lit("https://assets.nhle.com/logos/nhl/svg/"),
+        F.coalesce(F.col("team_abbrev"), F.lit("")),
+        F.lit(suffix),
+    )
+    return (
+        home.union(away)
+        .distinct()
+        .filter(F.col("team_id").isNotNull())
+        .select(
+            "team_id",
+            "team_abbrev",
+            "place_name",
+            "common_name",
+            F.concat_ws(" ", "place_name", "common_name").alias("team_name"),
+            F.lit(None).cast("string").alias("conference"),
+            F.lit(None).cast("string").alias("division"),
+            logo("_light.svg").alias("logo_url_light"),
+            logo("_dark.svg").alias("logo_url_dark"),
+        )
+    )
 
 
 def dim_player(

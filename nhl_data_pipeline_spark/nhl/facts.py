@@ -16,14 +16,20 @@ from nhl_data_pipeline_spark.nhl.staging import latest_snapshot, parse_boxscore
 
 
 def fact_game_results(stg_games: DataFrame) -> DataFrame:
-    """One row per completed game with winner/OT/differential derivations
-    (fact_game_results.sql:37-84)."""
+    """One row per completed game with winner/OT/differential derivations,
+    at full reference-schema parity (fact_game_results.sql:40-84):
+    date_key FK alongside game_date, periods_played, the post-filter
+    game_state column (asserted accepted_values ['OFF'] by the dbt suite),
+    NULL winning_team_id on a tie (:61-65), ABS goal_differential (:72),
+    and the source_partition_date/source_s3_key audit fields (:78-79)."""
     g = stg_games.filter(F.col("game_state") == "OFF")
     return g.select(
         "game_id",
+        F.col("game_date").alias("date_key"),
         "season",
         "game_type",
         "game_date",
+        "game_state",
         "venue_name",
         "home_team_id",
         "home_team_abbrev",
@@ -31,15 +37,19 @@ def fact_game_results(stg_games: DataFrame) -> DataFrame:
         "away_team_id",
         "away_team_abbrev",
         "away_score",
+        F.col("final_period").alias("periods_played"),
         F.when(F.col("home_score") > F.col("away_score"), F.col("home_team_id"))
-        .otherwise(F.col("away_team_id"))
+        .when(F.col("away_score") > F.col("home_score"), F.col("away_team_id"))
+        .otherwise(F.lit(None).cast(g.schema["home_team_id"].dataType.simpleString()))
         .alias("winning_team_id"),
         F.when(F.col("home_score") > F.col("away_score"), F.lit("home"))
         .otherwise(F.lit("away"))
         .alias("winning_side"),
         (F.col("final_period") > 3).alias("went_to_overtime"),
-        (F.col("home_score") - F.col("away_score")).alias("goal_differential"),
+        F.abs(F.col("home_score") - F.col("away_score")).alias("goal_differential"),
         (F.col("home_score") + F.col("away_score")).alias("total_goals"),
+        F.col("partition_date").alias("source_partition_date"),
+        F.col("s3_key").alias("source_s3_key"),
     )
 
 
@@ -56,11 +66,17 @@ def fact_player_game_stats(
     t = dim_team.select(
         F.col("team_id"), F.col("team_abbrev"), F.col("team_name")
     )
+    opp = dim_team.select(
+        F.col("team_id").alias("opponent_team_id"),
+        F.col("team_abbrev").alias("opponent_team_abbrev"),
+    )
     return (
         f.join(F.broadcast(p), "player_id", "left")
         .join(F.broadcast(t), "team_id", "left")
+        .join(F.broadcast(opp), "opponent_team_id", "left")
         .select(
             "game_id",
+            F.col("game_date").alias("date_key"),
             "game_date",
             "season",
             "player_id",
@@ -71,6 +87,7 @@ def fact_player_game_stats(
             "team_abbrev",
             "team_name",
             "opponent_team_id",
+            "opponent_team_abbrev",
             "home_away",
             "goals",
             "assists",
@@ -106,10 +123,13 @@ def fact_team_game_stats(
         F.sum("takeaways").alias("takeaways"),
         F.sum("penalty_minutes").alias("penalty_minutes"),
         F.sum("blocked_shots").alias("blocked_shots"),
+        F.sum("power_play_goals").alias("pp_goals"),
+        F.sum("shorthanded_goals").alias("sh_goals"),
         F.count(F.lit(1)).alias("skaters_dressed"),
     )
     g = stg_games.filter(F.col("game_state") == "OFF").select(
         "game_id",
+        F.col("game_type"),
         F.col("home_team_id"),
         F.col("away_team_id"),
         F.col("home_score"),
@@ -125,19 +145,29 @@ def fact_team_game_stats(
     sog_against = F.when(side_is_home, F.col("away_sog")).otherwise(F.col("home_sog"))
     return j.select(
         "game_id",
+        F.col("game_date").alias("date_key"),
         "season",
+        "game_type",
         "game_date",
         "team_id",
+        F.when(side_is_home, F.col("away_team_id"))
+        .otherwise(F.col("home_team_id"))
+        .alias("opponent_team_id"),
         "home_away",
         goals_for.alias("goals_for"),
         goals_against.alias("goals_against"),
+        (goals_for - goals_against).alias("goal_differential"),
         sog_for.alias("shots_on_goal"),
         sog_against.alias("shots_against"),
+        (sog_for - sog_against).alias("shot_differential"),
+        F.when(goals_for > goals_against, "W").otherwise("L").alias("result"),
         "hits",
         "giveaways",
         "takeaways",
         "penalty_minutes",
         "blocked_shots",
+        "pp_goals",
+        "sh_goals",
         "skaters_dressed",
         F.when(sog_for > 0, goals_for.cast("double") / sog_for)
         .otherwise(F.lit(0.0))
@@ -150,18 +180,24 @@ def fact_team_game_stats(
 
 
 def fact_shot_events(pbp_raw: DataFrame, dim_player: DataFrame) -> DataFrame:
-    """Shot-event grain from the pbp plays[] array
-    (fact_shot_events.sql:14-121): latest snapshot per game, explode,
-    filter to shot events, COALESCE shooter/scorer, classify the result,
-    broadcast-denormalize shooter name."""
+    """Shot-event grain from the pbp plays[] array at full reference-schema
+    parity (fact_shot_events.sql:14-160): latest snapshot per game,
+    explode, filter to shot events, COALESCE shooter/scorer, classify the
+    result with the reference's labels (goal/saved/missed, :104-109),
+    defending team + shooter_home_away derivations (:93-117), assists,
+    period_type/time_remaining, home/away denormalization, and the
+    shooter's position code/type via the broadcast dim_player join."""
     p = pbp_raw.withColumn("p", F.from_json("payload", schemas.pbp_payload()))
     deduped = latest_snapshot(p, "game_id")
     ex = deduped.select(
         F.col("p.id").alias("game_id"),
         F.to_date("p.gameDate").alias("game_date"),
         F.col("p.season").alias("season"),
+        F.col("p.gameType").alias("game_type"),
         F.col("p.homeTeam.id").alias("home_team_id"),
+        F.col("p.homeTeam.abbrev").alias("home_team_abbrev"),
         F.col("p.awayTeam.id").alias("away_team_id"),
+        F.col("p.awayTeam.abbrev").alias("away_team_abbrev"),
         F.explode("p.plays").alias("e"),
     )
     d = F.col("e.details")
@@ -173,25 +209,40 @@ def fact_shot_events(pbp_raw: DataFrame, dim_player: DataFrame) -> DataFrame:
         "game_id",
         "game_date",
         "season",
+        "game_type",
         F.col("e.eventId").alias("event_id"),
         F.col("e.typeDescKey").alias("event_type"),
         F.col("e.periodDescriptor.number").alias("period"),
+        F.col("e.periodDescriptor.periodType").alias("period_type"),
         F.col("e.timeInPeriod").alias("time_in_period"),
+        F.col("e.timeRemaining").alias("time_remaining"),
         shooter.alias("player_id"),
         d["goalieInNetId"].alias("goalie_id"),
+        d["assist1PlayerId"].alias("assist1_player_id"),
+        d["assist2PlayerId"].alias("assist2_player_id"),
         d["eventOwnerTeamId"].alias("team_id"),
         F.when(d["eventOwnerTeamId"] == F.col("home_team_id"), F.col("away_team_id"))
         .otherwise(F.col("home_team_id"))
         .alias("opponent_team_id"),
+        F.when(d["eventOwnerTeamId"] == F.col("home_team_id"), F.lit("home"))
+        .otherwise(F.lit("away"))
+        .alias("shooter_home_away"),
+        "home_team_id",
+        "home_team_abbrev",
+        "away_team_id",
+        "away_team_abbrev",
         d["xCoord"].alias("x_coord"),
         d["yCoord"].alias("y_coord"),
         d["shotType"].alias("shot_type"),
+        # Reference labels (fact_shot_events.sql:104-109): goal/saved/missed
         F.when(F.col("e.typeDescKey") == "goal", F.lit("goal"))
-        .when(F.col("e.typeDescKey") == "shot-on-goal", F.lit("save"))
-        .otherwise(F.lit("miss"))
+        .when(F.col("e.typeDescKey") == "shot-on-goal", F.lit("saved"))
+        .otherwise(F.lit("missed"))
         .alias("shot_result"),
         (F.col("e.typeDescKey") == "goal").cast("int").alias("is_goal"),
         (F.col("e.typeDescKey").isin("shot-on-goal", "goal")).cast("int").alias("is_on_goal"),
     )
-    names = dim_player.select("player_id", "player_name", "position_type")
+    names = dim_player.select(
+        "player_id", "player_name", "position_code", "position_type"
+    )
     return base.join(F.broadcast(names), "player_id", "left")

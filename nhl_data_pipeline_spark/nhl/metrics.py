@@ -52,64 +52,123 @@ def player_shot_metrics(fact_player_game_stats: DataFrame) -> DataFrame:
     gated = lambda n: F.avg(  # noqa: E731
         F.when(F.col("team_game_rank") <= n, F.col("shots_on_goal"))
     )
-    return f.groupBy("season", "player_id", "player_name", "position_type").agg(
+    return f.groupBy(
+        "season",
+        "player_id",
+        "player_name",
+        "team_id",
+        "team_abbrev",
+        "position_code",
+        "position_type",
+    ).agg(
         F.count(F.lit(1)).alias("games_played"),
-        F.sum("goals").alias("goals"),
-        F.sum("assists").alias("assists"),
-        F.sum("points").alias("points"),
-        F.sum("shots_on_goal").alias("shots_on_goal"),
-        F.sum("hits").alias("hits"),
-        F.sum("blocked_shots").alias("blocked_shots"),
-        F.sum("penalty_minutes").alias("penalty_minutes"),
-        F.round(F.avg("shots_on_goal"), 2).alias("avg_sog"),
-        F.round(gated(3), 2).alias("avg_sog_last_3"),
-        F.round(gated(5), 2).alias("avg_sog_last_5"),
-        F.round(gated(10), 2).alias("avg_sog_last_10"),
+        # Season totals, reference names (player_shot_metrics.sql:126-138)
+        F.sum("shots_on_goal").alias("total_shots"),
+        F.sum("goals").alias("total_goals"),
+        F.sum("assists").alias("total_assists"),
+        F.sum("points").alias("total_points"),
+        F.sum("plus_minus").alias("total_plus_minus"),
+        F.sum("hits").alias("total_hits"),
+        F.sum("blocked_shots").alias("total_blocked_shots"),
+        F.sum("takeaways").alias("total_takeaways"),
+        F.sum("giveaways").alias("total_giveaways"),
+        F.sum("shifts").alias("total_shifts"),
+        F.sum("power_play_goals").alias("total_pp_goals"),
+        F.sum("shorthanded_goals").alias("total_sh_goals"),
+        F.sum("penalty_minutes").alias("total_penalty_minutes"),
+        # Per-game averages (player_shot_metrics.sql:141-151)
+        F.round(F.avg("shots_on_goal"), 2).alias("shots_per_game"),
+        F.round(F.avg("goals"), 2).alias("goals_per_game"),
+        F.round(F.avg("assists"), 2).alias("assists_per_game"),
+        F.round(F.avg("points"), 2).alias("points_per_game"),
+        F.round(F.avg("plus_minus"), 2).alias("plus_minus_per_game"),
+        F.round(F.avg("hits"), 2).alias("hits_per_game"),
+        F.round(F.avg("blocked_shots"), 2).alias("blocked_shots_per_game"),
+        F.round(F.avg("takeaways"), 2).alias("takeaways_per_game"),
+        F.round(F.avg("giveaways"), 2).alias("giveaways_per_game"),
+        F.round(F.avg("faceoff_pct"), 2).alias("faceoff_win_pct_avg"),
+        F.round(F.avg("shifts"), 2).alias("shifts_per_game"),
+        # 100-scaled shooting pct with zero guard (:154-158)
         F.when(
             F.sum("shots_on_goal") > 0,
-            F.round(F.sum("goals").cast("double") / F.sum("shots_on_goal"), 4),
+            F.round(
+                100.0 * F.sum("goals").cast("double") / F.sum("shots_on_goal"), 2
+            ),
         )
         .otherwise(F.lit(0.0))
         .alias("shooting_pct"),
+        # Recency-gated rolling averages (:100-106, simplified gate — the
+        # reference additionally allows one missed team game)
+        F.round(gated(3), 2).alias("avg_sog_last_3"),
+        F.round(gated(5), 2).alias("avg_sog_last_5"),
+        F.round(gated(10), 2).alias("avg_sog_last_10"),
     )
 
 
 def team_shots_against_by_position(
-    fact_player_game_stats: DataFrame, fact_team_game_stats: DataFrame
+    fact_player_game_stats: DataFrame,
+    fact_team_game_stats: DataFrame,
+    dim_team: DataFrame | None = None,
 ) -> DataFrame:
-    """Shots conceded per position type with rolling frames
-    (team_shots_against_by_position.sql:30-112): conditional position split
-    aggregated from the OPPONENT's player rows, joined back on the
-    composite (game_id, team_id) key."""
+    """Shots conceded per position type with rolling frames, at
+    reference-schema parity (team_shots_against_by_position.sql:30-112):
+    conditional position split aggregated from the OPPONENT's player rows,
+    joined back on the composite (game_id, team_id) key; 0-100 position
+    percentages with a NULLIF zero guard (:61-62); 3/5-game + season
+    rolling frames; team name/abbrev and the game's home_away/result
+    denormalized (:49-53)."""
     conceded = (
         fact_player_game_stats.groupBy("game_id", "opponent_team_id")
         .agg(
             F.sum(
                 F.when(F.col("position_type") == "F", F.col("shots_on_goal")).otherwise(0)
-            ).alias("sog_against_forwards"),
+            ).alias("shots_against_forwards"),
             F.sum(
                 F.when(F.col("position_type") == "D", F.col("shots_on_goal")).otherwise(0)
-            ).alias("sog_against_defense"),
+            ).alias("shots_against_defense"),
         )
         .withColumnRenamed("opponent_team_id", "team_id")
     )
     j = fact_team_game_stats.select(
-        "game_id", "team_id", "season", "game_date"
+        "game_id", "team_id", "season", "game_date", "home_away", "result"
     ).join(conceded, ["game_id", "team_id"], "left")
-    base = Window.partitionBy("team_id", "season").orderBy("game_date", "game_id")
-    return (
-        j.withColumn("f_avg_5", F.avg("sog_against_forwards").over(base.rowsBetween(-4, 0)))
-        .withColumn("d_avg_5", F.avg("sog_against_defense").over(base.rowsBetween(-4, 0)))
-        .withColumn(
-            "f_avg_season",
-            F.avg("sog_against_forwards").over(base.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn(
-            "d_avg_season",
-            F.avg("sog_against_defense").over(base.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn("team_game_seq", F.row_number().over(base))
+    total = F.col("shots_against_forwards") + F.col("shots_against_defense")
+    j = j.withColumn("total_shots_against", total).select(
+        "*",
+        F.round(
+            100.0 * F.col("shots_against_forwards")
+            / F.nullif(F.col("total_shots_against"), F.lit(0)),
+            1,
+        ).alias("pct_shots_against_from_forwards"),
+        F.round(
+            100.0 * F.col("shots_against_defense")
+            / F.nullif(F.col("total_shots_against"), F.lit(0)),
+            1,
+        ).alias("pct_shots_against_from_defense"),
     )
+    base = Window.partitionBy("team_id", "season").orderBy("game_date", "game_id")
+    season_td = base.rowsBetween(Window.unboundedPreceding, 0)
+    for col in ("forwards", "defense"):
+        src = f"shots_against_{col}"
+        j = (
+            j.withColumn(
+                f"shots_against_{col}_3game_avg",
+                F.round(F.avg(src).over(base.rowsBetween(-2, 0)), 2),
+            )
+            .withColumn(
+                f"shots_against_{col}_5game_avg",
+                F.round(F.avg(src).over(base.rowsBetween(-4, 0)), 2),
+            )
+            .withColumn(
+                f"shots_against_{col}_season_avg",
+                F.round(F.avg(src).over(season_td), 2),
+            )
+        )
+    j = j.withColumn("games_played_in_season", F.row_number().over(base))
+    if dim_team is not None:
+        names = dim_team.select("team_id", "team_abbrev", "team_name")
+        j = j.join(F.broadcast(names), "team_id", "left")
+    return j
 
 
 def _binned(col: str) -> F.Column:

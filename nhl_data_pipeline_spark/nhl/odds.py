@@ -107,7 +107,9 @@ def stg_player_name_crosswalk(
     return best.select(
         "*",
         F.col("player_name").alias("nhl_player_name"),
-        F.col("match_strategy").alias("match_method"),
+        F.when(F.col("match_strategy") == "accent_normalized", "normalized")
+        .otherwise(F.col("match_strategy"))
+        .alias("match_method"),
         F.col("match_confidence").alias("confidence"),
     )
 
@@ -221,7 +223,9 @@ def fact_player_sog_props_v2(
         # reference-schema names (fact_player_sog_props_v2.sql:181-248):
         # the analyst worksheet reads these — both spellings ship so
         # internal consumers (rpt/report/corpus) stay untouched.
-        F.col("match_strategy").alias("match_method"),
+        F.when(F.col("match_strategy") == "accent_normalized", "normalized")
+        .otherwise(F.col("match_strategy"))
+        .alias("match_method"),
         F.col("player_name").alias("nhl_player_name"),
         F.col("current_team_abbrev").alias("team_abbrev"),
         F.col("line_value").alias("sog_line"),
@@ -231,7 +235,10 @@ def fact_player_sog_props_v2(
 
 def rpt_sog_props_performance(fact_player_sog_props_v2: DataFrame) -> DataFrame:
     """Hit-rate report per line value (rpt_sog_props_performance.sql:25-118):
-    filtered counts, NULLIF-guarded over rate, HAVING min-sample filter."""
+    filtered counts, NULLIF-guarded over rate, HAVING min-sample filter.
+    Tagged with the reference's analysis_type discriminator
+    (rpt_sog_props_performance.sql:122 — its dbt suite asserts it
+    not_null); this model is the by-line segment of that report family."""
     f = fact_player_sog_props_v2.filter(
         F.col("outcome").isin("over", "under", "push")
     )
@@ -253,4 +260,5 @@ def rpt_sog_props_performance(fact_player_sog_props_v2: DataFrame) -> DataFrame:
             (n_over + n_under + n_push).alias("n_total"),
         )
         .filter(F.col("n_total") >= 5)
+        .withColumn("analysis_type", F.lit("by_line"))
     )

@@ -80,8 +80,15 @@ def run_pipeline(
         "stg_odds_player_props", staging.stg_odds_player_props(bronze["odds_player_props"])
     )
 
-    # dims
-    dim_date = emit("dim_date", dims.dim_date(spark))
+    # dims (dim_date reads observed game dates for its is_game_day /
+    # games_on_date indicators — dim_date.sql:31-38 — and the injected
+    # as-of date for its relative flags)
+    dim_date = emit(
+        "dim_date",
+        dims.dim_date(
+            spark, game_dates=stg_games.select("game_date"), today=as_of
+        ),
+    )
     dim_team = emit("dim_team", dims.dim_team(stg_games))
     dim_player = emit(
         "dim_player", dims.dim_player(stg_pgs, today=as_of, dim_team=dim_team)
@@ -101,7 +108,7 @@ def run_pipeline(
     emit("player_shot_metrics", metrics.player_shot_metrics(fpgs))
     emit(
         "team_shots_against_by_position",
-        metrics.team_shots_against_by_position(fpgs, ftgs),
+        metrics.team_shots_against_by_position(fpgs, ftgs, dim_team),
     )
     tsl = emit("team_shot_locations", metrics.team_shot_locations(fse, dim_team))
     psl = emit("player_shot_locations", metrics.player_shot_locations(fse, dim_team))

@@ -50,6 +50,27 @@ def accepted_values(
     return CheckResult(table, f"accepted_values({col})", bad == 0, bad)
 
 
+def accepted_range(
+    df: DataFrame,
+    table: str,
+    col: str,
+    min_value: float,
+    max_value: float,
+    inclusive: bool = True,
+) -> CheckResult:
+    """dbt_utils.accepted_range semantics (silver/schema.yml pct checks):
+    non-null values must fall inside [min, max] (or the open interval)."""
+    c = F.col(col)
+    if inclusive:
+        bad_cond = (c < min_value) | (c > max_value)
+    else:
+        bad_cond = (c <= min_value) | (c >= max_value)
+    bad = df.filter(c.isNotNull() & bad_cond).count()
+    return CheckResult(
+        table, f"accepted_range({col},[{min_value},{max_value}])", bad == 0, bad
+    )
+
+
 def relationships(
     child: DataFrame, table: str, col: str, parent: DataFrame, parent_col: str
 ) -> CheckResult:
@@ -81,7 +102,7 @@ def run_standard_suite(models: dict[str, DataFrame]) -> list[CheckResult]:
     dt = models["dim_team"]
     dp = models["dim_player"]
 
-    out += not_null(fgr, "fact_game_results", "game_id", "game_date", "winning_team_id")
+    out += not_null(fgr, "fact_game_results", "game_id", "game_date", "home_team_id")
     out.append(unique(fgr, "fact_game_results", "game_id"))
     out.append(accepted_values(fgr, "fact_game_results", "winning_side", ["home", "away"]))
 
@@ -99,7 +120,7 @@ def run_standard_suite(models: dict[str, DataFrame]) -> list[CheckResult]:
 
     out.append(unique(fse, "fact_shot_events", "game_id", "event_id"))
     out.append(
-        accepted_values(fse, "fact_shot_events", "shot_result", ["goal", "save", "miss"])
+        accepted_values(fse, "fact_shot_events", "shot_result", ["goal", "saved", "missed"])
     )
     out.append(relationships(fse, "fact_shot_events", "team_id", dt, "team_id"))
 

@@ -52,11 +52,15 @@ def stg_games(boxscore_raw: DataFrame) -> DataFrame:
         F.col("p.homeTeam.id").alias("home_team_id"),
         F.col("p.homeTeam.abbrev").alias("home_team_abbrev"),
         F.col("p.homeTeam.name.default").alias("home_team_name"),
+        F.col("p.homeTeam.placeName.default").alias("home_team_place"),
+        F.col("p.homeTeam.commonName.default").alias("home_team_common"),
         F.col("p.homeTeam.score").alias("home_score"),
         F.col("p.homeTeam.sog").alias("home_sog"),
         F.col("p.awayTeam.id").alias("away_team_id"),
         F.col("p.awayTeam.abbrev").alias("away_team_abbrev"),
         F.col("p.awayTeam.name.default").alias("away_team_name"),
+        F.col("p.awayTeam.placeName.default").alias("away_team_place"),
+        F.col("p.awayTeam.commonName.default").alias("away_team_common"),
         F.col("p.awayTeam.score").alias("away_score"),
         F.col("p.awayTeam.sog").alias("away_sog"),
         "partition_date",

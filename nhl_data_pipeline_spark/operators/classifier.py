@@ -169,6 +169,97 @@ def classifier_score_sql(
     """
 
 
+def train_score_sql(
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str = "documents",
+    train_max_id: int = 256,
+) -> str:
+    """DuckDB twin of ONE-iteration :func:`train_logreg` (zero init,
+    lr=0.5, y = id % 2, training subset id < ``train_max_id``) feeding
+    :func:`classifier_score` over the full table — exact to the BIT, by
+    construction:
+
+    At iteration 1 every weight is 0, so sigmoid(logit)=0.5 EXACTLY and
+    the 10⁻⁹-fixed-point error is ±5·10⁸ exactly; the per-bucket gradient
+    is therefore 5·10⁸·m with m = Σ(1−2y)·tf an integer. The driver-side
+    update w = q6(−lr·(g/10⁹)/n) then runs entirely on exactly-
+    representable floats when n is a power of two: g/10⁹ = m/2 (exact),
+    ×0.5 = m/4 (exact), /256 = m/1024 (exact — dyadic rational), and the
+    6-dp truncation of ±m/1024 is ∓⌊|m|·15625/16⌋ µ — pure integer
+    arithmetic, replicated below with no floating point at all. That is
+    WHY train_max_id must stay 256 (or another power of two ≤ the doc-id
+    range): any other subset size makes the /n division round and the
+    truncation engine-sensitive at 10⁻⁶ boundaries.
+
+    Output: (id, logit-as-double via the varchar bridge, keep). ``prob``
+    is deliberately absent — it goes through libm exp, whose last ulp is
+    engine-specific (train_logreg docstring), while logit and its sign
+    are exact.
+    """
+    toks = (
+        f"list_filter(string_split_regex({text_col}, '\\s+'), "
+        "t -> length(t) > 0)"
+    )
+    return f"""
+        WITH tr AS (
+            SELECT {id_col}, {text_col},
+                   CAST({id_col} % 2 AS BIGINT) AS y
+            FROM {table} WHERE {id_col} < {train_max_id}
+        ),
+        tf_tr AS (
+            SELECT {id_col},
+                   substr(md5(t), 1, {BUCKET_HEX}) AS bucket,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT {id_col}, unnest({toks}) AS t FROM tr)
+            GROUP BY 1, 2
+        ),
+        m_b AS (
+            SELECT bucket, SUM((1 - 2 * tr.y) * tf_tr.tf) AS m
+            FROM tf_tr JOIN tr USING ({id_col})
+            GROUP BY 1
+        ),
+        m_bias AS (SELECT SUM(1 - 2 * y) AS m FROM tr),
+        w AS (
+            SELECT bucket,
+                   CAST(CAST(CASE WHEN m >= 0 THEN -((m * 15625) // 16)
+                                  ELSE ((-m) * 15625) // 16 END
+                             AS DECIMAL(14,0))
+                        * CAST(0.000001 AS DECIMAL(8,6))
+                        AS DECIMAL(12,6)) AS weight
+            FROM m_b
+        ),
+        bias AS (
+            SELECT CAST(CAST(CASE WHEN m >= 0 THEN -((m * 15625) // 16)
+                                  ELSE ((-m) * 15625) // 16 END
+                            AS DECIMAL(14,0))
+                        * CAST(0.000001 AS DECIMAL(8,6))
+                        AS DECIMAL(20,6)) AS b
+            FROM m_bias
+        ),
+        feats AS (
+            SELECT {id_col},
+                   substr(md5(t), 1, {BUCKET_HEX}) AS bucket,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT {id_col}, unnest({toks}) AS t FROM {table})
+            GROUP BY 1, 2
+        ),
+        logits AS (
+            SELECT f.{id_col},
+                   sum(COALESCE(w.weight, 0) * f.tf)
+                       + (SELECT b FROM bias) AS logit
+            FROM feats f LEFT JOIN w USING (bucket)
+            GROUP BY 1
+        )
+        SELECT {id_col},
+               CAST(CAST(CAST(logit AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE)
+                   AS logit,
+               logit > 0 AS keep
+        FROM logits
+    """
+
+
 # ------------------------------------------------------------- training
 
 BIAS_BUCKET = "_b_"  # 3-hex feature buckets can never collide with this

@@ -321,22 +321,46 @@ def entity_resolution_crosswalk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_anti_join_flags",
     covers="J7,J8,J9",
     oracle="""
-        SELECT c.c_custkey, c.c_name,
+        SELECT 'flags' AS op, c.c_custkey AS entity_key,
+               CAST(NULL AS BIGINT) AS row_key, c.c_name AS name,
                CASE WHEN EXISTS (SELECT 1 FROM orders o
                                  WHERE o.o_custkey = c.c_custkey)
                     THEN 'has_orders' ELSE 'no_orders' END AS order_status,
-               g.max_order_ts
+               g.max_order_ts AS ts,
+               CAST(NULL AS DOUBLE) AS price
         FROM customer c
         CROSS JOIN (SELECT max(o_orderdate) AS max_order_ts FROM orders) g
+        UNION ALL
+        SELECT 'latest', o.o_custkey, o.o_orderkey, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), o.o_orderdate, o.o_totalprice
+        FROM orders o
+        WHERE EXISTS (
+            SELECT 1 FROM (
+                SELECT o_custkey, max(o_orderdate) AS max_ts
+                FROM orders GROUP BY o_custkey
+            ) m
+            WHERE m.o_custkey = o.o_custkey AND m.max_ts = o.o_orderdate
+        )
     """,
 )
 def cross_anti_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar broadcast cross join + semi/anti partition of one dimension
-    (merged `cross_join_scalar` + `anti_join_unmatched`, round-4 registry
-    rotation): every customer tagged has_orders/no_orders via a GENUINE
-    left_semi / left_anti pair (both operators stay in the physical plan —
-    pinned in tests/test_plan_shape.py), with the global latest order
-    timestamp attached to every row by a broadcast nested-loop cross join.
+    (merged `cross_join_scalar` + `anti_join_unmatched`, round-4 rotation)
+    + the tuple-IN latest-row-per-entity semi join (merged
+    `semi_join_latest_order`, round-5 rotation — this slot already unions
+    the J7/J8/J9 join variants).
+
+    'flags' branch: every customer tagged has_orders/no_orders via a
+    GENUINE left_semi / left_anti pair (both operators stay in the
+    physical plan — pinned in tests/test_plan_shape.py), with the global
+    latest order timestamp attached to every row by a broadcast
+    nested-loop cross join.
+
+    'latest' branch: semi join via tuple-IN against an aggregate — the
+    latest order per customer, analog of latest-game-per-team streak
+    detection (`team_shot_example_queries.sql:96-103`), expressed as a
+    left_semi on the composite key (the plan Spark produces for a
+    multi-column IN subquery).
 
     Analogs: attaching `current_season` / `next_opponent` to every row
     (`dim_player.sql:79`, `bruins_opponent_shot_locations.sql:21`);
@@ -346,6 +370,7 @@ def cross_anti_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast the orders key set (or shuffle on custkey when it outgrows
     the broadcast threshold); the scalar side is always a 1-row broadcast.
     """
+    nul_s = lambda a: F.lit(None).cast("string").alias(a)  # noqa: E731
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     g = o.agg(F.max("o_orderdate").alias("max_order_ts"))
@@ -359,37 +384,33 @@ def cross_anti_join_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .withColumn("order_status", F.lit("no_orders"))
     )
-    return semi.unionByName(anti).crossJoin(F.broadcast(g))
-
-
-@query(
-    "semi_join_latest_order",
-    covers="J9",
-    oracle="""
-        SELECT o.o_orderkey, o.o_custkey, o.o_orderdate AS order_ts, o.o_totalprice
-        FROM orders o
-        WHERE EXISTS (
-            SELECT 1 FROM (
-                SELECT o_custkey, max(o_orderdate) AS max_ts
-                FROM orders GROUP BY o_custkey
-            ) m
-            WHERE m.o_custkey = o.o_custkey AND m.max_ts = o.o_orderdate
+    flags = (
+        semi.unionByName(anti)
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.lit("flags").alias("op"),
+            F.col("c_custkey").alias("entity_key"),
+            F.lit(None).cast("bigint").alias("row_key"),
+            F.col("c_name").alias("name"),
+            "order_status",
+            F.col("max_order_ts").alias("ts"),
+            F.lit(None).cast("double").alias("price"),
         )
-    """,
-)
-def semi_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi join via tuple-IN against an aggregate (latest row per entity).
-
-    Analog of latest-game-per-team streak detection
-    (`team_shot_example_queries.sql:96-103`). Expressed as a left_semi join
-    on the composite key — the plan Spark produces for a multi-column IN
-    subquery.
-    """
-    o = load_table(spark, sf_dir, "orders")
-    latest = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("o_orderdate"))
-    return o.join(latest, ["o_custkey", "o_orderdate"], "left_semi").select(
-        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("order_ts"), "o_totalprice"
     )
+    latest = o.groupBy("o_custkey").agg(F.max("o_orderdate").alias("o_orderdate"))
+    latest_rows = (
+        o.join(latest, ["o_custkey", "o_orderdate"], "left_semi")
+        .select(
+            F.lit("latest").alias("op"),
+            F.col("o_custkey").alias("entity_key"),
+            F.col("o_orderkey").alias("row_key"),
+            nul_s("name"),
+            nul_s("order_status"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    return flags.unionByName(latest_rows)
 
 
 @query(

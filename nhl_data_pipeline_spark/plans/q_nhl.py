@@ -219,6 +219,7 @@ def _oracle() -> str:
         )
         SELECT line_value,
                CAST(COUNT(CASE WHEN outcome = 'over' THEN 1 END) AS BIGINT) AS n_over,
+               'by_line' AS analysis_type,
                CAST(COUNT(CASE WHEN outcome = 'under' THEN 1 END) AS BIGINT) AS n_under,
                CAST(COUNT(CASE WHEN outcome = 'push' THEN 1 END) AS BIGINT) AS n_push,
                CASE WHEN COUNT(CASE WHEN outcome <> 'push' THEN 1 END) > 0

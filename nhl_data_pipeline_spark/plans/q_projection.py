@@ -64,28 +64,49 @@ def typed_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "case_conditional_projection",
-    covers="P4",
+    covers="P4,P6,A1",
     oracle="""
-        SELECT o_orderkey,
+        SELECT 'case' AS op, o_orderkey AS row_key,
                CASE WHEN o_orderstatus = 'F' THEN 'finished'
                     WHEN o_orderstatus = 'O' THEN 'open'
                     ELSE 'pending' END AS status_label,
                CASE WHEN o_totalprice >= 300000 THEN 'high'
                     WHEN o_totalprice >= 100000 THEN 'mid'
                     ELSE 'low' END AS price_band,
-               CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_rush
+               CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS is_rush,
+               CAST(NULL AS DOUBLE) AS value_bin,
+               CAST(NULL AS BIGINT) AS n
         FROM orders
+        UNION ALL
+        SELECT 'bin', CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS INT),
+               CAST(floor(abs(value) / 5) * 5 AS DOUBLE) AS value_bin,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY 6
     """,
 )
 def case_conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE/conditional projection chains.
+    """CASE/conditional projection chains + 5-unit coordinate binning
+    (merged `coordinate_binning`, round-5 registry rotation — both small
+    single-table projections, union-tagged like `scalar_functions`).
 
-    Analog of winner/result/shot_result derivations
+    'case' branch — analog of winner/result/shot_result derivations
     (`fact_game_results.sql:60-72`, `fact_shot_events.sql:93-117`).
+
+    'bin' branch — analog of shot-location binning
+    `team_shot_locations.sql:17-23` (ROUND(ABS(x)/5)*5). Binning uses
+    floor() rather than round(): a 2-dp input divided by 5 lands exactly
+    on .5 ties (12.50/5 = 2.5) where engines' round() tie-breaking
+    diverges, while floor() is tie-free — and half-open bins are the
+    semantics a histogram wants anyway.
     """
+    nul_s = lambda a: F.lit(None).cast("string").alias(a)  # noqa: E731
     o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
+    case_rows = o.select(
+        F.lit("case").alias("op"),
+        F.col("o_orderkey").alias("row_key"),
         F.when(F.col("o_orderstatus") == "F", "finished")
         .when(F.col("o_orderstatus") == "O", "open")
         .otherwise("pending")
@@ -97,7 +118,26 @@ def case_conditional_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
         .otherwise(0)
         .alias("is_rush"),
+        F.lit(None).cast("double").alias("value_bin"),
+        F.lit(None).cast("bigint").alias("n"),
     )
+    e = load_table(spark, sf_dir, "events")
+    bin_rows = (
+        e.groupBy(
+            (F.floor(F.abs(F.col("value")) / 5) * 5).cast("double").alias("value_bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("bin").alias("op"),
+            F.lit(None).cast("bigint").alias("row_key"),
+            nul_s("status_label"),
+            nul_s("price_band"),
+            F.lit(None).cast("int").alias("is_rush"),
+            "value_bin",
+            "n",
+        )
+    )
+    return case_rows.unionByName(bin_rows)
 
 
 @query(
@@ -131,34 +171,6 @@ def derived_metrics_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ep - q * (ep / q)).alias("price_residual"),
         F.when(q > 0, ep / q).otherwise(F.lit(0.0)).alias("unit_price"),
         (ep * d).alias("discount_amount"),
-    )
-
-
-@query(
-    "coordinate_binning",
-    covers="P6,A1",
-    oracle=f"""
-        SELECT CAST(floor(abs(value) / 5) * 5 AS DOUBLE) AS value_bin,
-               {bcount('n')}
-        FROM events
-        GROUP BY 1
-    """,
-)
-def coordinate_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-unit coordinate binning then count per bin.
-
-    Analog of shot-location binning `team_shot_locations.sql:17-23`
-    (ROUND(ABS(x)/5)*5). Binning uses floor() rather than round(): a 2-dp
-    input divided by 5 lands exactly on .5 ties (12.50/5 = 2.5) where
-    engines' round() tie-breaking diverges, while floor() is tie-free — and
-    half-open bins are the semantics a histogram wants anyway.
-    """
-    e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            (F.floor(F.abs(F.col("value")) / 5) * 5).cast("double").alias("value_bin")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.operators import classifier as CL
 from nhl_data_pipeline_spark.operators import cluster as C
 from nhl_data_pipeline_spark.operators import dedup as D
+from nhl_data_pipeline_spark.operators import report as RP
+from nhl_data_pipeline_spark.operators import spans as SP
 from nhl_data_pipeline_spark.operators import lines as L
 from nhl_data_pipeline_spark.operators import lm as LM
 from nhl_data_pipeline_spark.operators import sketch as SK
@@ -1213,3 +1216,90 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("n"),
     )
     return cells.unionByName(ests)
+
+
+@query(
+    "duplicate_spans",
+    covers="LLM-dedup-spans",
+    oracle=SP.duplicate_spans_sql(8),
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (Lee et al. 2022 substring dedup,
+    operators/spans.py): every maximal run of tokens covered by an 8-gram
+    occurring ≥2 times corpus-wide, per document. Driver row since the
+    round-5 rotation (DuckDB twin previously pytest-only,
+    tests/test_spans.py).
+
+    Scale shape (module docstring has the full story): positional-gram
+    explode is map-only; duplicate detection groups on 8-byte xxhash64
+    keys with map-side combine; island-merging windows only the
+    duplicated-position set, never the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return SP.duplicate_spans(d, 8)
+
+
+@query(
+    "classifier_train_score",
+    covers="LLM-classifier-train,LLM-classifier-score",
+    oracle=CL.train_score_sql(),
+)
+def classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAIN → SCORE end-to-end: one batch-GD iteration
+    of distributed logistic regression over hashed bag-of-words features
+    (operators/classifier.py::train_logreg — zero init, lr=0.5, label
+    y = doc_id % 2, training subset doc_id < 256) feeding the broadcast-
+    weights inference path (::classifier_score) over the FULL table.
+    Driver row since the round-5 rotation.
+
+    The oracle replays the training update in EXACT integer arithmetic —
+    possible because at iteration 1 the fixed-point errors are ±5·10⁸
+    exactly and the 256-doc subset makes every float step dyadic
+    (train_score_sql docstring derives this); more iterations are
+    pytest-verified against an independent Python implementation
+    (tests/test_classifier.py) where bit-exactness is asserted per
+    PARTITIONING, not per engine. `prob` is excluded from the output
+    (libm exp last-ulp is engine-specific); logit is exact decimal
+    through the varchar bridge.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.filter(F.col("doc_id") < 256).withColumn(
+        "y", (F.col("doc_id") % 2).cast("int")
+    )
+    weights, bias = CL.train_logreg(
+        labeled, label_col="y", n_iter=1, lr=0.5
+    )
+    scored = CL.classifier_score(d, weights, bias)
+    return scored.select(
+        "doc_id",
+        F.col("logit").cast("string").cast("double").alias("logit"),
+        "keep",
+    )
+
+
+@query(
+    "report_card_quantiles",
+    covers="LLM-report-card,LLM-exact-quantiles",
+    oracle=f"""
+        WITH rep AS ({RP.corpus_report_sql()}),
+        qq AS ({RP.group_quantiles_sql()})
+        SELECT rep.*, qq.p50, qq.p95, qq.p99
+        FROM rep JOIN qq USING (source, lang)
+    """,
+)
+def report_card_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card + exact per-group token-count quantiles
+    (operators/report.py), one row per (source, lang). Driver row since
+    the round-5 rotation (all-integer DuckDB twins previously pytest-only,
+    tests/test_scale_operators.py).
+
+    One corpus scan feeds the conditional-aggregate datasheet (counts,
+    token/char totals, exact histogram bins, fingerprint dup counts); the
+    quantiles use distinct-value compression — one (group, value) count
+    moves per DISTINCT token count, never a corpus sort. The final join
+    is a rollup-sized hash join however large the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    rep = RP.corpus_report(d)
+    qq = RP.group_quantiles(d)
+    return rep.join(qq, ["source", "lang"])

@@ -23,31 +23,10 @@ from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import dsum
 
 
-@query(
-    "latest_snapshot_dedup",
-    covers="W1",
-    bench=True,
-    oracle="""
-        SELECT user_id, event_id, ts, event_type, value
-        FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
-            ) AS rn
-            FROM events
-        )
-        WHERE rn = 1
-    """,
-)
-def latest_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Latest-snapshot-wins dedup — the reference's core pattern (W1).
-
-    `QUALIFY ROW_NUMBER() OVER (PARTITION BY payload:id ORDER BY
-    partition_date DESC, s3_key DESC) = 1` (`stg_games.sql:32`,
-    `.context/DECISIONS.md:289-320`) applied to the events table: one
-    surviving row per user_id, ordered by recency with a unique tiebreak.
-    At scale: project needed columns BEFORE the window so the shuffle moves
-    narrow rows, not full payloads (SURVEY §4 spill note).
-    """
+def _latest_snapshot_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure W1 latest-snapshot shape — what bench.py times (the merged
+    correctness query below adds the W2 branch; benching the union would
+    break round-over-round comparability of this headline number)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type", "value"
     )
@@ -60,10 +39,23 @@ def latest_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "preference_rank",
-    covers="W2",
+    "latest_snapshot_dedup",
+    covers="W1,W2",
+    bench=True,
+    bench_fn=_latest_snapshot_w1,
     oracle="""
-        SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate AS order_ts
+        SELECT 'latest' AS op, user_id AS entity_id, event_id AS pick_id,
+               ts AS picked_ts, event_type AS label, value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+        UNION ALL
+        SELECT 'pref', o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               CAST(NULL AS DOUBLE)
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY o_custkey
@@ -78,12 +70,31 @@ def latest_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rn = 1
     """,
 )
-def preference_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE-ordered preference ranking: best row per entity.
+def latest_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-snapshot-wins dedup — the reference's core pattern (W1) —
+    plus CASE-ordered preference ranking (W2; merged `preference_rank`,
+    round-5 registry rotation — both are best-row-per-entity ROW_NUMBER
+    windows, union-tagged).
 
-    Analog of bookmaker-priority ranking (`fact_player_sog_props_v2.sql:33-53`):
-    a hand-written preference order, then recency, then a unique tiebreak.
+    'latest' branch: `QUALIFY ROW_NUMBER() OVER (PARTITION BY payload:id
+    ORDER BY partition_date DESC, s3_key DESC) = 1` (`stg_games.sql:32`,
+    `.context/DECISIONS.md:289-320`) applied to the events table: one
+    surviving row per user_id, ordered by recency with a unique tiebreak.
+    At scale: project needed columns BEFORE the window so the shuffle moves
+    narrow rows, not full payloads (SURVEY §4 spill note).
+
+    'pref' branch: bookmaker-priority ranking
+    (`fact_player_sog_props_v2.sql:33-53`) — a hand-written preference
+    order, then recency, then a unique tiebreak.
     """
+    latest = _latest_snapshot_w1(spark, sf_dir).select(
+        F.lit("latest").alias("op"),
+        F.col("user_id").alias("entity_id"),
+        F.col("event_id").alias("pick_id"),
+        F.col("ts").alias("picked_ts"),
+        F.col("event_type").alias("label"),
+        "value",
+    )
     o = load_table(spark, sf_dir, "orders")
     pref = (
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
@@ -95,12 +106,19 @@ def preference_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey").orderBy(
         pref.asc(), F.desc("o_orderdate"), F.desc("o_orderkey")
     )
-    return (
+    best = (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderpriority",
-                F.col("o_orderdate").alias("order_ts"))
+        .select(
+            F.lit("pref").alias("op"),
+            F.col("o_custkey").alias("entity_id"),
+            F.col("o_orderkey").alias("pick_id"),
+            F.col("o_orderdate").alias("picked_ts"),
+            F.col("o_orderpriority").alias("label"),
+            F.lit(None).cast("double").alias("value"),
+        )
     )
+    return latest.unionByName(best)
 
 
 @query(
@@ -272,6 +290,22 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+RANGE_INTERVAL_WINDOW_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER w
+                     AS VARCHAR) AS DOUBLE) AS sum_30d,
+           CAST(count(*) OVER w AS BIGINT) AS n_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "range_interval_window",
+    covers="W-ext-range-frame",
+    oracle=RANGE_INTERVAL_WINDOW_SQL,
+)
 def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-RANGE window frame: per customer, the rolling 30-DAY order
     total ending at each order — peers by VALUE distance, not row
@@ -280,12 +314,13 @@ def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark's rangeBetween requires a numeric order key, so the timestamp
     is projected to epoch DAYS (datediff from the epoch) and the frame is
-    [-30, 0] days inclusive — value-identical to the DuckDB twin's
+    [-30, 0] days inclusive — value-identical to the oracle's
     ``RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW`` over the
     date ordering (both engines' RANGE bounds are inclusive). The sum is
-    decimal-exact so the twin matches bit-for-bit. Pytest-twin-verified
-    (tests/test_scale_operators.py); not a driver row — the registry sits
-    at the 50-slot cap.
+    decimal-exact — emitted as DOUBLE through the varchar bridge
+    (sqlgen.dsum_expr rationale) so the hash compares engine-stably.
+    Driver row since the round-5 rotation; also twin-tested in
+    tests/test_scale_operators.py.
     """
     o = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
@@ -300,17 +335,8 @@ def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
         .over(w)
         .cast("decimal(38,2)")
+        .cast("string")
+        .cast("double")
         .alias("sum_30d"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_30d"),
     )
-
-
-RANGE_INTERVAL_WINDOW_SQL = """
-    SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER w
-                AS DECIMAL(38,2)) AS sum_30d,
-           CAST(count(*) OVER w AS BIGINT) AS n_30d
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
-                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
-"""

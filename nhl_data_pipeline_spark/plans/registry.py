@@ -35,6 +35,12 @@ class QuerySpec:
     covers: str  # SURVEY §2 operator ids, e.g. "A1,A2,P5"
     bench: bool = False  # part of bench.py's headline set
     tags: tuple[str, ...] = field(default_factory=tuple)
+    # What bench.py times when it differs from the correctness query: the
+    # registry rotation folds extra operators into some correctness slots
+    # (driver 50-row cap), which would silently change a benched query's
+    # plan and break round-over-round comparability. bench_fn pins the
+    # original benched shape; None → bench times fn itself.
+    bench_fn: QueryFn | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -47,6 +53,7 @@ def query(
     covers: str,
     bench: bool = False,
     tags: tuple[str, ...] = (),
+    bench_fn: QueryFn | None = None,
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
@@ -54,7 +61,8 @@ def query(
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, covers=covers, bench=bench, tags=tags
+            name=name, fn=fn, oracle=oracle, covers=covers, bench=bench,
+            tags=tags, bench_fn=bench_fn,
         )
         return fn
 
