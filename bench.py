@@ -93,9 +93,155 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "dedup_scale_probe": _dedup_scale_probe(spark),
                 "ann_scale_probe": _ann_scale_probe(spark),
+                "bloom_prejoin_probe": _bloom_prejoin_probe(spark),
+                "cc_skew_probe": _cc_skew_probe(spark),
             }
         )
     )
+
+
+def _query_shuffle_metrics(spark, run) -> dict[str, int]:
+    """Execute ``run()`` and return the MAX per-exchange shuffle records +
+    bytes written of the resulting SQL execution, read from Spark's
+    SQLAppStatusStore (the UI's source of truth for `exchange` metrics).
+    Max-per-exchange isolates the dominant (fact-side) exchange — the one
+    the bloom filter is supposed to shrink."""
+    import re as _re
+    import time as _t
+
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsList().length()
+    run()
+    _t.sleep(1.0)  # listener bus drain
+    execs = store.executionsList()
+    records, bytes_ = 0, 0
+    for i in range(before, execs.length()):
+        ex = execs.apply(i)
+        vals = store.executionMetrics(ex.executionId())
+        mdefs = ex.metrics()
+        for j in range(mdefs.length()):
+            md = mdefs.apply(j)
+            if not vals.contains(md.accumulatorId()):
+                continue
+            raw = str(vals.apply(md.accumulatorId()))
+            if md.name() == "shuffle records written":
+                records = max(records, int(raw.replace(",", "")))
+            elif md.name() == "shuffle bytes written":
+                m = _re.match(r"([\d.]+)\s*(B|KiB|MiB|GiB)", raw)
+                if m:
+                    mult = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20,
+                            "GiB": 1 << 30}[m.group(2)]
+                    bytes_ = max(bytes_, int(float(m.group(1)) * mult))
+    return {"records": records, "bytes": bytes_}
+
+
+def _bloom_prejoin_probe(spark) -> dict:
+    """Measured exchange reduction from bloom join pre-pruning
+    (operators/bloom.py): a selective dim join at the bench SF with
+    broadcast DISABLED (the regime where the fact side genuinely
+    shuffles — the 100 TB shape). Records the fact-side exchange's
+    rows/bytes for the plain join vs the bloom-pruned join, plus the
+    filter's measured false-positive rate ε (surviving non-matches /
+    eligible non-matches)."""
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.operators.bloom import bloom_prejoin
+
+    orders = load_table(spark, SF_DIR, "orders")
+    cust = load_table(spark, SF_DIR, "customer").filter(
+        F.col("c_nationkey") == 3
+    )
+
+    def joined(big):
+        return big.join(cust, big.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "o_totalprice"
+        )
+
+    out: dict[str, float] = {}
+    rows_pre = orders.count()
+    true_rows = orders.join(
+        cust.select(F.col("c_custkey").alias("o_custkey")),
+        "o_custkey",
+        "left_semi",
+    ).count()
+    pruned = bloom_prejoin(orders, "o_custkey", cust, "c_custkey")
+    rows_post = pruned.count()
+    out["rows_pre"] = float(rows_pre)
+    out["rows_post"] = float(rows_post)
+    out["rows_true_match"] = float(true_rows)
+    denom = rows_pre - true_rows
+    out["epsilon_measured"] = (
+        round((rows_post - true_rows) / denom, 6) if denom else 0.0
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, big in (("plain", orders), ("bloom", pruned)):
+            t0 = time.perf_counter()
+            m = _query_shuffle_metrics(
+                spark,
+                lambda: joined(big)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+            out[f"{label}_join_sec"] = round(time.perf_counter() - t0, 3)
+            out[f"{label}_exchange_records"] = float(m["records"])
+            out[f"{label}_exchange_bytes"] = float(m["bytes"])
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    return out
+
+
+def _cc_skew_probe(spark) -> dict:
+    """Adversarial-topology probe for the two connected-components
+    implementations (operators/cluster.py): a mega-component holding 50%
+    of all nodes behind one 100K-degree hub (per-round join skew), and
+    long chains (the O(diameter)-rounds regime where min-label
+    propagation degrades and large-star/small-star's O(log n) bound
+    matters). rounds = -1 marks a deliberate DNF at the stated cap.
+    Documented default: label-prop for near-dup graphs (shallow, dense —
+    hub-like), star for unknown/chain-heavy topology."""
+    from nhl_data_pipeline_spark.operators import cluster as CC
+
+    out: dict[str, float] = {}
+
+    def run(tag, edges, fn, expect_components, max_rounds):
+        stats: dict = {}
+        t0 = time.perf_counter()
+        try:
+            res = fn(edges, max_rounds=max_rounds, stats=stats)
+            n = res.select("component").distinct().count()
+            assert n == expect_components, (tag, n, expect_components)
+            out[f"{tag}_rounds"] = float(stats["rounds"])
+        except RuntimeError:
+            out[f"{tag}_rounds"] = -1.0  # DNF at the cap
+        out[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
+
+    # 50% of 200K nodes in ONE hub component (node 0 has degree 100K);
+    # the other 50% are 50K disjoint pairs -> 50_001 components.
+    hub = spark.range(1, 100_001).selectExpr(
+        "CAST(0 AS BIGINT) AS src", "id AS dst"
+    )
+    pairs = spark.range(100_001, 200_001, 2).selectExpr(
+        "id AS src", "id + 1 AS dst"
+    )
+    mega = hub.union(pairs)
+    run("hub100k_label_prop", mega, CC.connected_components, 50_001, 20)
+    run("hub100k_star", mega, CC.connected_components_star, 50_001, 30)
+
+    # Moderate chain: diameter 32 — label prop pays ~one round per hop.
+    chain32 = spark.range(32).selectExpr("id AS src", "id + 1 AS dst")
+    run("chain32_label_prop", chain32, CC.connected_components, 1, 40)
+    run("chain32_star", chain32, CC.connected_components_star, 1, 30)
+
+    # Pathological chain: diameter 4096. Label prop would need ~4K rounds
+    # — capped at 12 and recorded as DNF; star converges in O(log n).
+    chain4k = spark.range(4096).selectExpr("id AS src", "id + 1 AS dst")
+    run("chain4096_label_prop", chain4k, CC.connected_components, 1, 12)
+    run("chain4096_star", chain4k, CC.connected_components_star, 1, 30)
+    return out
 
 
 def _dedup_scale_probe(spark) -> dict:

@@ -36,8 +36,21 @@ TABLE_MODELS: dict[str, tuple[str, ...]] = {
     "fact_game_results": ("season",),
     "fact_player_game_stats": ("season",),
     "fact_team_game_stats": ("season",),
-    "fact_shot_events": ("season",),
     "fact_player_sog_props_v2": (),  # odds grain has no season column
+}
+
+# Multi-column file clustering for the analyst access pattern: the shot
+# worksheet's per-team recency queries filter (team_id, game_date)
+# together (team_shot_example_queries.sql:96-124), which season
+# partitioning alone can't prune. fact_shot_events is written
+# Hilbert-clustered on those two columns (sources/layout.py — measured
+# footer-stat pruning in its module docstring) INSTEAD of the season
+# directory partitioning: the game_date bounding boxes subsume season
+# pruning (a season is a date range), and every file gets a tight 2-D
+# (team, date) box. game_date is projected to epoch days for the binning
+# (dates don't min-max scale); the derived key is dropped before write.
+ZORDER_MODELS: dict[str, dict] = {
+    "fact_shot_events": {"x": "team_id", "date_col": "game_date"},
 }
 
 
@@ -58,7 +71,30 @@ def run_pipeline(
     r = PipelineResult()
 
     def emit(name: str, df: DataFrame) -> DataFrame:
-        if warehouse_dir and name in TABLE_MODELS:
+        if warehouse_dir and name in ZORDER_MODELS:
+            from pyspark.sql import functions as F
+
+            from nhl_data_pipeline_spark.sources.layout import write_zordered
+
+            spec = ZORDER_MODELS[name]
+            path = os.path.join(warehouse_dir, name)
+            staged = df.withColumn(
+                "_zd_days",
+                F.datediff(
+                    F.col(spec["date_col"]), F.lit("1970-01-01").cast("date")
+                ),
+            )
+            write_zordered(
+                staged,
+                path,
+                [spec["x"], "_zd_days"],
+                bits=8,
+                n_files=16,
+                curve="hilbert",
+                drop=["_zd_days"],
+            )
+            df = spark.read.parquet(path)
+        elif warehouse_dir and name in TABLE_MODELS:
             path = os.path.join(warehouse_dir, name)
             writer = df.write.mode("overwrite")
             parts = TABLE_MODELS[name]

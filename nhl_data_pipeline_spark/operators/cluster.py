@@ -23,6 +23,25 @@ Scale posture (100 TB):
   iterative plan re-grows (and re-codegens) linearly in rounds;
 - for adversarial long-chain graphs switch to large-star/small-star
   (same join primitive, O(log n) rounds guaranteed).
+
+Adversarial-topology numbers (bench.py::_cc_skew_probe, local[32]):
+
+  graph                              label-prop         star
+  hub: 50% of 200K nodes behind one
+  100K-degree hub (join skew)        1 round / 6.0 s    2 rounds / 6.9 s
+  chain, diameter 32                 32 rounds / 8.8 s  6 rounds / 3.5 s
+  chain, diameter 4096               DNF at 12-round cap 13 rounds / 6.2 s
+
+DEFAULT CHOICE, from the measurements: :func:`duplicate_clusters` keeps
+min-label propagation — near-dup pair graphs are hub-shaped and shallow
+(a dup cluster is ~one clique/star), exactly the regime where label-prop
+wins and the 100K-degree skew measurably does NOT hurt it (the min-agg
+combines map-side; no hot reducer). Reach for
+:func:`connected_components_star` when the topology is unknown or
+chain-heavy (web graphs, citation chains): its round count is bounded by
+O(log n) regardless of diameter, while label-prop pays one round per hop
+of eccentricity and never terminates inside any reasonable cap on long
+chains.
 """
 
 from __future__ import annotations
@@ -36,6 +55,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``; component =
     the minimum node id reachable from it. Deterministic for any input.
@@ -43,7 +63,8 @@ def connected_components(
     Driver-side convergence loop — legitimate here: each round is a fully
     distributed join+agg and only a single changed-row COUNT comes back to
     the driver. Raises if ``max_rounds`` is hit without convergence (a
-    silent partial closure would mislabel clusters).
+    silent partial closure would mislabel clusters). ``stats`` (optional
+    dict) receives {"rounds": n} — the skew probe in bench.py reads it.
     """
     # Symmetrize once; self-loops are harmless but add work — drop them.
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
@@ -63,7 +84,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_rounds):
+    for rnd in range(1, max_rounds + 1):
+        if stats is not None:
+            stats["rounds"] = rnd
         # label'(n) = min(label(n), min over neighbors m of label(m))
         nbr = (
             e.join(labels, e.b == labels.node)
@@ -168,6 +191,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Same (node, component) contract as :func:`connected_components`, via
     alternating large-star / small-star contraction (Kiveris et al.,
@@ -185,7 +209,9 @@ def connected_components_star(
     """
     e = _symmetrize(edges, src, dst).localCheckpoint(eager=True)
     nodes = e.select("a").distinct()
-    for _ in range(max_rounds):
+    for rnd in range(1, max_rounds + 1):
+        if stats is not None:
+            stats["rounds"] = rnd
         new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         stable = (
             new_e.exceptAll(e).limit(1).count() == 0

@@ -15,11 +15,49 @@ from pyspark.sql import DataFrame
 
 SHEETS_ROW_CAP = 25_000  # practical max before the API chokes (DECISIONS.md:487)
 
+# The reference's export manifest, verbatim names and order
+# (sheets_export.py:39-57): the 11 active worksheet entries — six full
+# silver models plus the five Bruins-only subsets the ~25K-row Sheets
+# ceiling forced (DECISIONS.md:481-487; fact_shot_events and the full
+# *_shot_locations models are commented out there for exactly that
+# reason, exported via the CSV path instead).
+EXPORT_MODELS: tuple[str, ...] = (
+    "player_shot_metrics",
+    "team_shot_metrics",
+    "dim_player",
+    "dim_team",
+    "fact_player_game_stats",
+    "team_shots_against_by_position",
+    "bruins_player_shot_locations",
+    "bruins_team_shot_locations",
+    "bruins_shot_events",
+    "bruins_next_opponent",
+    "bruins_opponent_shot_locations",
+)
+
 
 def export_csv(df: DataFrame, path: str) -> None:
     """CSV sink with header, single file per model (Tableau-sized outputs
     are small by construction — coalesce is deliberate)."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def export_all(
+    models: dict[str, DataFrame], out_dir: str
+) -> dict[str, str]:
+    """Drive the reference's full export manifest over the real model DAG
+    to CSV: one `<out_dir>/<model>.csv` directory per EXPORT_MODELS entry,
+    header row carrying the model's columns in their model order (the
+    reference's `SELECT *` → DataFrame → sheet/CSV hop preserves column
+    order the same way). Returns {model: path}. The Sheets hop itself
+    stays env-gated (export_sheets); CSV is the offline-verifiable sink
+    and the reference's own fallback for the oversize models."""
+    out: dict[str, str] = {}
+    for name in EXPORT_MODELS:
+        path = f"{out_dir}/{name}"
+        export_csv(models[name], path)
+        out[name] = path
+    return out
 
 
 def export_sheets(df: DataFrame, spreadsheet: str, worksheet: str) -> int:

@@ -127,13 +127,16 @@ def write_zordered(
     bits: int = 12,
     n_files: int = 32,
     curve: str = "morton",
+    drop: list[str] | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered by the Morton (default) or
     Hilbert (2 columns only) order of ``zcols``.
 
     Stats, binning, interleave, range-partition, sort, write — the z
-    column is dropped before writing (it is layout, not data). One range
-    exchange; everything else is a map.
+    column is dropped before writing (it is layout, not data), as are any
+    ``drop`` columns (derived numeric layout keys, e.g. a date projected
+    to epoch days, that shouldn't land in the files). One range exchange;
+    everything else is a map.
     """
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in zcols],
@@ -155,7 +158,7 @@ def write_zordered(
         staged
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", *(drop or []))
         .write.mode("overwrite")
         .parquet(path)
     )

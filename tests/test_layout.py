@@ -144,3 +144,46 @@ def test_ivf_centroid_partitioned_layout_prunes(spark, tmp_path):
     assigned = assign_clusters(emb, cents)
     want = assigned.filter(F.col("cluster_id").isin(0, 2)).count()
     assert probed.count() == want
+
+
+def test_fact_shot_events_hilbert_layout_prunes(spark, tmp_path):
+    """The NHL lake writer's Hilbert layout (pipeline.ZORDER_MODELS) must
+    make the worksheet's two-column access pattern — one team over a date
+    window (team_shot_example_queries.sql:96-124) — a file-pruned scan:
+    footer stats alone must exclude >50% of the files."""
+    from nhl_data_pipeline_spark.nhl import fixtures
+    from nhl_data_pipeline_spark.nhl.pipeline import run_pipeline
+
+    bronze = {
+        "game_boxscore": fixtures.boxscore_snapshots(spark),
+        "game_pbp": fixtures.pbp_snapshots(spark),
+        "schedule": fixtures.schedule_snapshots(spark),
+        "odds_player_props": fixtures.odds_snapshots(spark),
+    }
+    wh = str(tmp_path / "wh")
+    models = run_pipeline(spark, bronze, warehouse_dir=wh).models
+    fse = models["fact_shot_events"]
+    # the layout key is dropped before write; the data columns survive
+    assert "_zd_days" not in fse.columns
+    path = f"{wh}/fact_shot_events"
+    boxes = file_bounding_boxes(path, ["team_id", "game_date"])
+    n_files = len(boxes)
+    assert n_files >= 8  # enough files for pruning to be meaningful
+
+    teams = sorted(
+        r["team_id"] for r in fse.select("team_id").distinct().collect()
+    )
+    dates = sorted(
+        r["game_date"] for r in fse.select("game_date").distinct().collect()
+    )
+    mid = dates[len(dates) // 2]
+    # worksheet shape: one team, recent-dates window
+    read = files_intersecting(
+        boxes, {"team_id": (teams[0], teams[0]), "game_date": (mid, dates[-1])}
+    )
+    assert 0 < read < n_files / 2, (read, n_files)
+    # and the full result still comes back correct through the scan
+    got = fse.filter(
+        (F.col("team_id") == teams[0]) & (F.col("game_date") >= mid)
+    ).count()
+    assert got > 0

@@ -46,3 +46,35 @@ def test_static_plans_match_committed_fingerprints(spark):
         f"plan shape: {json.dumps(drift, indent=1)}\n"
         "If intentional: python tools/plan_fingerprints.py && review diff"
     )
+
+
+def test_worksheet_static_plans_match_committed_fingerprints(spark):
+    """Same gate for the 8 verbatim odds-worksheet statements: the
+    dialect shim + model DAG must keep producing the pinned plan shapes
+    (a shim regression that, say, un-broadcasts dim_team would pass the
+    value-level verbatim tests — this catches it). Regenerate after an
+    intentional change: python tools/worksheet_fingerprints.py."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import worksheet_fingerprints as W
+    from plan_fingerprints import fingerprint
+
+    from nhl_data_pipeline_spark.plans.dialect import (
+        resolve_dbt_refs,
+        spark_sql_compat,
+    )
+
+    spark.catalog.clearCache()
+    W.build_models(spark)
+    want = json.loads((Path(__file__).parent / "worksheet_fingerprints.json").read_text())
+    drift = {}
+    for i, stmt in enumerate(W.statements()):
+        df = spark_sql_compat(spark, resolve_dbt_refs(stmt))
+        got = fingerprint(df._jdf.queryExecution().executedPlan().toString())
+        if got != want.get(f"odds_stmt_{i}"):
+            drift[f"odds_stmt_{i}"] = {"want": want.get(f"odds_stmt_{i}"), "got": got}
+    assert not drift, (
+        f"worksheet plan drift: {json.dumps(drift, indent=1)}\n"
+        "If intentional: python tools/worksheet_fingerprints.py && review diff"
+    )
