@@ -24,13 +24,15 @@ Scale posture (100 TB):
 - for adversarial long-chain graphs switch to large-star/small-star
   (same join primitive, O(log n) rounds guaranteed).
 
-Adversarial-topology numbers (bench.py::_cc_skew_probe, local[32]):
+Adversarial-topology numbers (bench.py::_cc_skew_probe, local[32]; the
+ROUNDS columns are deterministic, wall-clock varies ±30% across
+container reboots):
 
   graph                              label-prop         star
   hub: 50% of 200K nodes behind one
-  100K-degree hub (join skew)        1 round / 6.0 s    2 rounds / 6.9 s
-  chain, diameter 32                 32 rounds / 8.8 s  6 rounds / 3.5 s
-  chain, diameter 4096               DNF at 12-round cap 13 rounds / 6.2 s
+  100K-degree hub (join skew)        1 round / 2.9 s    2 rounds / 6.6 s
+  chain, diameter 32                 32 rounds / 8.1 s  6 rounds / 3.5 s
+  chain, diameter 4096               DNF at 12-round cap 13 rounds / 7.2 s
 
 DEFAULT CHOICE, from the measurements: :func:`duplicate_clusters` keeps
 min-label propagation — near-dup pair graphs are hub-shaped and shallow
