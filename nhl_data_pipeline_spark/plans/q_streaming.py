@@ -54,7 +54,9 @@ from nhl_data_pipeline_spark.streaming import events_stream as es
         )
         SELECT 'session' AS op, user_id, session_start AS start_ts,
                session_end AS end_ts, CAST(NULL AS VARCHAR) AS event_type,
-               n_events AS n, CAST(NULL AS DOUBLE) AS total_value
+               n_events AS n, CAST(NULL AS DOUBLE) AS total_value,
+               CAST(NULL AS BIGINT) AS view_id,
+               CAST(NULL AS BIGINT) AS purchase_id
         FROM sess
         WHERE sid < (SELECT max(sid) FROM sess s2
                      WHERE s2.user_id = sess.user_id)
@@ -62,7 +64,8 @@ from nhl_data_pipeline_spark.streaming import events_stream as es
         SELECT 'tumbling', CAST(NULL AS BIGINT), window_start, window_end,
                event_type,
                CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         FROM (
             SELECT TIMESTAMP '1970-01-01 00:00:00'
                      + CAST(floor(epoch(ts) / 3600) AS BIGINT)
@@ -74,12 +77,47 @@ from nhl_data_pipeline_spark.streaming import events_stream as es
             FROM events
         )
         GROUP BY window_start, window_end, event_type
+        UNION ALL
+        SELECT 'sliding', user_id, ws,
+               ws + INTERVAL '2 hours',
+               CAST(NULL AS VARCHAR),
+               CAST(COUNT(*) AS BIGINT),
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    / COUNT(*) AS DOUBLE),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM (
+            SELECT user_id, value,
+                   unnest([
+                       TIMESTAMP '1970-01-01 00:00:00'
+                         + CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                           * INTERVAL '1 hour',
+                       TIMESTAMP '1970-01-01 00:00:00'
+                         + (CAST(floor(epoch(ts) / 3600) AS BIGINT) - 1)
+                           * INTERVAL '1 hour'
+                   ]) AS ws
+            FROM events
+        )
+        GROUP BY user_id, ws
+        UNION ALL
+        SELECT 'funnel', v.user_id, v.view_ts, p.purchase_ts,
+               CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), v.view_id, p.purchase_id
+        FROM (SELECT user_id, event_id AS view_id, ts AS view_ts
+              FROM events WHERE event_type = 'view') v
+        JOIN (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+              FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
+         AND p.purchase_ts >= v.view_ts
+         AND p.purchase_ts <= v.view_ts + INTERVAL '1 hour'
     """,
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two REAL streaming runs, union-tagged (merged
-    `streaming_tumbling_counts`, round-5 registry rotation), hash-checked
-    against batch SQL.
+    """FOUR real streaming runs, union-tagged (merged
+    `streaming_tumbling_counts` in the r5 rotation, then widened to
+    driver-check the remaining twin-only streaming families), each
+    hash-checked against batch SQL: custom stateful sessionization,
+    tumbling windowed aggregation, sliding windowed aggregation, and the
+    stream-STREAM funnel join.
 
     'session' branch: inactivity-gap sessionization EXECUTED BY THE
     STREAMING ENGINE (applyInPandasWithState, per-user state across
@@ -103,9 +141,21 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode. At scale it shuffles on (window, event_type) with partial
     aggregation per micro-batch; state size is bounded by the watermark
     horizon.
+
+    'sliding' branch: 2-hour windows sliding hourly per user — each event
+    lands in two windows (the oracle replays that as an explicit 2-window
+    unnest); the average is the decimal-exact SUM/COUNT idiom so
+    micro-batch accumulation order can't perturb the hash.
+
+    'funnel' branch: stream-STREAM inner join (views ⋈ purchases within a
+    1-hour attribution band, both sides watermarked) — the join class
+    whose state Structured Streaming bounds by watermark + band width;
+    inner-join matches emit immediately, so availableNow output equals
+    the batch theta join the oracle runs.
     """
     from nhl_data_pipeline_spark.streaming import sessionize as sz
 
+    nul_b = lambda a: F.lit(None).cast("bigint").alias(a)  # noqa: E731
     stream = es.read_events_stream(spark, sf_dir)
     sessions = es.run_available_now(
         spark, sz.sessionize(stream.select("user_id", "ts"), gap_seconds=3600)
@@ -117,17 +167,58 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("event_type"),
         F.col("n_events").alias("n"),
         F.lit(None).cast("double").alias("total_value"),
+        nul_b("view_id"),
+        nul_b("purchase_id"),
     )
     agg = es.tumbling_counts(
         es.read_events_stream(spark, sf_dir), window="1 hour", watermark="3650 days"
     )
     tumbling = es.run_available_now_complete(spark, agg).select(
         F.lit("tumbling").alias("op"),
-        F.lit(None).cast("bigint").alias("user_id"),
+        nul_b("user_id"),
         F.col("window_start").alias("start_ts"),
         F.col("window_end").alias("end_ts"),
         "event_type",
         "n",
         "total_value",
+        nul_b("view_id"),
+        nul_b("purchase_id"),
     )
-    return sessions.unionByName(tumbling)
+    sld = es.sliding_user_activity(
+        es.read_events_stream(spark, sf_dir),
+        window="2 hours",
+        slide="1 hour",
+        watermark="3650 days",
+    )
+    sliding = es.run_available_now_complete(spark, sld).select(
+        F.lit("sliding").alias("op"),
+        "user_id",
+        F.col("window_start").alias("start_ts"),
+        (F.col("window_start") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("n_events").cast("bigint").alias("n"),
+        F.col("avg_value").alias("total_value"),
+        nul_b("view_id"),
+        nul_b("purchase_id"),
+    )
+    fun = es.view_to_purchase_funnel(
+        es.read_events_stream(spark, sf_dir),
+        attribution_window="1 hour",
+        watermark="3650 days",
+    )
+    funnel = es.run_available_now(spark, fun).select(
+        F.lit("funnel").alias("op"),
+        "user_id",
+        F.col("view_ts").alias("start_ts"),
+        F.col("purchase_ts").alias("end_ts"),
+        F.lit(None).cast("string").alias("event_type"),
+        nul_b("n"),
+        F.lit(None).cast("double").alias("total_value"),
+        "view_id",
+        "purchase_id",
+    )
+    return (
+        sessions.unionByName(tumbling)
+        .unionByName(sliding)
+        .unionByName(funnel)
+    )

@@ -67,11 +67,19 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
 def sliding_user_activity(events: DataFrame, window: str = "2 hours",
                           slide: str = "1 hour", watermark: str = "4 hours") -> DataFrame:
     """Sliding-window per-user activity (the rolling-average streaming twin
-    of team_shot_metrics' batch ROWS frames)."""
+    of team_shot_metrics' batch ROWS frames). The average is the
+    decimal-exact SUM/COUNT idiom (registry parity rule): micro-batch
+    accumulation order cannot perturb the result, so the output is
+    hash-comparable to batch SQL."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             F.col("user_id"),

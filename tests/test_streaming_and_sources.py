@@ -90,10 +90,17 @@ def test_sliding_window_matches_batch_twin(spark):
     # every 2h-window/1h-slide row covers its users' events
     assert out.filter("n_events <= 0").count() == 0
 
+    from nhl_data_pipeline_spark.functions.scalars import dec
+
     ev = load_table(spark, TEST_SF_DIR, "events")
     batch = (
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.avg("value").alias("avg_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "user_id",
@@ -104,10 +111,8 @@ def test_sliding_window_matches_batch_twin(spark):
     key = lambda r: (r["window_start"], r["user_id"], r["n_events"])  # noqa: E731
     got = {key(r): r["avg_value"] for r in out.collect()}
     want = {key(r): r["avg_value"] for r in batch.collect()}
-    assert got.keys() == want.keys()
-    # float avg over differing accumulation order: compare to 1e-9 rel tol
-    for k, v in want.items():
-        assert abs(got[k] - v) <= 1e-9 * max(1.0, abs(v))
+    # decimal-exact averages: bit equality, no tolerance needed
+    assert got == want
 
 
 def test_stream_static_enrichment_matches_batch(spark):
