@@ -359,6 +359,107 @@ def dedup_against_reference(
     ).drop(tmp)
 
 
+def lsh_band_table(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) — one row per (doc, band), the join-able
+    form of the MinHash-LSH signature (same codegen aggregation shape as
+    plans/q_text.py::minhash_band_pairs: exploded distinct shingles →
+    k MIN aggregates reusing the shingle stage's partitioning → band md5s
+    → posexplode). Docs shorter than the shingle width emit no rows."""
+    from nhl_data_pipeline_spark.operators.text import tokens
+
+    sh = exploded_distinct_shingles(
+        docs.select(F.col(id_col), F.col(text_col)),
+        tokens(F.col(text_col)),
+        n,
+        id_col=id_col,
+    )
+    sigs = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+    band_key = lambda b: F.md5(  # noqa: E731
+        F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+    )
+    return sigs.select(
+        id_col,
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band_idx0", "band_key"
+        ),
+    ).select(
+        id_col, (F.col("band_idx0") + 1).alias("band_idx"), "band_key"
+    )
+
+
+def neardup_against_ledger(
+    new_docs: DataFrame,
+    ledger: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup: the MinHash-LSH analog of
+    :func:`dedup_against_reference` (which is exact-fingerprint only).
+
+    ``ledger`` is the accumulated (band_idx, band_key, owner_id) table of
+    every document ever ADMITTED to the corpus — (16+4) bytes × bands per
+    historical doc, orders of magnitude narrower than the text, and the
+    only state the increment touches (historical text is never
+    rescanned). Returns ``(kept, flagged, new_entries)``:
+
+    - ``flagged``: incoming docs sharing ≥1 band key with the ledger,
+      with the colliding owner_id(s) for provenance — LSH candidates,
+      i.e. probable near-dups of history. Candidate semantics are the
+      same recall/precision trade as the batch `dedup_minhash_lsh` query
+      (1-(1-j^rows)^bands); pipelines wanting exactness verify flagged
+      docs against ONLY the owners listed (a tiny targeted fetch), not
+      the corpus.
+    - ``kept``: incoming docs with no ledger collision. NOTE: kept docs
+      are deduped against HISTORY, not against each other — compose
+      batch-internal dedup (minhash_band_pairs / duplicate_clusters) on
+      the increment first or after, exactly as dedup_against_reference
+      composes with exact_dedup_keep_min.
+    - ``new_entries``: the kept docs' band rows keyed as owner_id, ready
+      to union into the ledger for the next increment (idempotence: the
+      same batch re-run against the updated ledger flags every doc).
+
+    Scale shape: one band-table build over the INCREMENT; the collision
+    check is a semi/inner join on (band_idx, band_key) — broadcast while
+    the increment's key set fits, shuffled-hash on the 16-byte key
+    beyond; the ledger grows by O(bands) rows per admitted doc.
+    """
+    bt = lsh_band_table(
+        new_docs, id_col=id_col, text_col=text_col, n=n, k=k,
+        bands=bands, rows=rows,
+    )
+    led = ledger.select("band_idx", "band_key", "owner_id")
+    flagged_ids = (
+        bt.join(led, ["band_idx", "band_key"])
+        .groupBy(id_col)
+        .agg(F.collect_set("owner_id").alias("candidate_owners"))
+    )
+    flagged = new_docs.join(flagged_ids, id_col)
+    kept = new_docs.join(flagged_ids.select(id_col), id_col, "left_anti")
+    new_entries = bt.join(
+        flagged_ids.select(id_col), id_col, "left_anti"
+    ).select("band_idx", "band_key", F.col(id_col).alias("owner_id"))
+    return kept, flagged, new_entries
+
+
 def prefix_filtered_jaccard_pairs(
     docs_with_shingles: DataFrame,
     threshold: float = 0.8,

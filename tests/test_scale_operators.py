@@ -461,3 +461,84 @@ def test_range_interval_window_matches_duckdb(spark, duck):
     }
     assert got == want and len(got) > 100
     assert any(n > 1 for _, n in got.values())  # frames actually overlap
+
+
+def test_neardup_ledger_incremental_contract(spark):
+    """Incremental MinHash-LSH dedup (neardup_against_ledger): flagged =
+    exactly the incoming docs with a band-key collision against the
+    ledger; kept+flagged partition the increment; new_entries carry only
+    kept docs' bands; idempotence — the same batch re-run against the
+    grown ledger flags everything."""
+    from nhl_data_pipeline_spark.operators.dedup import (
+        lsh_band_table,
+        neardup_against_ledger,
+    )
+
+    d = load_table(spark, TEST_SF_DIR, "documents").select("doc_id", "text")
+    batch1 = d.filter(F.col("doc_id") < 250)
+    batch2 = d.filter(F.col("doc_id") >= 250)
+    ledger = lsh_band_table(batch1).select(
+        "band_idx", "band_key", F.col("doc_id").alias("owner_id")
+    ).persist()
+
+    kept, flagged, new_entries = neardup_against_ledger(batch2, ledger)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    flagged_rows = {r["doc_id"]: set(r["candidate_owners"]) for r in flagged.collect()}
+
+    # partition of the increment
+    n2 = batch2.count()
+    assert len(kept_ids) + len(flagged_rows) == n2
+    assert not (kept_ids & set(flagged_rows))
+
+    # the flag set is EXACTLY the band-key intersection, owners included
+    bt2 = lsh_band_table(batch2)
+    want = {
+        r["doc_id"]: set(r["owners"])
+        for r in bt2.join(ledger, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(F.collect_set("owner_id").alias("owners"))
+        .collect()
+    }
+    assert flagged_rows == want
+    assert len(flagged_rows) > 0  # sf documents plant cross-half near-dups
+
+    # new_entries: only kept docs, as owners
+    entry_owners = {r["owner_id"] for r in new_entries.select("owner_id").distinct().collect()}
+    assert entry_owners <= kept_ids
+
+    # idempotence: same batch vs grown ledger flags every doc
+    grown = ledger.unionByName(new_entries).persist()
+    kept2, flagged2, _ = neardup_against_ledger(batch2, grown)
+    assert kept2.count() == 0
+    assert flagged2.count() == n2
+    ledger.unpersist()
+    grown.unpersist()
+
+
+def test_neardup_ledger_catches_planted_cross_batch_neardup(spark):
+    """A near-identical copy arriving in a later increment is flagged with
+    the original as a candidate owner (the cross-snapshot recall case the
+    exact-fingerprint ledger misses by construction)."""
+    from nhl_data_pipeline_spark.operators.dedup import (
+        lsh_band_table,
+        neardup_against_ledger,
+    )
+    from nhl_data_pipeline_spark.operators.text import fingerprint
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " tokX"  # 1-token edit
+    b1 = spark.createDataFrame([(1, base), (2, "totally different words here")],
+                               "doc_id bigint, text string")
+    b2 = spark.createDataFrame([(3, near), (4, "another unrelated document")],
+                               "doc_id bigint, text string")
+    # exact fingerprints differ -> the exact ledger would NOT catch doc 3
+    fps = {r[0] for r in b1.select(fingerprint(F.col("text"))).collect()}
+    assert b2.filter(fingerprint(F.col("text")).isin(fps)).count() == 0
+
+    ledger = lsh_band_table(b1).select(
+        "band_idx", "band_key", F.col("doc_id").alias("owner_id")
+    )
+    kept, flagged, _ = neardup_against_ledger(b2, ledger)
+    rows = {r["doc_id"]: set(r["candidate_owners"]) for r in flagged.collect()}
+    assert 3 in rows and 1 in rows[3]
+    assert {r["doc_id"] for r in kept.collect()} == {4}
