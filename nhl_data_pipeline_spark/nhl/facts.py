@@ -42,8 +42,11 @@ def fact_game_results(stg_games: DataFrame) -> DataFrame:
         .when(F.col("away_score") > F.col("home_score"), F.col("away_team_id"))
         .otherwise(F.lit(None).cast(g.schema["home_team_id"].dataType.simpleString()))
         .alias("winning_team_id"),
+        # tie-safe like winning_team_id above: a game the model says has
+        # no winner must not carry a winning side either
         F.when(F.col("home_score") > F.col("away_score"), F.lit("home"))
-        .otherwise(F.lit("away"))
+        .when(F.col("away_score") > F.col("home_score"), F.lit("away"))
+        .otherwise(F.lit(None).cast("string"))
         .alias("winning_side"),
         (F.col("final_period") > 3).alias("went_to_overtime"),
         F.abs(F.col("home_score") - F.col("away_score")).alias("goal_differential"),
@@ -160,7 +163,13 @@ def fact_team_game_stats(
         sog_for.alias("shots_on_goal"),
         sog_against.alias("shots_against"),
         (sog_for - sog_against).alias("shot_differential"),
-        F.when(goals_for > goals_against, "W").otherwise("L").alias("result"),
+        # NULL on a tie, like the reference (fact_team_game_stats.sql:72-76
+        # — "Should never happen in completed games", but 'L' for both
+        # sides would be a silent phantom loss if it ever did)
+        F.when(goals_for > goals_against, "W")
+        .when(goals_for < goals_against, "L")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("result"),
         "hits",
         "giveaways",
         "takeaways",

@@ -88,6 +88,19 @@ def _check_bits(n_bits: int) -> None:
         )
 
 
+def _norm_key(df: DataFrame, key: str) -> Column:
+    """Join-semantics normalization before string hashing: Spark join
+    keys equate -0.0 with 0.0 (NormalizeFloatingNumbers), but their
+    string forms differ ('-0.0' vs '0.0') and would desync build/apply.
+    Adding +0.0 maps IEEE -0.0 to +0.0 and leaves every other value
+    (including NaN, which Spark joins also equate and which strings
+    uniformly as 'NaN') untouched."""
+    c = F.col(key)
+    if dict(df.dtypes)[key] in ("float", "double"):
+        return c + F.lit(0.0)
+    return c
+
+
 def bloom_build(
     small: DataFrame,
     key: str,
@@ -100,7 +113,7 @@ def bloom_build(
     driver-side densify of the ≤ n_bits/64 sparse rows."""
     _check_bits(n_bits)
     pos = F.explode(
-        F.array(*_positions(F.col(key), n_hashes, n_bits))
+        F.array(*_positions(_norm_key(small, key), n_hashes, n_bits))
     ).alias("bit")
     words = (
         small.select(pos)
@@ -125,7 +138,10 @@ def bloom_might_contain(
     n_hashes: int = N_HASHES_DEFAULT,
 ) -> Column:
     """True iff all k bits for ``key`` are set — never false for a key
-    that was in the build set (no false negatives)."""
+    that was in the build set (no false negatives). Float/double keys
+    must be normalized the way the build side was (``_norm_key`` — the
+    -0.0/0.0 string-form trap); :func:`bloom_prejoin` does this for both
+    sides automatically."""
     n_bits = len(words) * 64
     lut = F.array(*[F.lit(w).cast("long") for w in words])
     # F.shiftleft takes only a literal shift — a 64-entry mask LUT keeps
@@ -175,5 +191,5 @@ def bloom_prejoin(
         )
     words = bloom_build(small, small_key, n_bits=n_bits, n_hashes=n_hashes)
     return big.filter(
-        bloom_might_contain(words, F.col(big_key), n_hashes=n_hashes)
+        bloom_might_contain(words, _norm_key(big, big_key), n_hashes=n_hashes)
     )

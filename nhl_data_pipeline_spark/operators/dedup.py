@@ -368,19 +368,27 @@ def lsh_band_table(
     k: int = 12,
     bands: int = 4,
     rows: int = 3,
+    short_doc_fallback: bool = True,
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per (doc, band), the join-able
     form of the MinHash-LSH signature (same codegen aggregation shape as
     plans/q_text.py::minhash_band_pairs: exploded distinct shingles →
     k MIN aggregates reusing the shingle stage's partitioning → band md5s
-    → posexplode). Docs shorter than the shingle width emit no rows."""
-    from nhl_data_pipeline_spark.operators.text import tokens
+    → posexplode).
 
+    Docs shorter than the shingle width have NO MinHash signature; for
+    them one synthetic band_idx=0 row carries the exact content
+    fingerprint instead (real bands are 1..bands, so the namespaces never
+    collide). Without it, short docs would be invisible to
+    :func:`neardup_against_ledger` — never entering the ledger, re-admitted
+    on every increment, and breaking the re-run-flags-everything
+    idempotence contract. Exact-match-only dedup is the correct
+    degradation for texts with no shingles to compare."""
+    from nhl_data_pipeline_spark.operators.text import fingerprint, tokens
+
+    base = docs.select(F.col(id_col), F.col(text_col))
     sh = exploded_distinct_shingles(
-        docs.select(F.col(id_col), F.col(text_col)),
-        tokens(F.col(text_col)),
-        n,
-        id_col=id_col,
+        base, tokens(F.col(text_col)), n, id_col=id_col
     )
     sigs = sh.groupBy(id_col).agg(
         *[
@@ -391,7 +399,7 @@ def lsh_band_table(
     band_key = lambda b: F.md5(  # noqa: E731
         F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
     )
-    return sigs.select(
+    banded = sigs.select(
         id_col,
         F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
             "band_idx0", "band_key"
@@ -399,6 +407,17 @@ def lsh_band_table(
     ).select(
         id_col, (F.col("band_idx0") + 1).alias("band_idx"), "band_key"
     )
+    if not short_doc_fallback:
+        # batch pair-generation semantics (minhash_band_pairs): short docs
+        # simply have no signature and never pair — matches the registered
+        # dedup_minhash_lsh oracle's len(tokens) >= n filter.
+        return banded
+    short = base.join(sigs.select(id_col), id_col, "left_anti").select(
+        id_col,
+        F.lit(0).alias("band_idx"),
+        fingerprint(F.col(text_col)).alias("band_key"),
+    )
+    return banded.unionByName(short)
 
 
 def neardup_against_ledger(

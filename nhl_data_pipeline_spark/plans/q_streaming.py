@@ -64,7 +64,7 @@ from nhl_data_pipeline_spark.streaming import events_stream as es
         SELECT 'tumbling', CAST(NULL AS BIGINT), window_start, window_end,
                event_type,
                CAST(COUNT(*) AS BIGINT),
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         FROM (
             SELECT TIMESTAMP '1970-01-01 00:00:00'
@@ -82,8 +82,8 @@ from nhl_data_pipeline_spark.streaming import events_stream as es
                ws + INTERVAL '2 hours',
                CAST(NULL AS VARCHAR),
                CAST(COUNT(*) AS BIGINT),
-               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                    / COUNT(*) AS DOUBLE),
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                    AS DOUBLE) / COUNT(*),
                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
         FROM (
             SELECT user_id, value,

@@ -362,26 +362,14 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
     # doc_id hash partitioning — no exchange — and nothing here leaves
     # whole-stage codegen. Band keys are md5s over plain signature columns
     # (no lambdas → no sibling-collision risk, no interpreted eval).
-    sh = D.exploded_distinct_shingles(d, X.tokens(F.col("text")), 3)
-    sigs = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
-            for i in range(_K)
-        ]
-    )
-    band_key = lambda b: F.md5(  # noqa: E731
-        F.concat_ws("|", *[F.col(f"h{b * _ROWS + r}") for r in range(_ROWS)])
-    )
-    bands = (
-        sigs.select(
-            "doc_id",
-            F.posexplode(F.array(*[band_key(b) for b in range(_BANDS)])).alias(
-                "band_idx0", "band_key"
-            ),
-        )
-        .select("doc_id", (F.col("band_idx0") + 1).alias("band_idx"), "band_key")
-        .persist()  # feeds both self-join sides
-    )
+    # ONE band-table construction serves batch pair generation here AND
+    # the incremental ledger (operators/dedup.py::neardup_against_ledger) —
+    # a parameter drift between the two can no longer desync batch vs
+    # incremental recall. short_doc_fallback off: pair semantics exclude
+    # docs below the shingle width, matching the oracle's len filter.
+    bands = D.lsh_band_table(
+        d, n=3, k=_K, bands=_BANDS, rows=_ROWS, short_doc_fallback=False
+    ).persist()  # feeds both self-join sides
     a = bands.select(
         F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
     )

@@ -52,7 +52,9 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour",
         # the float result (registry parity rule)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("double").alias("total_value"),
+            # decimal -> VARCHAR -> DOUBLE: past 2^53 the direct cast can
+            # round an ulp differently per engine (sqlgen.dsum_expr rule)
+            F.sum(dec("value")).cast("string").cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -76,9 +78,10 @@ def sliding_user_activity(events: DataFrame, window: str = "2 hours",
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias(
-                "avg_value"
-            ),
+            (
+                F.sum(dec("value")).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),

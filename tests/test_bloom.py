@@ -128,3 +128,17 @@ def test_bad_n_bits_rejected(spark):
     small = spark.range(10).selectExpr("id AS k")
     with pytest.raises(ValueError, match="multiple of 64"):
         B.bloom_build(small, "k", n_bits=100)
+
+
+def test_negative_zero_float_keys_not_pruned(spark):
+    """Spark join keys equate -0.0 with 0.0 (NormalizeFloatingNumbers);
+    the filter's string hashing must see the same equivalence or a true
+    match is silently pruned."""
+    small = spark.createDataFrame([(0.0,), (2.5,)], "k double")
+    big = spark.createDataFrame([(-0.0,), (2.5,), (9.9,)], "k double")
+    # the plain join DOES match -0.0 to 0.0
+    assert big.join(small, "k").count() == 2
+    pruned = B.bloom_prejoin(big, "k", small, "k", n_bits=1 << 12)
+    survivors = [r["k"] for r in pruned.collect()]
+    assert 2.5 in survivors
+    assert any(v == 0.0 for v in survivors)  # -0.0 row must survive

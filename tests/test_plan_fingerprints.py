@@ -56,9 +56,14 @@ def test_worksheet_static_plans_match_committed_fingerprints(spark):
     intentional change: python tools/worksheet_fingerprints.py."""
     import sys
 
+    import pytest
+
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import worksheet_fingerprints as W
     from plan_fingerprints import fingerprint
+
+    if not W.WORKSHEET.exists():
+        pytest.skip("reference worksheet not available")
 
     from nhl_data_pipeline_spark.plans.dialect import (
         resolve_dbt_refs,

@@ -542,3 +542,35 @@ def test_neardup_ledger_catches_planted_cross_batch_neardup(spark):
     rows = {r["doc_id"]: set(r["candidate_owners"]) for r in flagged.collect()}
     assert 3 in rows and 1 in rows[3]
     assert {r["doc_id"] for r in kept.collect()} == {4}
+
+
+def test_neardup_ledger_short_doc_fallback(spark):
+    """Docs below the shingle width carry a synthetic exact-fingerprint
+    band (band_idx=0), so they enter the ledger and exact re-arrivals are
+    flagged — without it short docs would be re-admitted forever and the
+    idempotence contract would silently break."""
+    from nhl_data_pipeline_spark.operators.dedup import (
+        lsh_band_table,
+        neardup_against_ledger,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "hello world"), (2, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id bigint, text string",
+    )
+    bt1 = lsh_band_table(b1)
+    # doc 1 (<3 tokens) got exactly one synthetic band at idx 0
+    rows1 = {(r["doc_id"], r["band_idx"]) for r in bt1.collect()}
+    assert (1, 0) in rows1
+    assert sum(1 for d, _ in rows1 if d == 1) == 1
+
+    ledger = bt1.select("band_idx", "band_key", F.col("doc_id").alias("owner_id"))
+    b2 = spark.createDataFrame(
+        [(3, "hello world"), (4, "hello there")],
+        "doc_id bigint, text string",
+    )
+    kept, flagged, entries = neardup_against_ledger(b2, ledger)
+    assert {r["doc_id"] for r in flagged.collect()} == {3}  # exact short dup
+    assert {r["doc_id"] for r in kept.collect()} == {4}  # different short doc
+    # the kept short doc enters the ledger too (idempotence holds for it)
+    assert entries.filter("band_idx = 0").count() == 1

@@ -97,9 +97,10 @@ def test_sliding_window_matches_batch_twin(spark):
         ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(dec("value")).cast("double") / F.count(F.lit(1))).alias(
-                "avg_value"
-            ),
+            (
+                F.sum(dec("value")).cast("string").cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
