@@ -95,6 +95,7 @@ def main() -> None:
                 "ann_scale_probe": _ann_scale_probe(spark),
                 "bloom_prejoin_probe": _bloom_prejoin_probe(spark),
                 "cc_skew_probe": _cc_skew_probe(spark),
+                "skew_join_probe": _skew_join_probe(spark),
             }
         )
     )
@@ -244,6 +245,62 @@ def _cc_skew_probe(spark) -> dict:
     return out
 
 
+def _skew_join_probe(spark) -> dict:
+    """Planted join-key skew: a 2M-row fact whose key column sends HALF
+    of all rows to ONE key, equi-joined to a 20K-row dim that is forced
+    past the broadcast threshold — the regime where a plain sort-merge
+    join serializes behind one straggler partition. Three strategies,
+    measured on identical inputs (result row count asserted equal):
+
+    - plain SMJ with AQE skew-split OFF: the straggler baseline;
+    - plain SMJ with AQE skew-split ON (the session default,
+      session.py): Spark splits the oversized partition at runtime and
+      replicates the matching dim rows — zero code changes;
+    - operators/skew.salted_join (n_salts=8): the explicit form for the
+      plans AQE can't rewrite (skewed agg→join chains, non-SMJ shapes).
+
+    The documented 100 TB default: leave AQE skew-join ON and reach for
+    salting only when the skew sits upstream of the join AQE sees.
+    Determinism: the hot/tail key split is xxhash64-derived, no rand().
+    """
+    from nhl_data_pipeline_spark.operators.skew import salted_join
+
+    fact = spark.range(2_000_000).selectExpr(
+        "CASE WHEN pmod(xxhash64(id), 2) = 0 THEN CAST(0 AS BIGINT)"
+        "     ELSE pmod(xxhash64(id, 7), 20000) END AS k",
+        "id AS fact_id",
+    )
+    dim = spark.range(20_000).selectExpr(
+        "id AS k", "repeat('d', 64) AS payload"
+    )
+    out: dict[str, float] = {}
+    conf = spark.conf
+    prev_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_skew = conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        counts = {}
+        for tag, skew_on, join_fn in (
+            ("plain_smj_aqe_off", "false", lambda: fact.join(dim, "k")),
+            ("plain_smj_aqe_skew", "true", lambda: fact.join(dim, "k")),
+            (
+                "salted_join",
+                "false",
+                lambda: salted_join(fact, dim, "k", n_salts=8),
+            ),
+        ):
+            conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)
+            t0 = time.perf_counter()
+            counts[tag] = join_fn().count()
+            out[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        assert len(set(counts.values())) == 1, counts  # identical results
+        out["join_rows"] = float(counts["plain_smj_aqe_off"])
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    return out
+
+
 def _dedup_scale_probe(spark) -> dict:
     """Empirical crossover evidence for the near-dup family.
 
@@ -302,7 +359,7 @@ def _dedup_scale_probe(spark) -> dict:
             .agg(F.collect_list("s").alias("sh"))
         )
         timed(probe, "ngram_jaccard_ppjoin", D.prefix_filtered_jaccard_pairs(shl, 0.8))
-        timed(probe, "minhash_lsh", qs["dedup_minhash_lsh"].fn(spark, sf_dir))
+        timed(probe, "minhash_lsh", qs["dedup_minhash_lsh"].bench_fn(spark, sf_dir))
         out[Path(sf_dir).name] = probe
 
     def naive_pairs_of(sh):

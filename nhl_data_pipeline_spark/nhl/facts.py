@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nhl_data_pipeline_spark.nhl import schemas
-from nhl_data_pipeline_spark.nhl.staging import latest_snapshot, parse_boxscore
+from nhl_data_pipeline_spark.nhl.staging import latest_snapshot
 
 
 def fact_game_results(stg_games: DataFrame) -> DataFrame:

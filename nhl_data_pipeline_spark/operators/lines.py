@@ -27,7 +27,7 @@ many times ⇒ keep once / drop" rule to sub-document grain.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 NEWLINE = "\n"

@@ -38,7 +38,7 @@ jaccard join keys in operators/dedup.py:32.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from nhl_data_pipeline_spark.operators.text import tokens

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from nhl_data_pipeline_spark.catalog import load_table
 from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double
 from nhl_data_pipeline_spark.plans.registry import query
-from nhl_data_pipeline_spark.plans.sqlgen import bcount, bsum, dsum, dsum_expr
+from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum, dsum_expr
 
 
 @query(
@@ -113,31 +113,12 @@ def conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate pass.)
 
 
-@query(
-    "distinct_counts",
-    covers="A4,A5,A6",
-    oracle=f"""
-        WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
-        SELECT d.event_type, d.user_id, u.unique_users, u.n_events,
-               u.n_over, u.n_decided, u.over_rate
-        FROM d JOIN (
-            SELECT event_type,
-                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
-                   {bcount('n_events')},
-                   {bcount('n_over', 'value > 250')},
-                   {bcount('n_decided', 'value <> 250')},
-                   CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS DOUBLE)
-                       / NULLIF(COUNT(CASE WHEN value <> 250 THEN 1 END), 0)
-                       AS over_rate
-            FROM events
-            GROUP BY event_type
-        ) u USING (event_type)
-    """,
-)
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT dedup (A5) + exact COUNT(DISTINCT) per group (A6) +
-    NULLIF-guarded filtered-count hit-rate ratios (A4, formerly the
-    separate `hit_rate_ratios` row — merged round 4; the ratio columns
+    NULLIF-guarded filtered-count hit-rate ratios (A4). Driver-checked as
+    the 'dist' branch of `having_min_sample` since the round-5 second
+    rotation (the `hit_rate_ratios` row was merged here in round 4; the
+    ratio columns
     ride the same per-event_type aggregate pass, so the fold costs no
     extra scan): every distinct (event_type, user_id) pair annotated with
     its group's counts and over-rate.
@@ -171,19 +152,41 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "having_min_sample",
-    covers="A7,A8",
+    covers="A4,A5,A6,A7,A8",
     oracle=f"""
-        SELECT c_nationkey, c_mktsegment, {bcount('n_customers')},
-               {dsum('c_acctbal', 'total_balance')}
+        SELECT 'hav' AS op, c_mktsegment AS g1,
+               CAST(c_nationkey AS BIGINT) AS g2, {bcount('m1')},
+               CAST(NULL AS BIGINT) AS m2, CAST(NULL AS BIGINT) AS m3,
+               CAST(NULL AS BIGINT) AS m4, {dsum('c_acctbal', 'v')}
         FROM customer
-        GROUP BY 1, 2
+        GROUP BY c_nationkey, c_mktsegment
         HAVING COUNT(*) >= 10
+        UNION ALL
+        SELECT 'dist', d.event_type, d.user_id, u.unique_users, u.n_events,
+               u.n_over, u.n_decided, u.over_rate
+        FROM (SELECT DISTINCT event_type, user_id FROM events) d
+        JOIN (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
+                   {bcount('n_events')},
+                   {bcount('n_over', 'value > 250')},
+                   {bcount('n_decided', 'value <> 250')},
+                   CAST(COUNT(CASE WHEN value > 250 THEN 1 END) AS DOUBLE)
+                       / NULLIF(COUNT(CASE WHEN value <> 250 THEN 1 END), 0)
+                       AS over_rate
+            FROM events
+            GROUP BY event_type
+        ) u USING (event_type)
     """,
 )
 def having_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING + GROUP BY ordinal in one SQL-surface query (merged A7+A8;
-    formerly two registered queries — the registry sits at the driver's
-    50-query cap).
+    """HAVING + GROUP BY ordinal (A7+A8), union-tagged with the
+    DISTINCT / COUNT(DISTINCT) / hit-rate family (merged
+    `distinct_counts`, round-5 second rotation — both are pure aggregate
+    surfaces; the fold freed a driver slot, see q_projection).
+
+    'hav' branch (merged A7+A8; formerly two registered queries — the
+    registry sits at the driver's 50-query cap).
 
     Analog of `HAVING COUNT(*) >= 5/10/20`
     (`rpt_sog_props_performance.sql:73,104`) and `GROUP BY 1,2,...,7`
@@ -194,7 +197,7 @@ def having_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     same string-bridge idiom as functions.scalars.dsum_double.
     """
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    return spark.sql(
+    hav = spark.sql(
         """
         SELECT c_nationkey, c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -204,7 +207,27 @@ def having_min_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         HAVING COUNT(*) >= 10
         """
+    ).select(
+        F.lit("hav").alias("op"),
+        F.col("c_mktsegment").alias("g1"),
+        F.col("c_nationkey").cast("bigint").alias("g2"),
+        F.col("n_customers").alias("m1"),
+        F.lit(None).cast("bigint").alias("m2"),
+        F.lit(None).cast("bigint").alias("m3"),
+        F.lit(None).cast("bigint").alias("m4"),
+        F.col("total_balance").alias("v"),
     )
+    dist = distinct_counts(spark, sf_dir).select(
+        F.lit("dist").alias("op"),
+        F.col("event_type").alias("g1"),
+        F.col("user_id").cast("bigint").alias("g2"),
+        F.col("unique_users").alias("m1"),
+        F.col("n_events").alias("m2"),
+        F.col("n_over").alias("m3"),
+        F.col("n_decided").alias("m4"),
+        F.col("over_rate").alias("v"),
+    )
+    return hav.unionByName(dist)
 
 
 # (null_profiling folded into profiling_aggregates below — round-4

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table
-from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double, split_part
+from nhl_data_pipeline_spark.functions.scalars import dsum_double, split_part
 from nhl_data_pipeline_spark.operators.ranges import interval_join_bucketed
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum
@@ -513,3 +513,61 @@ def interval_bin_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = interval_join_bucketed(e, iv, bucket="hour")
     return joined.select("event_id", "iv_id", "ts", "start_ts", "end_ts")
+
+
+@query(
+    "bloom_prejoin_identity",
+    covers="J-ext-bloom-runtime-filter,J3,P5",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+               l.l_extendedprice * (1 - l.l_discount) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#23'
+    """,
+)
+def bloom_prejoin_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim join with explicit Bloom pre-pruning on the fact
+    side — driver-checked against the PLAIN join's SQL, so the oracle row
+    IS the module's results-identical guarantee (false positives are
+    discarded by the join, false negatives cannot occur).
+
+    Analog of the reference's prefilter-before-join shape — the odds
+    scan is cut to one market and best book BEFORE the dim joins
+    (`fact_player_sog_props_v2.sql:44-53`, then the stg_games/dim joins
+    at `:83-86`); the reference relies on Snowflake's automatic join
+    pruning —
+    here the ≤16 KB word table from `operators/bloom.bloom_build` is
+    applied as a literal-array predicate inside whole-stage codegen at
+    the scan, so the join's exchange moves ~selectivity of the fact rows
+    (measured at sf0.1: 150k → 6.2k exchange records, ε = 0.0 —
+    BENCH_r05 `bloom_prejoin_probe`). At 100 TB this is the explicit
+    form of AQE's InjectRuntimeFilter, which only fires above its
+    creation-side thresholds (probed in `operators/bloom.py` docs).
+    """
+    from nhl_data_pipeline_spark.operators.bloom import bloom_prejoin
+
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice",
+        "l_discount",
+    )
+    pruned = bloom_prejoin(li, "l_partkey", part, "p_partkey")
+    return (
+        pruned.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            pruned.l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "p_partkey",
+            "p_brand",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -25,26 +25,10 @@ from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount
 
 
-@query(
-    "typed_projection_filter",
-    covers="P1,P3",
-    oracle="""
-        SELECT o_orderkey, o_custkey, o_orderstatus,
-               o_totalprice AS total_price,
-               o_orderdate AS order_ts,
-               o_orderpriority AS priority
-        FROM orders
-        WHERE o_orderstatus = 'F'
-          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-    """,
-)
-def typed_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed column projection + predicate filters.
-
-    Analog of the VARIANT path projection `stg_games.sql:11-30` and the
-    completed-games filter `fact_game_results.sql:82-83`. Both the filter and
-    the column pruning reach the parquet scan (PushedFilters / ReadSchema).
-    """
+def typed_projection_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure P1/P3 typed-projection shape — what the pushdown plan test
+    pins (`tests/test_plan_shape.py`): both the filter and the column
+    pruning must reach the parquet scan (PushedFilters / ReadSchema)."""
     return (
         load_table(spark, sf_dir, "orders")
         .filter(
@@ -60,6 +44,76 @@ def typed_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
         )
     )
+
+
+@query(
+    "typed_projection_filter",
+    covers="P1,P3,S6,A1",
+    oracle=f"""
+        SELECT 'typed' AS op, o_orderkey AS key1, o_custkey AS key2,
+               o_orderstatus AS status, o_totalprice AS total_price,
+               o_orderdate AS order_ts, o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderstatus = 'F'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        UNION ALL
+        SELECT 'json', k, n, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+               CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)
+        FROM (
+            SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   {bcount('n')}
+            FROM events
+            WHERE json_extract_string(props, '$.k') IS NOT NULL
+            GROUP BY 1
+        )
+    """,
+)
+def typed_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed column projection + predicate filters (P1/P3), union-tagged
+    with JSON path extraction + cast from a raw string payload (merged
+    `json_path_extraction`, round-5 second rotation — both are the
+    schema-on-read projection family; the fold freed a driver slot for
+    the bloom/chunking/diffing/robust rows).
+
+    'typed' branch: analog of the VARIANT path projection
+    `stg_games.sql:11-30` and the completed-games filter
+    `fact_game_results.sql:82-83`. Both the filter and the column pruning
+    reach the parquet scan — pinned on the pure shape
+    (:func:`typed_projection_p1`) by `tests/test_plan_shape.py`.
+
+    'json' branch: analog of `payload:homeTeam.id::INT` VARIANT access
+    (`stg_games.sql:11-30`) when the payload is kept as a raw JSON string
+    (bronze fidelity); `get_json_object` is the schema-on-read path, while
+    `from_json` with an explicit StructType is the typed path used by the
+    NHL pipeline models.
+    """
+    typed = typed_projection_p1(spark, sf_dir).select(
+        F.lit("typed").alias("op"),
+        F.col("o_orderkey").alias("key1"),
+        F.col("o_custkey").alias("key2"),
+        F.col("o_orderstatus").alias("status"),
+        "total_price",
+        "order_ts",
+        "priority",
+    )
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    js = (
+        e.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("json").alias("op"),
+            F.col("k").alias("key1"),
+            F.col("n").alias("key2"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("total_price"),
+            F.lit(None).cast("timestamp_ntz").alias("order_ts"),
+            F.lit(None).cast("string").alias("priority"),
+        )
+    )
+    return typed.unionByName(js)
 
 
 @query(
@@ -174,33 +228,8 @@ def derived_metrics_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "json_path_extraction",
-    covers="P1,S6,A1",
-    oracle=f"""
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, {bcount('n')}
-        FROM events
-        WHERE json_extract_string(props, '$.k') IS NOT NULL
-        GROUP BY 1
-    """,
-)
-def json_path_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON path extraction + cast from a raw string payload column.
-
-    Analog of `payload:homeTeam.id::INT` VARIANT access
-    (`stg_games.sql:11-30`) when the payload is kept as a raw JSON string
-    (bronze fidelity); `get_json_object` is the schema-on-read path, while
-    `from_json` with an explicit StructType is the typed path used by the
-    NHL pipeline models.
-    """
-    e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return (
-        e.select(k.alias("k"))
-        .filter(F.col("k").isNotNull())
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+# (json_path_extraction folded into typed_projection_filter above —
+# round-5 second rotation.)
 
 
 @query(
@@ -491,3 +520,106 @@ def date_spine_seasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         dow.isin(0, 6).alias("is_weekend"),
         nhl_season_code(d).alias("season_code"),
     )
+
+
+@query(
+    "robust_ingest_census",
+    covers="S-ext-robust-ingest,LLM-quarantine,LLM-drift-census",
+    oracle="""
+        SELECT 'good' AS op, doc_id, CAST(length(text) AS BIGINT) AS text_len,
+               n_chars, CAST(NULL AS VARCHAR) AS label
+        FROM documents WHERE doc_id % 37 <> 0
+        UNION ALL
+        SELECT 'quar', doc_id, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id % 37 = 0
+        UNION ALL
+        SELECT 'census', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               n_present, field
+        FROM (
+            SELECT 'doc_id' AS field, CAST(COUNT(doc_id) AS BIGINT) AS n_present
+            FROM documents WHERE doc_id % 37 <> 0
+            UNION ALL
+            SELECT 'n_chars', CAST(COUNT(n_chars) AS BIGINT)
+            FROM documents WHERE doc_id % 37 <> 0
+            UNION ALL
+            SELECT 'text', CAST(COUNT(text) AS BIGINT)
+            FROM documents WHERE doc_id % 37 <> 0
+        )
+    """,
+)
+def robust_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust JSON ingest driver row (round-5 second rotation; the family
+    was twin/property-tested only — `sources/robust.py`): serialize the
+    documents table to JSON lines with a deterministic corruption rule
+    (doc_id % 37 == 0 → the line's closing quote+brace are truncated, so
+    it cannot parse), run the one-scan PERMISSIVE quarantine split, and
+    emit good rows + quarantined ids + the field census of the good side.
+
+    The oracle predicts all three branches straight from the parquet
+    table: good rows must round-trip text EXACTLY (text_len equality is
+    part of the hash), quarantined lines are identified by the injected
+    rule (ids re-extracted from the raw line, which the quarantine keeps
+    verbatim for replay), and the census counts non-null fields among
+    parsed rows. Analog of the bronze validation profile
+    (`query/validate_bronze.py:65-84`) run over a feed with a broken
+    producer.
+    """
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    from nhl_data_pipeline_spark.sources.robust import (
+        drift_report,
+        read_json_quarantine,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "text"
+    )
+    line = F.to_json(F.struct("doc_id", "n_chars", "text"))
+    corrupted = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.expr("substring(_line, 1, length(_line) - 2)"),
+    ).otherwise(F.col("_line"))
+    path = "/tmp/nhl_spark_robust_census_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:12]
+    (
+        d.withColumn("_line", line)
+        .select(corrupted.alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    split = read_json_quarantine(spark, path, schema)
+    good = split.good.select(
+        F.lit("good").alias("op"),
+        "doc_id",
+        F.length("text").cast("bigint").alias("text_len"),
+        "n_chars",
+        F.lit(None).cast("string").alias("label"),
+    )
+    quar = split.quarantined.select(
+        F.lit("quar").alias("op"),
+        F.regexp_extract("raw", r'"doc_id":(\d+)', 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.lit(None).cast("bigint").alias("text_len"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit(None).cast("string").alias("label"),
+    )
+    census = drift_report(split.good).select(
+        F.lit("census").alias("op"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("text_len"),
+        F.col("n_present").cast("bigint").alias("n_chars"),
+        F.col("field").alias("label"),
+    )
+    return good.unionByName(quar).unionByName(census)

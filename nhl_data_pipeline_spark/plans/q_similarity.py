@@ -199,10 +199,10 @@ _DIM, _LSH_BANDS, _LSH_ROWS = 64, 8, 3
 _BBKT_SQL = hyperplane_band_buckets_sql("embedding", _DIM, _LSH_BANDS, _LSH_ROWS)
 
 
-@query(
-    "embedding_neardup_pairs",
-    covers="LLM-dedup-embedding,LLM-dedup-embedding-lsh",
-    oracle=f"""
+# Driver-checked as the 'emb' branch of dedup_minhash_lsh in plans/q_text
+# (round-5 second rotation — both are banded-LSH near-dup pair generators;
+# the fold freed a driver slot for the bloom/chunking/diffing/robust rows).
+EMBEDDING_NEARDUP_ORACLE = f"""
         WITH normed AS (
             SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
                    {_BBKT_SQL} AS bkts
@@ -225,8 +225,9 @@ _BBKT_SQL = hyperplane_band_buckets_sql("embedding", _DIM, _LSH_BANDS, _LSH_ROWS
                    AS in_lsh
         FROM normed q JOIN normed c ON q.vec_id < c.vec_id
         WHERE {_COS} >= 0.4
-    """,
-)
+    """
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs, each flagged with whether the
     banded hyperplane LSH ALSO surfaces it (merged

@@ -24,6 +24,7 @@ from nhl_data_pipeline_spark.operators import sketch as SK
 from nhl_data_pipeline_spark.operators import mixing as MX
 from nhl_data_pipeline_spark.operators import multimodal as M
 from nhl_data_pipeline_spark.operators import text as X
+from nhl_data_pipeline_spark.plans.q_similarity import EMBEDDING_NEARDUP_ORACLE
 from nhl_data_pipeline_spark.plans.registry import query
 
 _TOKS = "string_split_regex(text, '\\s+')"
@@ -315,10 +316,21 @@ _SIG_SQL = D.minhash_signature_sql("sh", _K)
 _BKEYS_SQL = D.lsh_band_keys_sql("sig", _BANDS, _ROWS)
 
 
+def _minhash_lsh_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure MinHash-LSH pair shape — what bench.py (and the recall
+    probe in tests/test_scale_operators.py) times; the merged correctness
+    query below adds the embedding-LSH branch."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    return minhash_band_pairs(d)
+
+
 @query(
     "dedup_minhash_lsh",
-    covers="LLM-dedup-minhash-lsh",
+    covers="LLM-dedup-minhash-lsh,LLM-dedup-embedding,LLM-dedup-embedding-lsh",
     bench=True,
+    bench_fn=_minhash_lsh_pure,
     oracle=f"""
         WITH shg AS (
             SELECT doc_id, {_SH_SQL} AS sh
@@ -330,24 +342,50 @@ _BKEYS_SQL = D.lsh_band_keys_sql("sig", _BANDS, _ROWS)
                    unnest({_BKEYS_SQL}) AS band_key
             FROM sigs
         )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT DISTINCT 'mh' AS op, a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(NULL AS DOUBLE) AS score, CAST(NULL AS BOOLEAN) AS in_lsh
         FROM bands a
         JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                     AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT 'emb', vec_a, vec_b, cosine, in_lsh
+        FROM ({EMBEDDING_NEARDUP_ORACLE})
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=12) + LSH banding (4 bands × 3 rows) candidate pairs.
+    """MinHash(k=12) + LSH banding (4 bands × 3 rows) candidate pairs,
+    union-tagged with the embedding-cosine near-dup pairs + hyperplane-LSH
+    flag (merged `embedding_neardup_pairs`, round-5 second rotation —
+    both are banded-LSH near-dup pair generators over different
+    modalities; bench.py still times the pure MinHash shape via bench_fn).
 
-    The n²-free near-dup path: docs meet only inside a band bucket, so join
-    cost tracks true duplicate density. Band probability: jaccard^3 per
-    band, 1-(1-j^3)^4 overall — j=0.9 → 98% recall; the exact-jaccard query
-    above is the verify stage downstream.
+    'mh' branch: the n²-free near-dup path — docs meet only inside a band
+    bucket, so join cost tracks true duplicate density. Band probability:
+    jaccard^3 per band, 1-(1-j^3)^4 overall — j=0.9 → 98% recall; the
+    exact-jaccard query above is the verify stage downstream.
+
+    'emb' branch: plans/q_similarity.embedding_neardup_pairs — exact
+    cosine pairs ≥0.4 flagged with banded hyperplane-LSH membership.
     """
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    from nhl_data_pipeline_spark.plans.q_similarity import (
+        embedding_neardup_pairs,
     )
-    return minhash_band_pairs(d)
+
+    mh = _minhash_lsh_pure(spark, sf_dir).select(
+        F.lit("mh").alias("op"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(None).cast("double").alias("score"),
+        F.lit(None).cast("boolean").alias("in_lsh"),
+    )
+    emb = embedding_neardup_pairs(spark, sf_dir).select(
+        F.lit("emb").alias("op"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.col("cosine").alias("score"),
+        "in_lsh",
+    )
+    return mh.unionByName(emb)
 
 
 def minhash_band_pairs(d: DataFrame) -> DataFrame:
@@ -1291,3 +1329,116 @@ def report_card_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = RP.corpus_report(d)
     qq = RP.group_quantiles(d)
     return rep.join(qq, ["source", "lang"])
+
+
+# ---------------------------------------------------------------- round 5
+# second rotation: driver rows for the round-4 twin-only families.
+
+from nhl_data_pipeline_spark.operators.chunking import (  # noqa: E402
+    chunk_documents,
+    chunk_documents_sql,
+    length_bucketed_batches,
+    length_bucketed_batches_sql,
+)
+from nhl_data_pipeline_spark.operators.diffing import (  # noqa: E402
+    snapshot_diff as _snapshot_diff_op,
+    snapshot_diff_sql,
+)
+
+_CHUNK, _OVERLAP = 64, 16
+_BATCH, _BIN = 32, 16
+
+
+@query(
+    "document_chunking_batching",
+    covers="LLM-chunking,LLM-length-batching",
+    oracle=f"""
+        SELECT 'chunk' AS op, doc_id, CAST(chunk_id AS INT) AS chunk_id,
+               n_chunks, n_tokens, chunk_text,
+               CAST(NULL AS INT) AS bin, CAST(NULL AS BIGINT) AS batch_id
+        FROM ({chunk_documents_sql(chunk_tokens=_CHUNK, overlap=_OVERLAP)})
+        UNION ALL
+        SELECT 'batch', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
+               n_tokens, CAST(NULL AS VARCHAR), bin, batch_id
+        FROM ({length_bucketed_batches_sql(batch_size=_BATCH, bin_width=_BIN)})
+    """,
+)
+def document_chunking_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap + length-bucketed inference
+    batching, union-tagged (driver row since the round-5 second rotation;
+    both were twin-only in tests/test_chunking.py).
+
+    'chunk' branch: `operators/chunking.chunk_documents` — pure per-row
+    whole-stage codegen (posexplode over a sequence of chunk starts,
+    slice, array_join); no shuffle, fan-out linear in document length.
+
+    'batch' branch: `operators/chunking.length_bucketed_batches` —
+    deterministic globally-unique batch ids from a (bin)-partitioned
+    window ordered by (n_tokens, doc_id); one exchange.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(
+        docs, chunk_tokens=_CHUNK, overlap=_OVERLAP
+    ).select(
+        F.lit("chunk").alias("op"),
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "n_chunks",
+        "n_tokens",
+        "chunk_text",
+        F.lit(None).cast("int").alias("bin"),
+        F.lit(None).cast("bigint").alias("batch_id"),
+    )
+    bt = length_bucketed_batches(
+        docs, batch_size=_BATCH, bin_width=_BIN
+    ).select(
+        F.lit("batch").alias("op"),
+        "doc_id",
+        F.lit(None).cast("int").alias("chunk_id"),
+        F.lit(None).cast("int").alias("n_chunks"),
+        "n_tokens",
+        F.lit(None).cast("string").alias("chunk_text"),
+        "bin",
+        "batch_id",
+    )
+    return ch.unionByName(bt)
+
+
+_DIFF_OLD = "SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8"
+_DIFF_NEW = """SELECT doc_id,
+       CASE WHEN doc_id % 10 IN (2, 3) THEN text || ' EDITED' ELSE text END
+           AS text
+    FROM documents WHERE doc_id % 10 >= 2"""
+
+
+@query(
+    "snapshot_diff",
+    covers="LLM-snapshot-diffing",
+    oracle=snapshot_diff_sql(
+        old_table=f"({_DIFF_OLD})",
+        new_table=f"({_DIFF_NEW})",
+        key_expr=X.fingerprint_sql("text"),
+    ),
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-aware churn between two corpus snapshots (driver row since
+    the round-5 second rotation; formerly twin-only in
+    tests/test_diffing.py).
+
+    The snapshots are derived deterministically from the documents table
+    (old = doc_id%10<8, new = doc_id%10>=2 with %10∈{2,3} edited), so
+    every status class — added / removed / changed / unchanged — is
+    exercised at any scale factor. The full-outer join moves (id, 16-byte
+    fingerprint) pairs only; see `operators/diffing` for the 100 TB
+    posture.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 10 < 8)
+    new = d.filter(F.col("doc_id") % 10 >= 2).withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 10).isin(2, 3),
+            F.concat(F.col("text"), F.lit(" EDITED")),
+        ).otherwise(F.col("text")),
+    )
+    return _snapshot_diff_op(old, new, X.fingerprint(F.col("text")))

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table
-from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double
+from nhl_data_pipeline_spark.functions.scalars import dec
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import dsum
 
@@ -121,30 +121,10 @@ def latest_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.unionByName(best)
 
 
-@query(
-    "rolling_avg_frames",
-    covers="W3,W4",
-    bench=True,
-    oracle="""
-        SELECT user_id, event_id, ts,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE)
-                   / COUNT(*) OVER w3 AS avg_3,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w10 AS DOUBLE)
-                   / COUNT(*) OVER w10 AS avg_10,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wall AS DOUBLE)
-                   / COUNT(*) OVER wall AS running_avg
-        FROM events
-        WINDOW
-          w3  AS (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
-          w10 AS (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-          wall AS (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    """,
-)
-def rolling_avg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 3/10-row averages + season-to-date running average.
+def _rolling_avg_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure W3/W4 rolling-frames shape — what bench.py times (the
+    merged correctness query below adds the RANGE-frame branch; benching
+    the union would break round-over-round comparability).
 
     Analog of the 3/5/10-game rolling windows (`team_shot_metrics.sql:29-86`)
     and the UNBOUNDED PRECEDING season-to-date frame (`:66-77`). One shuffle
@@ -167,6 +147,69 @@ def rolling_avg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_over(w10).alias("avg_10"),
         avg_over(wall).alias("running_avg"),
     )
+
+
+@query(
+    "rolling_avg_frames",
+    covers="W3,W4,W-ext-range-frame",
+    bench=True,
+    bench_fn=_rolling_avg_w3,
+    oracle="""
+        SELECT 'roll' AS op, user_id AS entity_id, event_id AS item_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w3 AS DOUBLE)
+                   / COUNT(*) OVER w3 AS m1,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w10 AS DOUBLE)
+                   / COUNT(*) OVER w10 AS m2,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER wall AS DOUBLE)
+                   / COUNT(*) OVER wall AS m3
+        FROM events
+        WINDOW
+          w3  AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+          w10 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+          wall AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        UNION ALL
+        SELECT 'range', o_custkey, o_orderkey, CAST(NULL AS TIMESTAMP),
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER w
+                         AS VARCHAR) AS DOUBLE),
+               CAST(count(*) OVER w AS DOUBLE),
+               CAST(NULL AS DOUBLE)
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_avg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3/10-row averages + running average (W3/W4), union-tagged
+    with the value-RANGE interval frame (merged `range_interval_window`,
+    round-5 second rotation — both are moving-frame window families;
+    bench.py still times the pure rolling shape via bench_fn).
+
+    'roll' branch: :func:`_rolling_avg_w3`. 'range' branch:
+    :func:`range_interval_window` — the rolling 30-DAY order total whose
+    frame peers by VALUE distance, not row position.
+    """
+    roll = _rolling_avg_w3(spark, sf_dir).select(
+        F.lit("roll").alias("op"),
+        F.col("user_id").alias("entity_id"),
+        F.col("event_id").alias("item_id"),
+        "ts",
+        F.col("avg_3").alias("m1"),
+        F.col("avg_10").alias("m2"),
+        F.col("running_avg").alias("m3"),
+    )
+    rng = range_interval_window(spark, sf_dir).select(
+        F.lit("range").alias("op"),
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderkey").alias("item_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.col("sum_30d").alias("m1"),
+        F.col("n_30d").cast("double").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+    )
+    return roll.unionByName(rng)
 
 
 @query(
@@ -301,11 +344,9 @@ RANGE_INTERVAL_WINDOW_SQL = """
 """
 
 
-@query(
-    "range_interval_window",
-    covers="W-ext-range-frame",
-    oracle=RANGE_INTERVAL_WINDOW_SQL,
-)
+# (range_interval_window folded into rolling_avg_frames above — round-5
+# second rotation; RANGE_INTERVAL_WINDOW_SQL stays the standalone twin
+# used by tests/test_scale_operators.py.)
 def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-RANGE window frame: per customer, the rolling 30-DAY order
     total ending at each order — peers by VALUE distance, not row
@@ -319,8 +360,8 @@ def range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     date ordering (both engines' RANGE bounds are inclusive). The sum is
     decimal-exact — emitted as DOUBLE through the varchar bridge
     (sqlgen.dsum_expr rationale) so the hash compares engine-stably.
-    Driver row since the round-5 rotation; also twin-tested in
-    tests/test_scale_operators.py.
+    Driver-checked as the 'range' branch of rolling_avg_frames (round-5
+    second rotation); also twin-tested in tests/test_scale_operators.py.
     """
     o = load_table(spark, sf_dir, "orders")
     day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))

@@ -28,7 +28,12 @@ def run(spark, name: str):
 
 
 def test_filter_and_column_pushdown_reach_scan(spark):
-    df = run(spark, "typed_projection_filter")
+    # The registered query union-tags a JSON-extraction branch (round-5
+    # second rotation); pushdown is pinned on the pure P1 shape so the
+    # ReadSchema assertion below keeps pointing at the orders scan.
+    from nhl_data_pipeline_spark.plans.q_projection import typed_projection_p1
+
+    df = typed_projection_p1(spark, TEST_SF_DIR)
     p = plan_str(df)
     assert "PushedFilters: [" in p
     assert "IsNotNull(o_orderstatus)" in p or "EqualTo(o_orderstatus,F)" in p

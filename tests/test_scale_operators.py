@@ -201,7 +201,7 @@ def test_minhash_lsh_empirical_recall_vs_exact(spark):
     }
     lsh = {
         (r["doc_a"], r["doc_b"])
-        for r in all_queries()["dedup_minhash_lsh"].fn(spark, TEST_SF_DIR).collect()
+        for r in all_queries()["dedup_minhash_lsh"].bench_fn(spark, TEST_SF_DIR).collect()
     }
     assert len(exact) > 0
     recall = len(lsh & exact) / len(exact)
