@@ -96,6 +96,9 @@ def main() -> None:
                 "bloom_prejoin_probe": _bloom_prejoin_probe(spark),
                 "cc_skew_probe": _cc_skew_probe(spark),
                 "skew_join_probe": _skew_join_probe(spark),
+                "streaming_throughput_probe": _streaming_throughput_probe(
+                    spark
+                ),
             }
         )
     )
@@ -298,6 +301,59 @@ def _skew_join_probe(spark) -> dict:
     finally:
         conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         conf.set("spark.sql.adaptive.skewJoin.enabled", prev_skew)
+    return out
+
+
+def _streaming_throughput_probe(spark) -> dict:
+    """End-to-end micro-batch throughput for the two streaming state
+    shapes: the JVM windowed aggregate (tumbling_counts) and the
+    Python-stateful path (applyInPandasWithState sessionize) — the pair
+    brackets the engine's streaming cost spectrum. Each runs the full
+    sf0.1 events stream (250K rows) through an availableNow memory-sink
+    query; wall includes stream planning + state store + sink, and
+    engine_rows_per_sec is Spark's own processedRowsPerSecond from the
+    query progress log (input rows / batch duration, excluding
+    start/stop overhead). Single-file source → one micro-batch; the
+    multi-batch state path is covered by the checkpoint-resume and
+    bounded-backfill tests, this probe prices the steady-state work.
+    """
+    import uuid as _uuid
+
+    from nhl_data_pipeline_spark.streaming.events_stream import (
+        read_events_stream,
+        tumbling_counts,
+    )
+    from nhl_data_pipeline_spark.streaming.sessionize import sessionize
+
+    out: dict[str, float] = {}
+    n_rows = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    out["input_rows"] = float(n_rows)
+    for tag, build, mode in (
+        ("tumbling_agg", lambda ev: tumbling_counts(ev), "complete"),
+        ("sessionize_pandas_state", lambda ev: sessionize(ev), "append"),
+    ):
+        name = f"tp_{_uuid.uuid4().hex[:8]}"
+        t0 = time.perf_counter()
+        q = (
+            build(read_events_stream(spark, SF_DIR))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        rates = [
+            p["processedRowsPerSecond"]
+            for p in (q.recentProgress or [])
+            if p.get("numInputRows", 0) > 0
+        ]
+        out[f"{tag}_sec"] = round(wall, 3)
+        out[f"{tag}_wall_rows_per_sec"] = round(n_rows / wall, 1)
+        if rates:
+            out[f"{tag}_engine_rows_per_sec"] = round(max(rates), 1)
+        spark.catalog.dropTempView(name)
     return out
 
 
