@@ -252,13 +252,16 @@ def _skew_join_probe(spark) -> dict:
     """Planted join-key skew: a 20M-row fact whose key column sends 90%
     of all rows to ONE key, equi-joined to a 20K-row dim that is forced
     past the broadcast threshold — the regime where a plain sort-merge
-    join serializes behind one straggler partition. Three strategies,
+    join serializes behind one straggler partition. Four variants,
     measured on identical inputs (result row count asserted equal):
 
     - plain SMJ with AQE skew-split OFF: the straggler baseline;
-    - plain SMJ with AQE skew-split ON (the session default,
-      session.py): Spark splits the oversized partition at runtime and
-      replicates the matching dim rows — zero code changes;
+    - plain SMJ with AQE skew-split ON at DEFAULT thresholds (the
+      session default, session.py) — which never fires here, see the
+      compressed-size blind spot in the variant comment below;
+    - the same with a 1 MB skew threshold (thr1mb), where the runtime
+      split fires and the oversized partition is divided with the
+      matching dim rows replicated — zero code changes;
     - operators/skew.salted_join (n_salts=32, one per core): the explicit form for the
       plans AQE can't rewrite (skewed agg→join chains, non-SMJ shapes).
 

@@ -552,9 +552,12 @@ def robust_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust JSON ingest driver row (round-5 second rotation; the family
     was twin/property-tested only — `sources/robust.py`): serialize the
     documents table to JSON lines with a deterministic corruption rule
-    (doc_id % 37 == 0 → the line's closing quote+brace are truncated, so
-    it cannot parse), run the one-scan PERMISSIVE quarantine split, and
-    emit good rows + quarantined ids + the field census of the good side.
+    (doc_id % 37 == 0 → a '{' is prepended, so the line cannot parse as
+    JSON regardless of the record's field content — robust even to docs
+    whose nullable fields are omitted by to_json, and it leaves the
+    doc_id digits intact for the quarantine-branch re-extraction), run
+    the one-scan PERMISSIVE quarantine split, and emit good rows +
+    quarantined ids + the field census of the good side.
 
     The oracle predicts all three branches straight from the parquet
     table: good rows must round-trip text EXACTLY (text_len equality is
@@ -574,23 +577,31 @@ def robust_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_json_quarantine,
     )
 
+    import os
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", "text"
     )
     line = F.to_json(F.struct("doc_id", "n_chars", "text"))
     corrupted = F.when(
-        F.col("doc_id") % 37 == 0,
-        F.expr("substring(_line, 1, length(_line) - 2)"),
+        F.col("doc_id") % 37 == 0, F.concat(F.lit("{"), F.col("_line"))
     ).otherwise(F.col("_line"))
     path = "/tmp/nhl_spark_robust_census_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:12]
-    (
-        d.withColumn("_line", line)
-        .select(corrupted.alias("value"))
-        .write.mode("overwrite")
-        .text(path)
-    )
+    # The serialization is a pure function of the source table, so the
+    # write runs once per sf_dir and later calls (fingerprint tool,
+    # parity tests, the driver) reuse it — this is the only registered
+    # query with a construction-time job, and skipping the rewrite keeps
+    # plan-only consumers I/O-free after the first call. Driver-local
+    # existence check: probe/test scaffolding, local-FS semantics.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            d.withColumn("_line", line)
+            .select(corrupted.alias("value"))
+            .write.mode("overwrite")
+            .text(path)
+        )
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -598,6 +609,10 @@ def robust_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("text", T.StringType()),
         ]
     )
+    # The split's .cache() (required for the corrupt-column workaround,
+    # see sources/robust.py) is left in place: CacheManager dedupes on
+    # logical-plan equality, so repeated calls against the same path
+    # pin ONE small parsed frame, not one per call.
     split = read_json_quarantine(spark, path, schema)
     good = split.good.select(
         F.lit("good").alias("op"),

@@ -42,6 +42,14 @@ def test_filter_and_column_pushdown_reach_scan(spark):
     assert "o_comment" not in read_schema
     assert "o_clerk" not in read_schema
 
+    # The REGISTERED (union-tagged) query must keep the same pushdown on
+    # its orders scan — a future edit that stops routing the typed
+    # branch through typed_projection_p1 must not silently lose it.
+    pm = plan_str(run(spark, "typed_projection_filter"))
+    assert "IsNotNull(o_orderstatus)" in pm or "EqualTo(o_orderstatus,F)" in pm
+    for rs in (s for s in pm.splitlines() if "ReadSchema" in s):
+        assert "o_comment" not in rs and "o_clerk" not in rs
+
 
 def test_small_dims_are_broadcast(spark):
     p = plan_str(run(spark, "broadcast_dim_join"))
