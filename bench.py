@@ -262,14 +262,20 @@ def _skew_join_probe(spark) -> dict:
     - the same with a 1 MB skew threshold (thr1mb), where the runtime
       split fires and the oversized partition is divided with the
       matching dim rows replicated — zero code changes;
-    - operators/skew.salted_join (n_salts=32, one per core): the explicit form for the
-      plans AQE can't rewrite (skewed agg→join chains, non-SMJ shapes).
+    - operators/skew.salted_join (n_salts=32, one per core): the explicit
+      form for the plans AQE can't rewrite (skewed agg→join chains,
+      non-SMJ shapes) — replicates the WHOLE dim n_salts×;
+    - operators/skew.split_plan_join (hot key routed to the salted path,
+      tail joins plain): replicates only the hot dim rows.
 
     The documented 100 TB default: leave AQE skew-join ON and reach for
     salting only when the skew sits upstream of the join AQE sees.
     Determinism: the hot/tail key split is xxhash64-derived, no rand().
     """
-    from nhl_data_pipeline_spark.operators.skew import salted_join
+    from nhl_data_pipeline_spark.operators.skew import (
+        salted_join,
+        split_plan_join,
+    )
 
     fact = spark.range(20_000_000).selectExpr(
         "CASE WHEN pmod(xxhash64(id), 10) < 9 THEN CAST(0 AS BIGINT)"
@@ -321,6 +327,14 @@ def _skew_join_probe(spark) -> dict:
                 "false",
                 None,
                 lambda: salted_join(fact, dim, "k", n_salts=32),
+            ),
+            (
+                "split_plan_join",
+                "false",
+                None,
+                lambda: split_plan_join(
+                    fact, dim, "k", hot_keys=[0], n_salts=32
+                ),
             ),
         ):
             conf.set("spark.sql.adaptive.skewJoin.enabled", skew_on)

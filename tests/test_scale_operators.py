@@ -574,3 +574,60 @@ def test_neardup_ledger_short_doc_fallback(spark):
     assert {r["doc_id"] for r in kept.collect()} == {4}  # different short doc
     # the kept short doc enters the ledger too (idempotence holds for it)
     assert entries.filter("band_idx = 0").count() == 1
+
+
+def test_split_plan_join_identity_and_routing(spark):
+    """split_plan_join == plain join row-for-row: inner + left (with a
+    planted NULL key, which must survive on the left's tail path), hot
+    set passed explicitly AND derived via min_count."""
+    from nhl_data_pipeline_spark.operators.skew import split_plan_join
+
+    big = spark.createDataFrame(
+        [(0, i) for i in range(500)]
+        + [(k, 1000 + k) for k in range(1, 40)]
+        + [(None, -1), (None, -2)],
+        "k: bigint, payload: int",
+    )
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 30)], "k: bigint, d: string"
+    )
+
+    def rows(df):
+        return sorted(
+            (tuple(r) for r in df.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = big.join(small, "k", how)
+        explicit = split_plan_join(
+            big, small, "k", hot_keys=[0], n_salts=4, how=how
+        )
+        derived = split_plan_join(
+            big, small, "k", min_count=100, n_salts=4, how=how
+        )
+        assert rows(explicit) == rows(plain), how
+        assert rows(derived) == rows(plain), how
+    # left keeps the null-key rows exactly once
+    left = split_plan_join(big, small, "k", hot_keys=[0], n_salts=4, how="left")
+    assert left.filter(F.col("k").isNull()).count() == 2
+    # empty hot set degrades to the plain join
+    assert rows(
+        split_plan_join(big, small, "k", hot_keys=[], how="inner")
+    ) == rows(big.join(small, "k"))
+
+
+def test_split_plan_join_guards(spark):
+    import pytest as _pytest
+
+    from nhl_data_pipeline_spark.operators.skew import split_plan_join
+
+    big = spark.createDataFrame([(1, 1)], "k: bigint, v: int")
+    small = spark.createDataFrame([(1, "a")], "k: bigint, d: string")
+    for how in ("right", "full", "cross"):
+        with _pytest.raises(ValueError, match="split_plan_join supports"):
+            split_plan_join(big, small, "k", hot_keys=[1], how=how)
+    with _pytest.raises(ValueError, match="exactly one"):
+        split_plan_join(big, small, "k")
+    with _pytest.raises(ValueError, match="exactly one"):
+        split_plan_join(big, small, "k", hot_keys=[1], min_count=5)
