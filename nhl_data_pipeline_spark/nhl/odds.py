@@ -31,17 +31,12 @@ def stg_player_name_crosswalk(
     odds_names = stg_odds_player_props.select("odds_player_name").distinct()
     # current_team_abbrev rides the SAME roster broadcast each strategy
     # already joins — the reference-schema column costs no extra join.
-    roster = dim_player.select(
-        "player_id",
-        "player_name",
-        *(
-            ["current_team_abbrev"]
-            if "current_team_abbrev" in dim_player.columns
-            else []
-        ),
-    )
-    if "current_team_abbrev" not in roster.columns:
-        roster = roster.withColumn(
+    if "current_team_abbrev" in dim_player.columns:
+        roster = dim_player.select(
+            "player_id", "player_name", "current_team_abbrev"
+        )
+    else:
+        roster = dim_player.select("player_id", "player_name").withColumn(
             "current_team_abbrev", F.lit(None).cast("string")
         )
 
@@ -151,12 +146,20 @@ def fact_player_sog_props_v2(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # game_date rides the ODDS side through the pivot (it is
+    # to_date(commence_time), functionally dependent on the groupBy key):
+    # the reference sources the fact's game_date from the odds bronze
+    # partition (`stg_odds_player_props.sql:15,24` → selected at
+    # `fact_player_sog_props_v2.sql:21,59`), NOT from the games join — so
+    # a pending prop whose game is not yet in stg_games still has a
+    # non-null game_date, which the reference dbt suite asserts.
     pivoted = best.groupBy(
         "event_id",
         "odds_player_name",
         "home_team_name",
         "away_team_name",
         "commence_time",
+        "game_date",
     ).agg(
         F.max(F.when(F.col("bet_type") == "Over", F.col("line_value"))).alias("line_value"),
         F.max(F.when(F.col("bet_type") == "Over", F.col("odds_american"))).alias("over_odds"),
@@ -165,16 +168,20 @@ def fact_player_sog_props_v2(
     )
     games = stg_games.select(
         F.col("game_id"),
-        F.col("game_date"),
+        F.col("game_date").alias("_g_game_date"),
         F.col("home_team_name"),
         F.col("game_state"),
     )
-    with_game = pivoted.join(
-        F.broadcast(games),
-        (F.to_date("commence_time") == F.col("game_date"))
-        & (pivoted.home_team_name == games.home_team_name),
-        "left",
-    ).drop(games.home_team_name)
+    with_game = (
+        pivoted.join(
+            F.broadcast(games),
+            (pivoted.game_date == games._g_game_date)
+            & (pivoted.home_team_name == games.home_team_name),
+            "left",
+        )
+        .drop(games.home_team_name)
+        .drop("_g_game_date")
+    )
     xw = crosswalk.select(
         "odds_player_name",
         "player_id",

@@ -171,7 +171,15 @@ def bloom_prejoin(
     feed this into the real join; the result is identical to joining the
     unfiltered ``big`` (false positives are discarded by the join, false
     negatives cannot occur), but the shuffle moves ~selectivity+ε of the
-    rows instead of all of them."""
+    rows instead of all of them.
+
+    The identity holds for INNER and LEFT-SEMI joins only (the shapes
+    where non-matching big rows vanish anyway). Do NOT feed the pruned
+    frame into a join that keeps unmatched big rows — big LEFT JOIN
+    small would lose every null-extended row the pre-filter removed.
+    Same trap class as the join-type allowlists in operators/skew.py;
+    here the join happens outside this function, so the restriction is
+    contractual rather than asserted."""
     bt = dict(big.dtypes)[big_key]
     st = dict(small.dtypes)[small_key]
     # The filter hashes STRING forms (see _positions); a plain join instead

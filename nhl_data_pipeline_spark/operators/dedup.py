@@ -412,10 +412,16 @@ def lsh_band_table(
         # simply have no signature and never pair — matches the registered
         # dedup_minhash_lsh oracle's len(tokens) >= n filter.
         return banded
+    # NULL text must still produce a JOINABLE band key: md5(NULL) is NULL,
+    # a NULL band_key never equi-matches the ledger, and the doc would be
+    # re-admitted on every increment — the exact idempotence break this
+    # fallback exists to prevent. Coalescing to '' keys all NULL-text
+    # docs into one exact-dup band, which is the fallback's semantics
+    # (identical short content ⇒ same band).
     short = base.join(sigs.select(id_col), id_col, "left_anti").select(
         id_col,
         F.lit(0).alias("band_idx"),
-        fingerprint(F.col(text_col)).alias("band_key"),
+        fingerprint(F.coalesce(F.col(text_col), F.lit(""))).alias("band_key"),
     )
     return banded.unionByName(short)
 

@@ -107,7 +107,12 @@ def ngram_lm_score(
     ).persist()
     # Persisted: three consumers (v, ctx_counts, the model join) would
     # otherwise each re-run the corpus-scale gram groupBy; the table
-    # itself is model-scale (distinct grams).
+    # itself is model-scale (distinct grams). Neither persist here is
+    # unpersisted before return — the result is lazy, so releasing early
+    # would defeat the reuse. Growth is bounded: CacheManager dedupes on
+    # logical-plan equality, so repeated calls over the same input pin
+    # ONE copy of each frame, and bench.py clearCache()s between timed
+    # runs (the pinned-storage GC hazard its probes measure).
     tri_counts = (
         tri_ref.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("c_tri"))

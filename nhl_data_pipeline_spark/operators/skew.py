@@ -126,6 +126,14 @@ def split_plan_join(
                 " raise min_count or salt the whole join"
             )
         hot_keys = [r[0] for r in rows]
+    # NULL never equi-matches, so a NULL "hot key" belongs on the tail
+    # path (where the explicit isNull() routing already preserves it for
+    # left-shaped outputs). It must ALSO be stripped from the IN list:
+    # isin([..., None]) evaluates to NULL for every non-member, which
+    # would fail BOTH the hot filter and the negated tail filter and
+    # silently drop the entire long tail. top_frequency_keys counts the
+    # NULL group like any other, so a derived hot set can contain it.
+    hot_keys = [k for k in hot_keys if k is not None]
     if len(hot_keys) > _MAX_HOT_KEYS:
         raise ValueError(f"hot_keys exceeds {_MAX_HOT_KEYS}")
     if not hot_keys:

@@ -586,9 +586,15 @@ def robust_ingest_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted = F.when(
         F.col("doc_id") % 37 == 0, F.concat(F.lit("{"), F.col("_line"))
     ).otherwise(F.col("_line"))
+    # Key the serialized corpus on the SOURCE file's identity (path +
+    # size + mtime), not just the path: regenerating the testdata in
+    # place must invalidate the cache, or the engine would parse a stale
+    # corpus while the oracle reads the new parquet.
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
     path = "/tmp/nhl_spark_robust_census_" + hashlib.md5(
-        sf_dir.encode()
-    ).hexdigest()[:12]
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
     # The serialization is a pure function of the source table, so the
     # write runs once per sf_dir and later calls (fingerprint tool,
     # parity tests, the driver) reuse it — this is the only registered

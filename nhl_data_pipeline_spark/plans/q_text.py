@@ -1345,7 +1345,10 @@ from nhl_data_pipeline_spark.operators.diffing import (  # noqa: E402
     snapshot_diff_sql,
 )
 
-_CHUNK, _OVERLAP = 64, 16
+# Distinct names from sequence_packing's _CHUNK (docs per prefix-sum
+# chunk, line ~956): that constant is read at CALL time by the packing
+# query, so reusing the name here would silently retune it.
+_CHUNK_TOKENS, _CHUNK_OVERLAP = 64, 16
 _BATCH, _BIN = 32, 16
 
 
@@ -1356,7 +1359,7 @@ _BATCH, _BIN = 32, 16
         SELECT 'chunk' AS op, doc_id, CAST(chunk_id AS INT) AS chunk_id,
                n_chunks, n_tokens, chunk_text,
                CAST(NULL AS INT) AS bin, CAST(NULL AS BIGINT) AS batch_id
-        FROM ({chunk_documents_sql(chunk_tokens=_CHUNK, overlap=_OVERLAP)})
+        FROM ({chunk_documents_sql(chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP)})
         UNION ALL
         SELECT 'batch', doc_id, CAST(NULL AS INT), CAST(NULL AS INT),
                n_tokens, CAST(NULL AS VARCHAR), bin, batch_id
@@ -1378,7 +1381,7 @@ def document_chunking_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ch = chunk_documents(
-        docs, chunk_tokens=_CHUNK, overlap=_OVERLAP
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
     ).select(
         F.lit("chunk").alias("op"),
         "doc_id",

@@ -116,9 +116,35 @@ def test_sog_props_outcomes(models):
         & ((F.col("over_implied_prob") <= 0) | (F.col("over_implied_prob") >= 1))
     ).count()
     assert bad_prob == 0
+    # game_date rides the ODDS side (reference bronze partition
+    # semantics): non-null on every row, including props whose game
+    # never resolves against stg_games
+    assert props.filter(F.col("game_date").isNull()).count() == 0
 
 
-def test_rolling_metrics_shapes(models):
+def test_sog_props_game_date_survives_unresolved_game(spark, models):
+    """A prop for a game ABSENT from stg_games (odds land before the
+    schedule snapshot) stays 'pending' with a non-null game_date — the
+    reference sources game_date from the odds feed, not the games join,
+    and its dbt suite asserts not_null(game_date) on this model."""
+    from nhl_data_pipeline_spark.nhl.odds import fact_player_sog_props_v2
+
+    stg_odds = models["stg_odds_player_props"]
+    future = stg_odds.withColumn(
+        "commence_time",
+        F.col("commence_time") + F.expr("INTERVAL 365 DAYS"),
+    ).withColumn("game_date", F.to_date("commence_time"))
+    out = fact_player_sog_props_v2(
+        future,
+        models["stg_player_name_crosswalk"],
+        models["fact_player_game_stats"],
+        models["stg_games"],
+    )
+    rows = out.select("game_id", "game_date", "outcome").collect()
+    assert len(rows) > 0
+    assert all(r["game_id"] is None for r in rows)  # no game resolves
+    assert all(r["game_date"] is not None for r in rows)
+    assert {r["outcome"] for r in rows} <= {"pending", "unmatched"}
     tsm = models["team_shot_metrics"].filter("games_played_in_season >= 3")
     # a 3-game average can never exceed the running max of the inputs
     bad = tsm.filter(F.col("sog_avg_3") > 100).count()

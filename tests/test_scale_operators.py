@@ -617,6 +617,37 @@ def test_split_plan_join_identity_and_routing(spark):
     ) == rows(big.join(small, "k"))
 
 
+def test_split_plan_join_null_hot_key(spark):
+    """NULL as the HOTTEST key (routine in skewed fact data): the derived
+    hot set contains None, which must be stripped — isin([..., None]) is
+    NULL for non-members and would silently drop the whole tail."""
+    from nhl_data_pipeline_spark.operators.skew import split_plan_join
+
+    big = spark.createDataFrame(
+        [(None, i) for i in range(300)] + [(k, k) for k in range(1, 30)],
+        "k: bigint, payload: int",
+    )
+    small = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(0, 30)], "k: bigint, d: string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (tuple(r) for r in big.join(small, "k", how).collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        got = sorted(
+            (
+                tuple(r)
+                for r in split_plan_join(
+                    big, small, "k", min_count=100, n_salts=4, how=how
+                ).collect()
+            ),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+        assert got == plain, how
+        assert len(got) > 0
+
+
 def test_split_plan_join_guards(spark):
     import pytest as _pytest
 
@@ -631,3 +662,28 @@ def test_split_plan_join_guards(spark):
         split_plan_join(big, small, "k")
     with _pytest.raises(ValueError, match="exactly one"):
         split_plan_join(big, small, "k", hot_keys=[1], min_count=5)
+
+
+def test_neardup_ledger_null_text_idempotent(spark):
+    """A NULL-text doc must get a JOINABLE fallback band key (md5 of a
+    NULL would never equi-match the ledger and the doc would be
+    re-admitted every increment): re-running the same batch against the
+    grown ledger flags it like any other short doc."""
+    from nhl_data_pipeline_spark.operators.dedup import (
+        lsh_band_table,
+        neardup_against_ledger,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, " ".join(f"t{i}" for i in range(40)))],
+        "doc_id: bigint, text: string",
+    )
+    ledger = lsh_band_table(batch).select(
+        "band_idx", "band_key", F.col("doc_id").alias("owner_id")
+    )
+    assert (
+        lsh_band_table(batch).filter(F.col("band_key").isNull()).count() == 0
+    )
+    kept2, flagged2, _ = neardup_against_ledger(batch, ledger)
+    assert kept2.count() == 0
+    assert {r["doc_id"] for r in flagged2.collect()} == {1, 2, 3}
