@@ -99,6 +99,7 @@ def main() -> None:
                 "streaming_throughput_probe": _streaming_throughput_probe(
                     spark
                 ),
+                "partition_sizing_probe": _partition_sizing_probe(spark),
             }
         )
     )
@@ -365,6 +366,75 @@ def _skew_join_probe(spark) -> dict:
         conf.set(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes", prev_adv
         )
+    return out
+
+
+def _partition_sizing_probe(spark) -> dict:
+    """Spill-aware shuffle-partition sizing, measured instead of
+    asserted: a ~5.8 GB global sort (48M rows × ~120 B) run with
+    shuffle.partitions=4 (≈1.5 GB raw per task — the UnsafeRow working
+    set far exceeds even the generous pool share 4 lone tasks get) vs
+    64 (≈90 MB per task). Reports wall plus the executed plan's summed
+    "spill size" metric from the SQL status store. Measured shape on
+    this container: BOTH configs spill at this heap, but the oversized
+    config spills roughly double the bytes and runs 3-4× slower — the
+    local-mode miniature of the 100 TB sizing rule the module docs
+    state everywhere (pick shuffle.partitions / maxPartitionBytes so a
+    partition working set fits executor memory). Note the pool is
+    divided among ACTIVE tasks: 4 partitions also means 4 lone tasks
+    with 28 idle cores, so the penalty is spill + lost parallelism
+    compounding. Median-of-3 with warmup, like every probe.
+    """
+    import re as _re
+
+    out: dict[str, float] = {}
+    spark.catalog.clearCache()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    store = spark._jsparkSession.sharedState().statusStore()
+
+    def spill_bytes_of_last_exec() -> int:
+        execs = store.executionsList()
+        ex = execs.apply(execs.length() - 1)
+        vals = store.executionMetrics(ex.executionId())
+        mdefs = ex.metrics()
+        total = 0
+        for j in range(mdefs.length()):
+            md = mdefs.apply(j)
+            if md.name() == "spill size" and vals.contains(
+                md.accumulatorId()
+            ):
+                raw = str(vals.apply(md.accumulatorId()))
+                # "total (min, med, max ...)\n123.4 MiB (...)" or "0.0 B"
+                m = _re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB)", raw)
+                if m:
+                    mult = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20,
+                            "GiB": 1 << 30}[m.group(2)]
+                    total += int(float(m.group(1)) * mult)
+        return total
+
+    base = spark.range(48_000_000).selectExpr(
+        "id", "repeat('x', 100) AS payload", "xxhash64(id) AS sortkey"
+    )
+    try:
+        for tag, nparts in (("p4_oversized", 4), ("p64_sized", 64)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            runs, spills = [], []
+            for i in range(4):
+                t0 = time.perf_counter()
+                base.orderBy("sortkey").write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                w = time.perf_counter() - t0
+                time.sleep(0.5)  # listener bus drain
+                if i > 0:
+                    runs.append(w)
+                    spills.append(spill_bytes_of_last_exec())
+            out[f"{tag}_sec"] = round(sorted(runs)[len(runs) // 2], 3)
+            out[f"{tag}_spill_bytes"] = float(
+                sorted(spills)[len(spills) // 2]
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
 
 
