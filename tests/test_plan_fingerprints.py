@@ -83,3 +83,18 @@ def test_worksheet_static_plans_match_committed_fingerprints(spark):
         f"worksheet plan drift: {json.dumps(drift, indent=1)}\n"
         "If intentional: python tools/worksheet_fingerprints.py && review diff"
     )
+
+
+def test_plans_doc_covers_every_benched_query():
+    """docs/PLANS.md (regenerated via tools/export_plans.py) must have a
+    section per benched query — name sync only; shape drift is the
+    fingerprint gate's job."""
+    from nhl_data_pipeline_spark.plans.registry import all_queries
+
+    doc = (Path(__file__).parent.parent / "docs" / "PLANS.md").read_text()
+    benched = {n for n, s in all_queries().items() if s.bench}
+    assert benched  # sanity
+    missing = {n for n in benched if f"\n## {n}\n" not in doc}
+    assert not missing, (
+        f"regenerate docs/PLANS.md (python tools/export_plans.py): {missing}"
+    )

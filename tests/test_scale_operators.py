@@ -687,3 +687,56 @@ def test_neardup_ledger_null_text_idempotent(spark):
     kept2, flagged2, _ = neardup_against_ledger(batch, ledger)
     assert kept2.count() == 0
     assert {r["doc_id"] for r in flagged2.collect()} == {1, 2, 3}
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _KEY = st.one_of(st.none(), st.integers(min_value=0, max_value=6))
+
+    @settings(max_examples=4, deadline=None)
+    @given(
+        st.lists(_KEY, min_size=0, max_size=40),
+        st.lists(_KEY, min_size=0, max_size=8, unique=True),
+        st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    )
+    def test_skew_joins_equal_plain_on_random_inputs(
+        spark, big_keys, hot, how
+    ):
+        """Generative identity for the whole skew-join family: random
+        key lists (with NULLs), random hot sets (possibly containing
+        None or keys absent from either side), every supported join
+        type — salted_join and split_plan_join must reproduce the plain
+        join row-for-row."""
+        from nhl_data_pipeline_spark.operators.skew import (
+            salted_join,
+            split_plan_join,
+        )
+
+        big = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(big_keys)],
+            "k: bigint, payload: bigint",
+        )
+        small = spark.createDataFrame(
+            [(k, f"d{k}") for k in (0, 1, 2, 4)], "k: bigint, d: string"
+        )
+
+        def rows(df):
+            return sorted(
+                (tuple(r) for r in df.collect()),
+                key=lambda t: tuple((x is None, x) for x in t),
+            )
+
+        plain = rows(big.join(small, "k", how))
+        assert rows(salted_join(big, small, "k", n_salts=3, how=how)) == plain
+        assert (
+            rows(
+                split_plan_join(
+                    big, small, "k", hot_keys=hot, n_salts=3, how=how
+                )
+            )
+            == plain
+        )
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
