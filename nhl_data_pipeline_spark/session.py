@@ -84,3 +84,64 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_conf(
+    *,
+    total_cores: int,
+    dataset_bytes: int,
+    hot_key_compressible: bool = False,
+) -> dict[str, str]:
+    """Cluster-profile config builder: the 100 TB sizing rules this repo
+    MEASURED, shipped as policy instead of folklore. Returns the confs to
+    lay on top of spark-submit's master/memory settings.
+
+    Rules and their evidence:
+
+    - ``spark.sql.shuffle.partitions`` = max(2 × total_cores,
+      dataset_bytes / 128 MiB), capped at 64Ki: partitions sized so a
+      task's working set fits execution memory. The spill cliff is
+      measured in ``bench.py::_partition_sizing_probe`` — an oversized
+      partition spills ~2× the bytes and runs 3-4× slower; remember the
+      pool divides among ACTIVE tasks, so under-partitioning ALSO idles
+      cores. AQE coalesces the excess at runtime (its advisory size
+      stays at the 64 MiB default).
+    - ``spark.sql.files.maxPartitionBytes`` stays at 128 MiB — scan-side
+      partitions follow the same fits-in-memory rule.
+    - AQE on, with skew-join splitting. When the workload's hot join
+      keys are low-entropy (``hot_key_compressible=True`` — e.g. a
+      constant-ish surrogate key), ALSO lower
+      ``skewedPartitionThresholdInBytes``: skew detection reads
+      COMPRESSED map sizes, and an 18M-row hot-key partition LZ4s to a
+      few MB — measured in ``bench.py::_skew_join_probe``, the default
+      256 MiB threshold never fires while a 1 MiB threshold splits the
+      straggler 2.3×. For row-count skew compression can hide entirely,
+      use ``operators/skew.salted_join`` / ``split_plan_join``.
+    - Arrow + UTC + nanosAsLong: same correctness policy as local mode.
+
+    Not set here: executor memory/GC (spark-submit's job — though the
+    measured ParallelGC-for-throughput result in this module's header
+    applies to executors too) and autoBroadcastJoinThreshold (the 10 MiB
+    default is right; explicit ``F.broadcast`` marks the intent in every
+    plan that needs it).
+    """
+    if total_cores <= 0 or dataset_bytes < 0:
+        raise ValueError("total_cores > 0 and dataset_bytes >= 0 required")
+    parts = max(2 * total_cores, dataset_bytes // (128 << 20))
+    parts = min(parts, 1 << 16)
+    conf = {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(128 << 20),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+    }
+    if hot_key_compressible:
+        conf["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"] = (
+            str(1 << 20)
+        )
+        conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(1 << 20)
+    return conf

@@ -740,3 +740,31 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_cluster_conf_sizing_rules():
+    from nhl_data_pipeline_spark.session import cluster_conf
+
+    # small data: parallelism floor (2x cores) wins
+    c = cluster_conf(total_cores=400, dataset_bytes=10 << 30)
+    assert c["spark.sql.shuffle.partitions"] == "800"
+    # 100 TB: the 128 MiB working-set rule wins
+    c = cluster_conf(total_cores=4000, dataset_bytes=100 * (1 << 40))
+    assert int(c["spark.sql.shuffle.partitions"]) == min(
+        100 * (1 << 40) // (128 << 20), 1 << 16
+    )
+    # cap engages at absurd sizes
+    assert int(c["spark.sql.shuffle.partitions"]) <= 1 << 16
+    # compressed-hot-key mode lowers the skew threshold (measured blind
+    # spot, bench.py::_skew_join_probe)
+    c = cluster_conf(
+        total_cores=32, dataset_bytes=0, hot_key_compressible=True
+    )
+    assert (
+        c["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"]
+        == str(1 << 20)
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cluster_conf(total_cores=0, dataset_bytes=1)
