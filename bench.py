@@ -105,38 +105,53 @@ def main() -> None:
     )
 
 
+def _parse_size_bytes(raw: str) -> int | None:
+    """First 'N unit' size in a metric display string, in bytes."""
+    import re as _re
+
+    m = _re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB)", raw)
+    if not m:
+        return None
+    mult = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20, "GiB": 1 << 30}
+    return int(float(m.group(1)) * mult[m.group(2)])
+
+
+def _iter_exec_metrics(store, first_idx: int):
+    """Yield (metric_name, raw_display_string) for every metric of every
+    SQL execution from ``first_idx`` onward — the single status-store
+    walk shared by the shuffle and spill probes (the store is the UI's
+    source of truth; the AQE plan's node.metrics() reads zeros)."""
+    execs = store.executionsList()
+    for i in range(first_idx, execs.length()):
+        ex = execs.apply(i)
+        vals = store.executionMetrics(ex.executionId())
+        mdefs = ex.metrics()
+        for j in range(mdefs.length()):
+            md = mdefs.apply(j)
+            if vals.contains(md.accumulatorId()):
+                yield md.name(), str(vals.apply(md.accumulatorId()))
+
+
 def _query_shuffle_metrics(spark, run) -> dict[str, int]:
     """Execute ``run()`` and return the MAX per-exchange shuffle records +
     bytes written of the resulting SQL execution, read from Spark's
-    SQLAppStatusStore (the UI's source of truth for `exchange` metrics).
-    Max-per-exchange isolates the dominant (fact-side) exchange — the one
-    the bloom filter is supposed to shrink."""
-    import re as _re
+    SQLAppStatusStore. Max-per-exchange isolates the dominant
+    (fact-side) exchange — the one the bloom filter is supposed to
+    shrink."""
     import time as _t
 
     store = spark._jsparkSession.sharedState().statusStore()
     before = store.executionsList().length()
     run()
     _t.sleep(1.0)  # listener bus drain
-    execs = store.executionsList()
     records, bytes_ = 0, 0
-    for i in range(before, execs.length()):
-        ex = execs.apply(i)
-        vals = store.executionMetrics(ex.executionId())
-        mdefs = ex.metrics()
-        for j in range(mdefs.length()):
-            md = mdefs.apply(j)
-            if not vals.contains(md.accumulatorId()):
-                continue
-            raw = str(vals.apply(md.accumulatorId()))
-            if md.name() == "shuffle records written":
-                records = max(records, int(raw.replace(",", "")))
-            elif md.name() == "shuffle bytes written":
-                m = _re.match(r"([\d.]+)\s*(B|KiB|MiB|GiB)", raw)
-                if m:
-                    mult = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20,
-                            "GiB": 1 << 30}[m.group(2)]
-                    bytes_ = max(bytes_, int(float(m.group(1)) * mult))
+    for name, raw in _iter_exec_metrics(store, before):
+        if name == "shuffle records written":
+            records = max(records, int(raw.replace(",", "")))
+        elif name == "shuffle bytes written":
+            b = _parse_size_bytes(raw)
+            if b is not None:
+                bytes_ = max(bytes_, b)
     return {"records": records, "bytes": bytes_}
 
 
@@ -377,7 +392,7 @@ def _partition_sizing_probe(spark) -> dict:
     64 (≈90 MB per task). Reports wall plus the executed plan's summed
     "spill size" metric from the SQL status store. Measured shape on
     this container: BOTH configs spill at this heap, but the oversized
-    config spills roughly double the bytes and runs 3-4× slower — the
+    config spills roughly double the bytes and runs 2.5-4× slower — the
     local-mode miniature of the 100 TB sizing rule the module docs
     state everywhere (pick shuffle.partitions / maxPartitionBytes so a
     partition working set fits executor memory). Note the pool is
@@ -385,32 +400,21 @@ def _partition_sizing_probe(spark) -> dict:
     with 28 idle cores, so the penalty is spill + lost parallelism
     compounding. Median-of-3 with warmup, like every probe.
     """
-    import re as _re
-
     out: dict[str, float] = {}
     spark.catalog.clearCache()
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     store = spark._jsparkSession.sharedState().statusStore()
 
     def spill_bytes_of_last_exec() -> int:
-        execs = store.executionsList()
-        ex = execs.apply(execs.length() - 1)
-        vals = store.executionMetrics(ex.executionId())
-        mdefs = ex.metrics()
-        total = 0
-        for j in range(mdefs.length()):
-            md = mdefs.apply(j)
-            if md.name() == "spill size" and vals.contains(
-                md.accumulatorId()
-            ):
-                raw = str(vals.apply(md.accumulatorId()))
-                # "total (min, med, max ...)\n123.4 MiB (...)" or "0.0 B"
-                m = _re.search(r"([\d.]+)\s*(B|KiB|MiB|GiB)", raw)
-                if m:
-                    mult = {"B": 1, "KiB": 1 << 10, "MiB": 1 << 20,
-                            "GiB": 1 << 30}[m.group(2)]
-                    total += int(float(m.group(1)) * mult)
-        return total
+        # summed "spill size" across the last execution's operators;
+        # display format "total (min, med, max ...)\n123.4 MiB (...)"
+        last = store.executionsList().length() - 1
+        return sum(
+            b
+            for name, raw in _iter_exec_metrics(store, last)
+            if name == "spill size"
+            and (b := _parse_size_bytes(raw)) is not None
+        )
 
     base = spark.range(48_000_000).selectExpr(
         "id", "repeat('x', 100) AS payload", "xxhash64(id) AS sortkey"

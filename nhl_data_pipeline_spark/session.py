@@ -90,7 +90,6 @@ def cluster_conf(
     *,
     total_cores: int,
     dataset_bytes: int,
-    hot_key_compressible: bool = False,
 ) -> dict[str, str]:
     """Cluster-profile config builder: the 100 TB sizing rules this repo
     MEASURED, shipped as policy instead of folklore. Returns the confs to
@@ -99,24 +98,27 @@ def cluster_conf(
     Rules and their evidence:
 
     - ``spark.sql.shuffle.partitions`` = max(2 × total_cores,
-      dataset_bytes / 128 MiB), capped at 64Ki: partitions sized so a
-      task's working set fits execution memory. The spill cliff is
-      measured in ``bench.py::_partition_sizing_probe`` — an oversized
-      partition spills ~2× the bytes and runs 3-4× slower; remember the
-      pool divides among ACTIVE tasks, so under-partitioning ALSO idles
+      dataset_bytes / 128 MiB): partitions sized so a task's working set
+      fits execution memory. The spill cliff is measured in
+      ``bench.py::_partition_sizing_probe`` — an oversized partition
+      spills ~2× the bytes and runs 2.5-4× slower; remember the pool
+      divides among ACTIVE tasks, so under-partitioning ALSO idles
       cores. AQE coalesces the excess at runtime (its advisory size
-      stays at the 64 MiB default).
+      stays at the 64 MiB default). There is deliberately NO silent
+      cap: capping would recreate the oversized-partition regime at
+      exactly the scale this builder exists for (AQE can only coalesce
+      downward, never split a non-skewed partition) — past 1M partitions
+      the function raises and the caller must shard the job or
+      explicitly accept a larger per-task working set.
     - ``spark.sql.files.maxPartitionBytes`` stays at 128 MiB — scan-side
       partitions follow the same fits-in-memory rule.
-    - AQE on, with skew-join splitting. When the workload's hot join
-      keys are low-entropy (``hot_key_compressible=True`` — e.g. a
-      constant-ish surrogate key), ALSO lower
-      ``skewedPartitionThresholdInBytes``: skew detection reads
-      COMPRESSED map sizes, and an 18M-row hot-key partition LZ4s to a
-      few MB — measured in ``bench.py::_skew_join_probe``, the default
-      256 MiB threshold never fires while a 1 MiB threshold splits the
-      straggler 2.3×. For row-count skew compression can hide entirely,
-      use ``operators/skew.salted_join`` / ``split_plan_join``.
+    - AQE on, with skew-join splitting at DEFAULT thresholds. For
+      workloads whose hot join keys are low-entropy (compression hides
+      the skew from AQE's size-based detection), apply
+      :func:`compressed_skew_overrides` AROUND the affected join —
+      those two confs are deliberately NOT set fleet-wide here because
+      the 1 MiB advisory size would shred AQE coalescing for every
+      other shuffle.
     - Arrow + UTC + nanosAsLong: same correctness policy as local mode.
 
     Not set here: executor memory/GC (spark-submit's job — though the
@@ -128,7 +130,13 @@ def cluster_conf(
     if total_cores <= 0 or dataset_bytes < 0:
         raise ValueError("total_cores > 0 and dataset_bytes >= 0 required")
     parts = max(2 * total_cores, dataset_bytes // (128 << 20))
-    parts = min(parts, 1 << 16)
+    if parts > 1 << 20:
+        raise ValueError(
+            f"{parts} shuffle partitions by the 128 MiB working-set rule —"
+            " shard the job, or raise the per-task working set explicitly"
+            " (a silent cap here would just recreate the spill cliff the"
+            " rule exists to avoid)"
+        )
     conf = {
         "spark.sql.shuffle.partitions": str(parts),
         "spark.sql.files.maxPartitionBytes": str(128 << 20),
@@ -139,9 +147,30 @@ def cluster_conf(
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
-    if hot_key_compressible:
-        conf["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"] = (
-            str(1 << 20)
-        )
-        conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(1 << 20)
     return conf
+
+
+def compressed_skew_overrides() -> dict[str, str]:
+    """The two confs that make AQE split a COMPRESSION-HIDDEN skewed
+    join, to be applied AROUND that join (set → run → restore), never
+    fleet-wide.
+
+    AQE skew detection reads compressed map-output sizes, and a hot join
+    KEY is pathologically compressible: in ``bench.py::_skew_join_probe``
+    an 18M-row hot partition LZ4s to a few MB, so the default 256 MiB
+    threshold never classifies it as skewed. BOTH confs are required —
+    measured: a 1 MiB threshold with the advisory size left at its
+    64 MiB default still produces no ``skew=true`` (the advisory is the
+    split TARGET, and no split exists below one target unit); threshold
+    + advisory at 1 MiB splits the straggler ~2.3×. The 1 MiB advisory
+    is exactly why this must stay query-scoped: globally it would shred
+    AQE coalescing for every other shuffle. For row-count skew that
+    compression hides entirely, use ``operators/skew.salted_join`` /
+    ``split_plan_join`` instead.
+    """
+    return {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            1 << 20
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(1 << 20),
+    }

@@ -29,9 +29,11 @@ DOCUMENTED_GAPS = {
     ("homeTeam", "name"),  # stg_games.sql:18  homeTeam.name.default
     ("awayTeam", "name"),  # stg_games.sql:21  awayTeam.name.default
 }
-# Same class of gap, keyed by leaf name (appears under every position
-# array): read by the reference at the cited line, absent from the YAML.
-DOCUMENTED_GAP_LEAVES = {
+# Same class of gap for fields of the player-stats ARRAYS (they appear
+# under every team/position array, so they are keyed by leaf name but
+# only honored INSIDE an array — see the "[]" check below): read by the
+# reference at the cited line, absent from the YAML.
+DOCUMENTED_GAP_ARRAY_LEAVES = {
     "shorthandedGoals",  # stg_player_game_stats.sql:75  value:shorthandedGoals
 }
 
@@ -95,10 +97,10 @@ def test_boxscore_schema_conforms_to_reference_contract():
     ):
         bare = tuple(p for p in path if p != "[]")
         if spec is None:
-            if (
-                bare in DOCUMENTED_GAPS
-                or any(bare[: len(g)] == g for g in DOCUMENTED_GAPS)
-                or bare[-1] in DOCUMENTED_GAP_LEAVES
+            # (children of a gap field are never reached: _walk does not
+            # recurse into spec-less fields, so exact-match is enough)
+            if bare in DOCUMENTED_GAPS or (
+                "[]" in path and bare[-1] in DOCUMENTED_GAP_ARRAY_LEAVES
             ):
                 continue
             problems.append(f"{'.'.join(path)}: not in contract")

@@ -743,28 +743,34 @@ except ImportError:  # pragma: no cover - hypothesis is baked in
 
 
 def test_cluster_conf_sizing_rules():
-    from nhl_data_pipeline_spark.session import cluster_conf
+    import pytest as _pytest
+
+    from nhl_data_pipeline_spark.session import (
+        cluster_conf,
+        compressed_skew_overrides,
+    )
 
     # small data: parallelism floor (2x cores) wins
     c = cluster_conf(total_cores=400, dataset_bytes=10 << 30)
     assert c["spark.sql.shuffle.partitions"] == "800"
-    # 100 TB: the 128 MiB working-set rule wins
+    # 100 TB: the 128 MiB working-set rule wins, with NO silent cap —
+    # capping would recreate the oversized-partition spill regime
     c = cluster_conf(total_cores=4000, dataset_bytes=100 * (1 << 40))
-    assert int(c["spark.sql.shuffle.partitions"]) == min(
-        100 * (1 << 40) // (128 << 20), 1 << 16
+    assert int(c["spark.sql.shuffle.partitions"]) == (
+        100 * (1 << 40) // (128 << 20)
     )
-    # cap engages at absurd sizes
-    assert int(c["spark.sql.shuffle.partitions"]) <= 1 << 16
-    # compressed-hot-key mode lowers the skew threshold (measured blind
-    # spot, bench.py::_skew_join_probe)
-    c = cluster_conf(
-        total_cores=32, dataset_bytes=0, hot_key_compressible=True
-    )
-    assert (
-        c["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"]
-        == str(1 << 20)
-    )
-    import pytest as _pytest
-
+    # the advisory size is NOT touched fleet-wide
+    assert "spark.sql.adaptive.advisoryPartitionSizeInBytes" not in c
+    # past 1M partitions the builder refuses instead of silently capping
+    with _pytest.raises(ValueError, match="shard the job"):
+        cluster_conf(total_cores=4000, dataset_bytes=1 << 50)
     with _pytest.raises(ValueError):
         cluster_conf(total_cores=0, dataset_bytes=1)
+    # the compression-hidden-skew overrides carry BOTH required confs
+    # (measured: threshold alone never fires — the advisory is the
+    # split target), and are query-scoped by design
+    o = compressed_skew_overrides()
+    assert o[
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    ] == str(1 << 20)
+    assert o["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == str(1 << 20)
