@@ -145,6 +145,9 @@ def test_sog_props_game_date_survives_unresolved_game(spark, models):
     assert all(r["game_id"] is None for r in rows)  # no game resolves
     assert all(r["game_date"] is not None for r in rows)
     assert {r["outcome"] for r in rows} <= {"pending", "unmatched"}
+
+
+def test_rolling_metrics_shapes(models):
     tsm = models["team_shot_metrics"].filter("games_played_in_season >= 3")
     # a 3-game average can never exceed the running max of the inputs
     bad = tsm.filter(F.col("sog_avg_3") > 100).count()
@@ -341,3 +344,22 @@ def test_extract_final_game_ids_first_seen_cap(spark):
     got = [r["game_id"] for r in extract_final_game_ids(rows, max_games=2).collect()]
     # earliest-listed finals win the cap: 101 (11-01) then 104 (11-02)
     assert got == [2024020101, 2024020104]
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """python -m nhl_data_pipeline_spark.cli collapsed into main():
+    builds the DAG from the committed bronze fixtures, passes the
+    reference quality gate (exit 0), materializes the warehouse, and
+    writes the export manifest."""
+    import os
+
+    from nhl_data_pipeline_spark.cli import main
+    from nhl_data_pipeline_spark.sources.export import EXPORT_MODELS
+
+    wh = str(tmp_path / "wh")
+    ex = str(tmp_path / "csv")
+    rc = main(["--warehouse", wh, "--export", ex])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(wh, "fact_shot_events"))
+    for m in EXPORT_MODELS:
+        assert os.path.isdir(os.path.join(ex, m)), m
