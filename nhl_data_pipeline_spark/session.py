@@ -38,7 +38,22 @@ def get_spark(
 
     On a real cluster the ``master`` and memory settings come from
     spark-submit; everything set here is cluster-size-agnostic policy.
+
+    If a session already exists in this process, it is returned AS IS
+    (plus any ``extra_conf``): Spark's getOrCreate silently re-applies
+    builder configs as RUNTIME confs on an existing session, so a second
+    caller with a different ``cpus`` would mutate the first caller's
+    shuffle.partitions mid-session — measured consequence: the AQE
+    broadcast-promotion pin flipped because a ~2-row build side spread
+    over 32 instead of 8 partitions falls under AQE's 0.2
+    non-empty-partition demotion ratio. First builder in the process is
+    authoritative; later callers get the live session unchanged.
     """
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        for k, v in (extra_conf or {}).items():
+            existing.conf.set(k, v)
+        return existing
     n = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{n}]")
