@@ -1,13 +1,23 @@
 """Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Output contract (round 6 — the r5 driver artifact was truncated because
+everything lived on one 2,935-char line and the driver keeps only a
+~2,000-char tail): each scale PROBE prints as its own earlier stdout line
+(`{"probe": "<name>", ...}`) AND the full probe set is written to
+``BENCH_probes.json`` next to this file; the compact headline JSON —
+
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <scale factor>}
+
+— is the FINAL stdout line (~700 chars), so the driver's tail always
+contains it. A probe that throws records {"error": ...} instead of
+killing the run; probes never touch the headline line.
 
 Each query is materialized through the noop sink (full computation incl.
 shuffles/windows, no driver collect). A warmup query first touches every
 input table so JIT/codegen and file-footer caching don't pollute the first
-measurement.
+measurement. Set SPARK_GRAFT_SKIP_PROBES=1 to run only the headline loop
+(fast local iteration).
 """
 
 from __future__ import annotations
@@ -83,6 +93,34 @@ def main() -> None:
             continue
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
+    # Probes: each on its own EARLY stdout line + all collected into
+    # BENCH_probes.json. A probe failure is recorded, never fatal — the
+    # headline line below must always be the last thing on stdout.
+    probes: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_PROBES") != "1":
+        for pname, pfn in (
+            ("dedup_scale_probe", _dedup_scale_probe),
+            ("ann_scale_probe", _ann_scale_probe),
+            ("bloom_prejoin_probe", _bloom_prejoin_probe),
+            ("cc_skew_probe", _cc_skew_probe),
+            ("skew_join_probe", _skew_join_probe),
+            ("streaming_throughput_probe", _streaming_throughput_probe),
+            ("partition_sizing_probe", _partition_sizing_probe),
+            ("pipeline_e2e_probe", _pipeline_e2e_probe),
+        ):
+            try:
+                probes[pname] = pfn(spark)
+            except Exception as exc:  # noqa: BLE001
+                probes[pname] = {"error": repr(exc)[:400]}
+            print(json.dumps({"probe": pname, **probes[pname]}))
+            sys.stdout.flush()
+        probe_path = Path(__file__).resolve().parent / "BENCH_probes.json"
+        probe_path.write_text(
+            json.dumps({"sf": _sf_from_dir(SF_DIR), "probes": probes}, indent=1)
+            + "\n"
+        )
+
+    # Headline JSON: compact, LAST stdout line — the driver's artifact.
     print(
         json.dumps(
             {
@@ -91,15 +129,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
-                "dedup_scale_probe": _dedup_scale_probe(spark),
-                "ann_scale_probe": _ann_scale_probe(spark),
-                "bloom_prejoin_probe": _bloom_prejoin_probe(spark),
-                "cc_skew_probe": _cc_skew_probe(spark),
-                "skew_join_probe": _skew_join_probe(spark),
-                "streaming_throughput_probe": _streaming_throughput_probe(
-                    spark
-                ),
-                "partition_sizing_probe": _partition_sizing_probe(spark),
             }
         )
     )
@@ -503,6 +532,109 @@ def _streaming_throughput_probe(spark) -> dict:
         out[f"{tag}_wall_rows_per_sec"] = round(n_rows / wall, 1)
         if best_rate:
             out[f"{tag}_engine_rows_per_sec"] = round(best_rate, 1)
+    return out
+
+
+def _pipeline_e2e_probe(spark) -> dict:
+    """Operational SLA number for the one-command pipeline (cli.py): the
+    reference's implicit budget is a 600 s dbt-Cloud job (BASELINE.md).
+
+    Two blocks:
+    - ``e2e_fixtures``: the full CLI path — bronze fixtures → 25-model
+      DAG (table models materialized to a scratch warehouse, Hilbert
+      writer included) → the 233-instance reference quality suite →
+      the CSV export manifest — timed end-to-end at ×1.
+    - ``staging_x100``: bronze boxscore+pbp replicated ×100 with
+      DISTINCT game ids (the payload's inner ``id`` is rewritten via
+      from_json→withField→to_json, offset r*20 inside the 4-digit game
+      number so ids stay 10 digits and latest-snapshot dedup sees 100×
+      real games), timed through the volume-bound bronze→silver path
+      (stg_games + player flatten + shot-event explode → noop). Output
+      row counts are asserted to scale exactly ×100 — proof the
+      replicas aren't collapsed by the snapshot dedup. The odds/metrics
+      tail is deliberately NOT scaled this way: identical team/date
+      replicas would give the entity-resolution join an artificial
+      100× fan-out no real corpus has; its cost is covered at ×1 and
+      grows with distinct games, not snapshots.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.nhl import facts, schemas, staging
+    from nhl_data_pipeline_spark.nhl.pipeline import run_pipeline
+    from nhl_data_pipeline_spark.nhl.quality_suite import run_reference_suite
+    from nhl_data_pipeline_spark.sources.export import export_all
+
+    fixtures = (
+        Path(__file__).resolve().parent
+        / "nhl_data_pipeline_spark"
+        / "nhl"
+        / "bronze_fixtures"
+    )
+    bronze = {
+        t: spark.read.parquet(str(fixtures / t))
+        for t in ("game_boxscore", "game_pbp", "schedule", "odds_player_props")
+    }
+    out: dict[str, float] = {}
+    spark.catalog.clearCache()
+    tmp = tempfile.mkdtemp(prefix="nhl_e2e_")
+    try:
+        t0 = time.perf_counter()
+        models = run_pipeline(
+            spark, bronze, warehouse_dir=f"{tmp}/wh"
+        ).models
+        out["e2e_models"] = float(len(models))
+        checks = run_reference_suite(models, bronze)
+        out["e2e_checks"] = float(len(checks))
+        out["e2e_checks_failed"] = float(
+            sum(1 for c in checks if not c.passed)
+        )
+        export_all(models, f"{tmp}/csv")
+        out["e2e_fixtures_sec"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def replicate(raw: _DF, schema, n: int) -> _DF:
+        p = F.from_json("payload", schema)
+        reps = [
+            raw.withColumn(
+                "payload",
+                F.to_json(p.withField("id", p["id"] + F.lit(r * 20))),
+            ).withColumn("game_id", F.col("game_id") + F.lit(r * 20))
+            for r in range(n)
+        ]
+        return reduce(_DF.unionAll, reps).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+
+    box100 = replicate(bronze["game_boxscore"], schemas.boxscore_payload(), 100)
+    pbp100 = replicate(bronze["game_pbp"], schemas.pbp_payload(), 100)
+    dim_player = spark.createDataFrame(
+        staging.stg_player_game_stats(bronze["game_boxscore"])
+        .select("player_id")
+        .distinct()
+        .toPandas()
+        .assign(player_name="Probe Player", position_code="C", position_type="F")
+    )
+
+    def silver(box, pbp):
+        g = staging.stg_games(box)
+        pg = staging.stg_player_game_stats(box)
+        se = facts.fact_shot_events(pbp, dim_player)
+        return g, pg, se
+
+    base_counts = tuple(df.count() for df in silver(bronze["game_boxscore"], bronze["game_pbp"]))
+    t0 = time.perf_counter()
+    big_counts = tuple(df.count() for df in silver(box100, pbp100))
+    out["staging_x100_sec"] = round(time.perf_counter() - t0, 3)
+    assert big_counts == tuple(100 * c for c in base_counts), (
+        base_counts,
+        big_counts,
+    )
+    out["staging_x100_rows"] = float(sum(big_counts))
     return out
 
 

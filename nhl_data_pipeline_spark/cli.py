@@ -37,14 +37,34 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--as-of", default="2024-11-15",
                    help="pipeline as-of date (dim_date spine end)")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--cluster-cores", type=int, default=None,
+                   help="derive cluster-profile confs (session.cluster_conf)"
+                        " for this many total executor cores")
+    p.add_argument("--dataset-bytes", type=int, default=None,
+                   help="dataset size for the 128 MiB working-set"
+                        " partition rule (requires --cluster-cores)")
     p.add_argument("--skip-quality", action="store_true",
                    help="skip the reference dbt-suite gate")
+    p.add_argument("--export-anyway", action="store_true",
+                   help="write the CSV export manifest even when the"
+                        " quality gate failed (default: halt like"
+                        " `dbt build`)")
     args = p.parse_args(argv)
 
     from nhl_data_pipeline_spark.nhl.pipeline import run_pipeline
-    from nhl_data_pipeline_spark.session import get_spark
+    from nhl_data_pipeline_spark.session import cluster_conf, get_spark
 
-    spark = get_spark("nhl_pipeline_cli", cpus=args.cpus)
+    extra_conf = None
+    if args.cluster_cores is not None:
+        extra_conf = cluster_conf(
+            total_cores=args.cluster_cores,
+            dataset_bytes=args.dataset_bytes or 0,
+        )
+        for k, v in sorted(extra_conf.items()):
+            print(f"cluster_conf: {k}={v}")
+
+    spark = get_spark("nhl_pipeline_cli", cpus=args.cpus,
+                      extra_conf=extra_conf)
     bronze = {
         t: spark.read.parquet(os.path.join(args.bronze, t))
         for t in BRONZE_TABLES
@@ -69,10 +89,16 @@ def main(argv: list[str] | None = None) -> int:
         rc = 1 if failed else 0
 
     if args.export:
-        from nhl_data_pipeline_spark.sources.export import export_all
+        # The reference's `dbt build` halts before the export scripts run
+        # when any test fails; a failed gate must not publish models.
+        if rc != 0 and not args.export_anyway:
+            print("export skipped: quality gate failed"
+                  " (pass --export-anyway to override)")
+        else:
+            from nhl_data_pipeline_spark.sources.export import export_all
 
-        paths = export_all(models, args.export)
-        print(f"exported {len(paths)} models to {args.export}")
+            paths = export_all(models, args.export)
+            print(f"exported {len(paths)} models to {args.export}")
     return rc
 
 

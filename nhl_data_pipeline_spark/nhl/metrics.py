@@ -116,24 +116,35 @@ def team_shots_against_by_position(
     joined back on the composite (game_id, team_id) key; 0-100 position
     percentages with a NULLIF zero guard (:61-62); 3/5-game + season
     rolling frames; team name/abbrev and the game's home_away/result
-    denormalized (:49-53)."""
-    conceded = (
-        fact_player_game_stats.groupBy("game_id", "opponent_team_id")
-        .agg(
-            F.sum(
-                F.when(F.col("position_type") == "F", F.col("shots_on_goal")).otherwise(0)
-            ).alias("shots_against_forwards"),
-            F.sum(
-                F.when(F.col("position_type") == "D", F.col("shots_on_goal")).otherwise(0)
-            ).alias("shots_against_defense"),
-        )
-        .withColumnRenamed("opponent_team_id", "team_id")
+    denormalized (:49-53). Row population matches the reference exactly:
+    the model DRIVES from the opponent-shots pivot (:11-41) — a team-game
+    with zero opponent skater rows emits no row (never a NULL-metrics
+    row) — and the `WHERE tgs.game_type = 2` regular-season filter
+    (:113) is applied after the context join, so playoff/preseason games
+    never enter the rolling frames or games_played_in_season numbering.
+    total_shots_against is SUM over ALL position types (:38), not F+D."""
+    conceded = fact_player_game_stats.groupBy(
+        "game_id",
+        F.col("date_key").alias("game_date"),
+        F.col("opponent_team_id").alias("team_id"),
+    ).agg(
+        F.sum(
+            F.when(F.col("position_type") == "F", F.col("shots_on_goal")).otherwise(0)
+        ).alias("shots_against_forwards"),
+        F.sum(
+            F.when(F.col("position_type") == "D", F.col("shots_on_goal")).otherwise(0)
+        ).alias("shots_against_defense"),
+        F.sum("shots_on_goal").alias("total_shots_against"),
     )
-    j = fact_team_game_stats.select(
-        "game_id", "team_id", "season", "game_date", "home_away", "result"
-    ).join(conceded, ["game_id", "team_id"], "left")
-    total = F.col("shots_against_forwards") + F.col("shots_against_defense")
-    j = j.withColumn("total_shots_against", total).select(
+    ctx = fact_team_game_stats.select(
+        "game_id", "team_id", "season", "home_away", "result", "game_type"
+    )
+    j = (
+        conceded.join(ctx, ["game_id", "team_id"], "left")
+        .filter(F.col("game_type") == 2)
+        .drop("game_type")
+    )
+    j = j.select(
         "*",
         F.round(
             100.0 * F.col("shots_against_forwards")

@@ -132,11 +132,61 @@ def rewrite_quoted_datetime_units(sql: str) -> str:
     Snowflake's ``DATEADD('day', n, date)`` returns DATE. A worksheet that
     SELECTs the result renders midnight timestamps where Snowflake shows
     bare dates; WHERE-clause comparisons are unaffected (date/timestamp
-    comparison coerces correctly). Callers needing the Snowflake output
-    type must wrap the call: ``CAST(dateadd(...) AS DATE)`` — the shim
-    cannot do it blindly because the third argument's type is unknown at
-    rewrite time and casting a genuine timestamp result would truncate."""
+    comparison coerces correctly). This shim cannot cast blindly (the
+    third argument's type is unknown at rewrite time and casting a genuine
+    timestamp result would truncate); callers that KNOW the schema use the
+    opt-in :func:`rewrite_dateadd_date` below."""
     return _DATEADD_RE.sub(lambda m: f"{m.group(1)}({m.group(2)}", sql)
+
+
+_DATEADD_CALL_RE = re.compile(r"\bdateadd\s*\(", re.IGNORECASE)
+_COLUMN_REF_RE = re.compile(r"^[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*$")
+
+
+def rewrite_dateadd_date(sql: str, date_columns: set[str] | list[str]) -> str:
+    """Catalog-aware, OPT-IN closure of the DATEADD type drift documented
+    in :func:`rewrite_quoted_datetime_units`: Snowflake's
+    ``DATEADD('day', n, date_col)`` returns DATE; Spark's returns
+    TIMESTAMP. When the caller supplies the DATE-typed column names (e.g.
+    from the registered temp views' schemas), every ``dateadd(...)`` whose
+    THIRD argument is a plain reference to one of them is wrapped in
+    ``CAST(... AS DATE)`` — the Snowflake output type. Qualified refs
+    match on their last segment (``g.game_date`` → ``game_date``); any
+    non-column third argument (expression, literal, subquery) is left
+    alone, so a genuine timestamp input can never be truncated. Run AFTER
+    :func:`rewrite_quoted_datetime_units` (matches the bare-unit form)."""
+    cols = {c.lower() for c in date_columns}
+    depths = _char_depths(sql)
+    inserts: list[tuple[int, str]] = []  # (original position, text)
+    for m in _DATEADD_CALL_RE.finditer(sql):
+        if depths[m.start()] == -1:
+            continue
+        # _char_depths marks '(' at its incremented depth; the matching
+        # ')' carries depth-1, and the call's arg-separator commas carry
+        # the '(' depth.
+        d = depths[m.end() - 1]
+        close = None
+        commas: list[int] = []
+        for i in range(m.end(), len(sql)):
+            if depths[i] != d:
+                if depths[i] == d - 1 and sql[i] == ")":
+                    close = i
+                    break
+                continue
+            if sql[i] == ",":
+                commas.append(i)
+        if close is None or len(commas) != 2:
+            continue
+        third = sql[commas[1] + 1 : close].strip()
+        if not _COLUMN_REF_RE.match(third):
+            continue
+        if third.split(".")[-1].lower() not in cols:
+            continue
+        inserts.append((m.start(), "CAST("))
+        inserts.append((close + 1, " AS DATE)"))
+    for pos, text in sorted(inserts, reverse=True):
+        sql = sql[:pos] + text + sql[pos:]
+    return sql
 
 
 _DBT_REF_RE = re.compile(r"\{\{\s*ref\(\s*'([^']+)'\s*\)\s*\}\}")
@@ -253,15 +303,22 @@ def spark_sql_compat(
     sql: str,
     *,
     name_map: dict[str, str] | None = None,
+    date_columns: set[str] | list[str] | None = None,
 ) -> DataFrame:
     """Run (possibly Snowflake-flavored) SQL on Spark: QUALIFY and IFF
     rewritten, qualified names mapped, helper column dropped from the
-    result. Everything else the reference's worksheets use (`::` casts,
-    aliases in HAVING, tuple-IN subqueries, `INTERVAL '15 days'`) parses
-    natively in Spark 4 (probed, tests/test_worksheet_verbatim.py)."""
+    result. ``date_columns`` (names of DATE-typed columns, typically
+    gathered from the registered views' schemas) opts in to
+    :func:`rewrite_dateadd_date` so DATEADD over those columns returns
+    DATE like Snowflake. Everything else the reference's worksheets use
+    (`::` casts, aliases in HAVING, tuple-IN subqueries, `INTERVAL '15
+    days'`) parses natively in Spark 4 (probed,
+    tests/test_worksheet_verbatim.py)."""
     rewritten = rewrite_distinct_order_aliases(
         rewrite_quoted_datetime_units(rewrite_iff(rewrite_qualify(sql)))
     )
+    if date_columns:
+        rewritten = rewrite_dateadd_date(rewritten, date_columns)
     if name_map:
         rewritten = rewrite_qualified_names(rewritten, name_map)
     had_qualify = "__qualify" in rewritten

@@ -49,7 +49,17 @@ def get_spark(
     non-empty-partition demotion ratio. First builder in the process is
     authoritative; later callers get the live session unchanged.
     """
-    existing = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL: a call from any thread other
+    # than the session's creator (streaming listener, worker thread)
+    # would see None and fall into getOrCreate, which re-applies builder
+    # configs as runtime confs on the live session — the mid-session
+    # shuffle.partitions mutation this guard exists to prevent. The
+    # process-wide default lives in _instantiatedSession (what
+    # SparkSession.active() consults after the thread-local miss;
+    # pyspark exposes no public getDefaultSession) — fall back to it.
+    existing = (
+        SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    )
     if existing is not None:
         for k, v in (extra_conf or {}).items():
             existing.conf.set(k, v)

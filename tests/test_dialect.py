@@ -151,3 +151,45 @@ def test_distinct_order_alias_rewrite_skips_string_literals(spark):
     # ...the literal survived verbatim, and the LIMIT tail is untouched
     assert "'p.player_name is a literal'" in out
     assert out.endswith("LIMIT 5")
+
+
+def test_dateadd_date_rewrite(spark):
+    """Opt-in DATEADD type-drift closure (ADVICE r5): Snowflake's
+    DATEADD('day', n, date_col) returns DATE; with the column names
+    supplied, the Spark round-trip is DATE-typed too. Non-column third
+    arguments and unknown columns are untouched."""
+    from nhl_data_pipeline_spark.plans.dialect import (
+        rewrite_dateadd_date,
+        spark_sql_compat,
+    )
+
+    # unit form after rewrite_quoted_datetime_units; qualified ref matches
+    # on its last segment
+    assert (
+        rewrite_dateadd_date(
+            "SELECT dateadd(day, 3, g.game_date) FROM g", {"game_date"}
+        )
+        == "SELECT CAST(dateadd(day, 3, g.game_date) AS DATE) FROM g"
+    )
+    # expression / literal / unknown-column third args: untouched
+    for sql in (
+        "SELECT dateadd(day, 1, ts + INTERVAL '1' HOUR) FROM t",
+        "SELECT dateadd(day, 1, '2020-01-01'::DATE) FROM t",
+        "SELECT dateadd(day, 1, event_ts) FROM t",
+    ):
+        assert rewrite_dateadd_date(sql, {"game_date"}) == sql
+    # a dateadd inside a string literal is never rewritten
+    lit = "SELECT 'dateadd(day, 1, game_date)' AS s FROM t"
+    assert rewrite_dateadd_date(lit, {"game_date"}) == lit
+
+    # end-to-end: Snowflake worksheet form round-trips to a DATE column
+    spark.sql("SELECT CAST('2024-11-01' AS DATE) AS game_date").createOrReplaceTempView(
+        "dd_games"
+    )
+    df = spark_sql_compat(
+        spark,
+        "SELECT DATEADD('day', 7, game_date) AS next_week FROM dd_games",
+        date_columns={"game_date"},
+    )
+    assert df.schema["next_week"].dataType.simpleString() == "date"
+    assert str(df.collect()[0]["next_week"]) == "2024-11-08"

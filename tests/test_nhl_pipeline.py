@@ -363,3 +363,55 @@ def test_cli_end_to_end(spark, tmp_path):
     assert os.path.isdir(os.path.join(wh, "fact_shot_events"))
     for m in EXPORT_MODELS:
         assert os.path.isdir(os.path.join(ex, m)), m
+
+
+def test_cli_cluster_conf_reaches_session(spark, capsys):
+    """--cluster-cores/--dataset-bytes route through session.cluster_conf
+    and the derived confs land on the (live) session — the measured
+    sizing policy is reachable from the one-command entry point."""
+    from nhl_data_pipeline_spark.cli import main
+    from nhl_data_pipeline_spark.session import cluster_conf
+
+    want = cluster_conf(total_cores=64, dataset_bytes=100 << 30)
+    saved = {k: spark.conf.get(k) for k in want}
+    try:
+        rc = main(["--skip-quality", "--cluster-cores", "64",
+                   "--dataset-bytes", str(100 << 30)])
+        assert rc == 0
+        out = capsys.readouterr().out
+        for k, v in want.items():
+            assert spark.conf.get(k) == v, k
+            assert f"cluster_conf: {k}={v}" in out
+        # the 100 GiB / 128 MiB working-set rule beats 2×cores here
+        assert want["spark.sql.shuffle.partitions"] == "800"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_cli_failed_gate_blocks_export(tmp_path, monkeypatch, capsys):
+    """A failed quality gate halts before the export step — the same
+    contract as the reference's `dbt build` (tests run before the export
+    scripts) — unless --export-anyway explicitly overrides."""
+    import os
+
+    from nhl_data_pipeline_spark.nhl import quality_suite
+    from nhl_data_pipeline_spark.nhl.quality import CheckResult
+    from nhl_data_pipeline_spark.cli import main
+
+    monkeypatch.setattr(
+        quality_suite,
+        "run_reference_suite",
+        lambda models, bronze: [
+            CheckResult("dim_teams", "not_null(team_id)", False, 3)
+        ],
+    )
+    ex = str(tmp_path / "csv")
+    rc = main(["--export", ex])
+    assert rc == 1
+    assert "export skipped: quality gate failed" in capsys.readouterr().out
+    assert not os.path.exists(ex)
+
+    rc = main(["--export", ex, "--export-anyway"])
+    assert rc == 1  # exit code still reports the failure
+    assert os.path.isdir(ex)

@@ -251,12 +251,32 @@ def test_worksheet_has_ten_statements():
     assert len(_statements()) == 10
 
 
+def _date_columns(spark, views: tuple[str, ...]) -> set[str]:
+    """DATE-typed column names across the registered views — the
+    catalog-derived schema the DATEADD type-drift rewrite keys on."""
+    return {
+        f.name
+        for v in views
+        for f in spark.table(v).schema.fields
+        if f.dataType.simpleString() == "date"
+    }
+
+
 @pytest.mark.parametrize("idx", sorted(EQUIVALENTS))
 def test_worksheet_statement_verbatim(ref_views, idx):
     spark = ref_views
     stmt = _statements()[idx]
-    # the ONLY transformation is the shim itself
-    got = spark_sql_compat(spark, stmt, name_map=NAME_MAP)
+    # the ONLY transformation is the shim itself (date_columns comes from
+    # the registered views' schemas, not hand-listed — the catalog-aware
+    # opt-in path for the DATEADD DATE-return drift)
+    got = spark_sql_compat(
+        spark,
+        stmt,
+        name_map=NAME_MAP,
+        date_columns=_date_columns(
+            spark, ("ref_fact_team_game_stats", "ref_team_shot_metrics")
+        ),
+    )
     want = spark.sql(EQUIVALENTS[idx])
     assert got.columns == want.columns, (got.columns, want.columns)
     got_rows = sorted(map(tuple, got.collect()))
