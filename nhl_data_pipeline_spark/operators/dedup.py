@@ -467,15 +467,22 @@ def neardup_against_ledger(
     the increment's key set fits, shuffled-hash on the 16-byte key
     beyond; the ledger grows by O(bands) rows per admitted doc.
     """
+    # Persisted: the increment's band table feeds BOTH the collision
+    # check and new_entries, and flagged_ids feeds three consumers
+    # (flagged / kept / new_entries) — without the persists each consumer
+    # re-shingles and re-hashes the increment text (plan-fingerprinted in
+    # the doc_signature_dedup driver row). Increment-sized state only;
+    # the ledger is never materialized here.
     bt = lsh_band_table(
         new_docs, id_col=id_col, text_col=text_col, n=n, k=k,
         bands=bands, rows=rows,
-    )
+    ).persist()
     led = ledger.select("band_idx", "band_key", "owner_id")
     flagged_ids = (
         bt.join(led, ["band_idx", "band_key"])
         .groupBy(id_col)
         .agg(F.collect_set("owner_id").alias("candidate_owners"))
+        .persist()
     )
     flagged = new_docs.join(flagged_ids, id_col)
     kept = new_docs.join(flagged_ids.select(id_col), id_col, "left_anti")

@@ -29,7 +29,10 @@ from nhl_data_pipeline_spark.streaming import events_stream as es
 
 @query(
     "streaming_sessionize",
-    covers="§2.10-streaming,§2.10-streaming-stateful,A1,W7",
+    covers=(
+        "§2.10-streaming,§2.10-streaming-stateful,§2.10-streaming-dedup,"
+        "§2.10-stream-static-join,§2.10-upsert-sink,A1,W7"
+    ),
     oracle="""
         WITH ordered AS (
             SELECT user_id, ts,
@@ -109,15 +112,34 @@ from nhl_data_pipeline_spark.streaming import events_stream as es
           ON v.user_id = p.user_id
          AND p.purchase_ts >= v.view_ts
          AND p.purchase_ts <= v.view_ts + INTERVAL '1 hour'
+        UNION ALL
+        SELECT 'dedup', user_id, ts, CAST(NULL AS TIMESTAMP), event_type,
+               CAST(NULL AS BIGINT), value, event_id, CAST(NULL AS BIGINT)
+        FROM events
+        UNION ALL
+        SELECT 'stream_static', e.user_id, e.ts, CAST(NULL AS TIMESTAMP),
+               e.event_type || '|' || c.c_name || '|' || c.c_mktsegment,
+               CAST(NULL AS BIGINT), e.value, e.event_id,
+               CAST(NULL AS BIGINT)
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        UNION ALL
+        SELECT 'upsert', user_id, ts, CAST(NULL AS TIMESTAMP), event_type,
+               CAST(NULL AS BIGINT), value, event_id, CAST(NULL AS BIGINT)
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
     """,
 )
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FOUR real streaming runs, union-tagged (merged
-    `streaming_tumbling_counts` in the r5 rotation, then widened to
-    driver-check the remaining twin-only streaming families), each
-    hash-checked against batch SQL: custom stateful sessionization,
-    tumbling windowed aggregation, sliding windowed aggregation, and the
-    stream-STREAM funnel join.
+    """SEVEN real streaming runs, union-tagged (merged
+    `streaming_tumbling_counts` in the r5 rotation, then widened r5/r6
+    until every streaming family is driver-checked), each hash-checked
+    against batch SQL: custom stateful sessionization, tumbling windowed
+    aggregation, sliding windowed aggregation, the stream-STREAM funnel
+    join, watermarked dedup, the stream-static broadcast enrich, and the
+    foreachBatch upsert sink.
 
     'session' branch: inactivity-gap sessionization EXECUTED BY THE
     STREAMING ENGINE (applyInPandasWithState, per-user state across
@@ -152,6 +174,29 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose state Structured Streaming bounds by watermark + band width;
     inner-join matches emit immediately, so availableNow output equals
     the batch theta join the oracle runs.
+
+    'dedup' branch (new r6): the input stream UNIONED WITH ITSELF (a
+    re-delivery simulation — every event arrives twice through two
+    independent file sources) through watermarked
+    ``dropDuplicates(event_id)`` state — output is exactly the distinct
+    event set, hash-checked against plain `SELECT ... FROM events`.
+    Deterministic because duplicate copies are byte-identical, so
+    whichever copy wins state admission carries the same values. State
+    at scale is bounded by the watermark horizon (event_id → seen) —
+    the streaming analog of W1 latest-snapshot dedup.
+
+    'stream_static' branch (new r6): per-micro-batch broadcast join of
+    the stream against the customer dimension (J1's streaming twin) —
+    the dim side re-read and broadcast each batch, the stream side never
+    shuffles; enrichment columns are concatenated into one tagged string
+    so the full join output is hash-checked.
+
+    'upsert' branch (new r6): a REAL foreachBatch latest-wins merge sink
+    run (``upsert_stream`` → parquet target keyed by user_id, newest by
+    (ts, event_id)) read back after termination — exactly-once upsert
+    semantics replayed by the oracle as batch last-write-wins
+    (row_number DESC = 1). With Delta/Iceberg the sink body becomes
+    MERGE INTO; semantics are fixed by sources.lake.upsert_latest.
     """
     from nhl_data_pipeline_spark.streaming import sessionize as sz
 
@@ -217,8 +262,68 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_id",
         "purchase_id",
     )
+    redelivered = es.read_events_stream(spark, sf_dir).unionByName(
+        es.read_events_stream(spark, sf_dir)
+    )
+    dedup = es.run_available_now(
+        spark, es.dedup_stream(redelivered, watermark="3650 days")
+    ).select(
+        F.lit("dedup").alias("op"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.lit(None).cast("timestamp").alias("end_ts"),
+        "event_type",
+        nul_b("n"),
+        F.col("value").alias("total_value"),
+        F.col("event_id").alias("view_id"),
+        nul_b("purchase_id"),
+    )
+    enriched = es.run_available_now(
+        spark,
+        es.enrich_with_customer_dim(
+            spark, es.read_events_stream(spark, sf_dir), sf_dir
+        ),
+    ).select(
+        F.lit("stream_static").alias("op"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.lit(None).cast("timestamp").alias("end_ts"),
+        F.concat(
+            "event_type", F.lit("|"), "user_name", F.lit("|"), "mktsegment"
+        ).alias("event_type"),
+        nul_b("n"),
+        F.col("value").alias("total_value"),
+        F.col("event_id").alias("view_id"),
+        nul_b("purchase_id"),
+    )
+    import tempfile
+
+    target = tempfile.mkdtemp(prefix="upsert_sink_") + "/events_latest"
+    es.upsert_stream(
+        spark,
+        es.read_events_stream(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ),
+        target,
+        key="user_id",
+        order_cols=("ts", "event_id"),
+    )
+    upserted = spark.read.parquet(target).select(
+        F.lit("upsert").alias("op"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.lit(None).cast("timestamp").alias("end_ts"),
+        "event_type",
+        nul_b("n"),
+        F.col("value").alias("total_value"),
+        F.col("event_id").alias("view_id"),
+        nul_b("purchase_id"),
+    )
     return (
         sessions.unionByName(tumbling)
         .unionByName(sliding)
         .unionByName(funnel)
+        .unionByName(dedup)
+        .unionByName(enriched)
+        .unionByName(upserted)
     )

@@ -166,9 +166,43 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SH_SQL = D.shingles_sql(_TOKS, 3)
+
+
+def _ledger_band_table_sql(src: str, bands: int = 4) -> str:
+    """DuckDB twin of ``operators/dedup.lsh_band_table`` (WITH
+    short_doc_fallback) over the CTE named `src` — two CTE defs + a final
+    band CTE named `{src}_bands`. Shares the signature/band-key generators
+    with the batch `dedup_minhash_lsh` oracle so batch and incremental
+    recall can't drift."""
+    fp0 = X.fingerprint_sql("coalesce(text, '')")
+    return f"""
+        {src}_shg AS (
+            SELECT doc_id, {_SH_SQL} AS sh
+            FROM {src} WHERE len({_TOKS}) >= 3
+        ),
+        {src}_sigs AS (
+            SELECT doc_id, {D.minhash_signature_sql('sh', 12)} AS sig
+            FROM {src}_shg
+        ),
+        {src}_bands AS (
+            SELECT doc_id,
+                   CAST(unnest(generate_series(1, {bands})) AS BIGINT)
+                       AS band_idx,
+                   unnest({D.lsh_band_keys_sql('sig', bands, 3)}) AS band_key
+            FROM {src}_sigs
+            UNION ALL
+            SELECT doc_id, CAST(0 AS BIGINT), {fp0}
+            FROM {src} WHERE (len({_TOKS}) >= 3) IS NOT TRUE
+        )"""
+
+
 @query(
     "doc_signature_dedup",
-    covers="LLM-dedup-exact,LLM-dedup-simhash,A1",
+    covers=(
+        "LLM-dedup-exact,LLM-dedup-simhash,LLM-dedup-ledger-exact,"
+        "LLM-dedup-ledger-neardup,A1"
+    ),
     oracle=f"""
         WITH sig AS (
             SELECT doc_id, {X.fingerprint_sql('text')} AS fp,
@@ -179,18 +213,52 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
                    CAST(count(*) AS BIGINT) AS n_dups
             FROM sig GROUP BY 1
+        ),
+        hist AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        {_ledger_band_table_sql('hist')},
+        {_ledger_band_table_sql('inc')},
+        flag AS (
+            SELECT i.doc_id, CAST(min(l.doc_id) AS BIGINT) AS min_owner,
+                   CAST(count(DISTINCT l.doc_id) AS BIGINT) AS n_cand
+            FROM inc_bands i
+            JOIN hist_bands l USING (band_idx, band_key)
+            GROUP BY 1
         )
-        SELECT s.doc_id, s.fp, g.keep_doc_id, g.n_dups, s.simhash16
+        SELECT 'sig' AS op, s.doc_id, s.fp, g.keep_doc_id, g.n_dups,
+               s.simhash16
         FROM sig s JOIN grp g USING (fp)
+        UNION ALL
+        SELECT 'ledger_exact', i.doc_id, i.fp, CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        FROM (SELECT s.doc_id, s.fp FROM sig s JOIN inc USING (doc_id)) i
+        LEFT JOIN (SELECT DISTINCT s.fp FROM sig s
+                   JOIN hist USING (doc_id)) h ON i.fp = h.fp
+        WHERE h.fp IS NULL
+        UNION ALL
+        SELECT 'ledger_near_flag', doc_id, CAST(NULL AS VARCHAR),
+               min_owner, n_cand, CAST(NULL AS BIGINT)
+        FROM flag
+        UNION ALL
+        SELECT 'ledger_near_kept', i.doc_id, CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM inc i LEFT JOIN flag f USING (doc_id) WHERE f.doc_id IS NULL
+        UNION ALL
+        SELECT 'ledger_delta', b.doc_id, b.band_key, CAST(NULL AS BIGINT),
+               b.band_idx, CAST(NULL AS BIGINT)
+        FROM inc_bands b LEFT JOIN flag f USING (doc_id)
+        WHERE f.doc_id IS NULL
     """,
 )
 def doc_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc content signatures + exact dedup verdict in one result
-    (merged `doc_fingerprint_dedup` + `dedup_simhash`, both formerly
-    separate green rows — same operators, one registry slot).
+    """Per-doc content signatures + exact dedup verdict, union-tagged with
+    the INCREMENTAL ledger dedup family (r6 fold — the last §8 dedup
+    family without a driver row; merged `doc_fingerprint_dedup` +
+    `dedup_simhash` in earlier rotations).
 
-    Columns: the doc's 16-byte canonical fingerprint (exact-dedup key),
-    the group's keep_doc_id / n_dups from the hash-aggregate dedup
+    'sig' branch: the doc's 16-byte canonical fingerprint (exact-dedup
+    key), the group's keep_doc_id / n_dups from the hash-aggregate dedup
     (`operators/dedup.exact_dedup_keep_min`), and the 16-bit SimHash
     near-dup bucket (`simhash_exploded`, codegen explode+sum form).
     Scale shape: ONE persisted base projection (doc_id, fp, toks) feeds
@@ -199,10 +267,29 @@ def doc_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints only; the annotate-back join is fp↔fp hash join (both
     sides already hashed by fp); SimHash is one exchange of (id, 16
     partial sums).
+
+    Ledger branches replay a crawl increment (odd doc_ids) against the
+    accumulated history (even doc_ids) — history TEXT is never rescanned,
+    only its 16 B/doc fingerprint ledger and (16+4) B×bands band-key
+    ledger (`operators/dedup.py::dedup_against_reference` /
+    `neardup_against_ledger`):
+
+    - 'ledger_exact': increment docs surviving the exact-fingerprint
+      anti-join (fp reuses the persisted base projection).
+    - 'ledger_near_flag': increment docs sharing ≥1 MinHash-LSH band key
+      with history — keep_doc_id carries the smallest colliding owner,
+      n_dups the distinct-owner count (provenance for targeted verify).
+    - 'ledger_near_kept': increment docs with no ledger collision
+      (admitted; batch-internal dedup composes separately).
+    - 'ledger_delta': the admitted docs' band rows (fp=band_key,
+      n_dups=band_idx) — the exact rows the ledger accrues for the next
+      increment, closing the idempotence loop.
     """
+    docs = load_table(spark, sf_dir, "documents")
     base = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+        docs.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
         .select(
             "doc_id",
             X.fingerprint(F.col("text")).alias("fp"),
@@ -214,15 +301,59 @@ def doc_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", "toks"), F.col("toks"), 16
     )
     grp = D.exact_dedup_keep_min(base, F.col("fp"), "doc_id")
-    return (
+    nul_s = lambda a: F.lit(None).cast("string").alias(a)  # noqa: E731
+    nul_b = lambda a: F.lit(None).cast("bigint").alias(a)  # noqa: E731
+    sig = (
         base.select("doc_id", "fp")
         .join(grp, "fp")
         .join(sh, "doc_id")
-        .select("doc_id", "fp", "keep_doc_id", "n_dups", "simhash16")
+        .select(
+            F.lit("sig").alias("op"),
+            "doc_id", "fp", "keep_doc_id", "n_dups", "simhash16",
+        )
     )
-
-
-_SH_SQL = D.shingles_sql(_TOKS, 3)
+    even = F.col("doc_id") % 2 == 0
+    exact = D.dedup_against_reference(
+        base.filter(~even).select("doc_id", "fp"),
+        base.filter(even).select("fp"),
+        F.col("fp"),
+    ).select(
+        F.lit("ledger_exact").alias("op"),
+        "doc_id", "fp",
+        nul_b("keep_doc_id"), nul_b("n_dups"), nul_b("simhash16"),
+    )
+    ledger = D.lsh_band_table(docs.filter(even)).select(
+        "band_idx", "band_key", F.col("doc_id").alias("owner_id")
+    )
+    kept_n, flagged, delta = D.neardup_against_ledger(
+        docs.filter(~even), ledger
+    )
+    flag = flagged.select(
+        F.lit("ledger_near_flag").alias("op"),
+        "doc_id", nul_s("fp"),
+        F.array_min("candidate_owners").cast("bigint").alias("keep_doc_id"),
+        F.size("candidate_owners").cast("bigint").alias("n_dups"),
+        nul_b("simhash16"),
+    )
+    kept = kept_n.select(
+        F.lit("ledger_near_kept").alias("op"),
+        "doc_id", nul_s("fp"),
+        nul_b("keep_doc_id"), nul_b("n_dups"), nul_b("simhash16"),
+    )
+    accrue = delta.select(
+        F.lit("ledger_delta").alias("op"),
+        F.col("owner_id").alias("doc_id"),
+        F.col("band_key").alias("fp"),
+        nul_b("keep_doc_id"),
+        F.col("band_idx").cast("bigint").alias("n_dups"),
+        nul_b("simhash16"),
+    )
+    return (
+        sig.unionByName(exact)
+        .unionByName(flag)
+        .unionByName(kept)
+        .unionByName(accrue)
+    )
 
 
 @query(
