@@ -213,59 +213,122 @@ def semantic_neardup_pairs_blocked_numpy(
     *,
     vec: str = "embedding",
     id_col: str = "vec_id",
+    max_block_rows: int = 600,
 ) -> DataFrame:
     """Same contract as :func:`semantic_neardup_pairs`, one-pass Arrow form.
 
     The join variant scans + assigns the corpus twice (once per self-join
     side) and evaluates the cosine fold with interpreted higher-order
     functions per candidate pair. Here the corpus is scanned ONCE:
-    codegen assignment → shuffle on cluster_id → per-cluster
-    `applyInPandas` scores the within-cluster pair block vectorized.
+    codegen assignment → shuffle on (cluster_id, tile) → per-tile
+    `applyInPandas` scores the pair block vectorized.
 
     Bit-identical to the JVM/DuckDB fold by the
     similarity.cosine_allpairs_numpy trick: accumulate with an explicit
-    loop over DIMENSIONS (`acc += A[:, d:d+1] * A[None, :, d]`) —
+    loop over DIMENSIONS (`acc += A[:, d:d+1] * B[None, :, d]`) —
     sequential IEEE adds in index order, vectorized across pairs — so
     the cosine bits and the ≥-threshold pair set match the oracle
     exactly (measured: 3.0 s → ~1 s at sf0.1, identical hash).
 
-    Memory: one cluster's m×m float64 block must fit an executor
-    (2.9 MB at m=600). At 100 TB, cap cluster size by raising k or
-    re-splitting oversized clusters (recursive bisection) before the
-    pair stage; the groupBy key makes that a metadata-only change.
+    Oversized-cluster TILING (the r6 sf1-sweep fix): with fixed k, a
+    10× corpus makes every cluster's pair block 100× bigger AND caps
+    parallelism at k tasks — measured 12.6× wall-clock at 10× data
+    (BENCH_r06_sf1_sweep.json). When the expected cluster size n/k
+    exceeds ``max_block_rows``, rows are deterministically split into
+    b = ⌈n/k/max_block_rows⌉ sub-blocks (id % b) and each cluster's
+    pair search fans out over the b(b+1)/2 block-tiles — diagonal tiles
+    score their triangle, off-diagonal tiles the cross rectangle — so
+    every pair is produced EXACTLY once (pair (a,b) lives only in tile
+    (min,max) of its blocks), per-task matrices are bounded at
+    ~max_block_rows² regardless of corpus size, and parallelism is
+    k·b(b+1)/2 instead of k. Each row is replicated to its b tiles —
+    shuffle volume grows b× on the (small) vector rows, pair work total
+    is unchanged. b=1 (every SF the driver/bench correctness gates run
+    at) reproduces the untiled plan byte-for-byte; values are
+    B-invariant by the dimension-ordered fold.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     assigned = kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0].select(
         "cluster_id", F.col(id_col), F.col(vec)
     )
+    # parquet-metadata count: cheap relative to the pair stage it sizes
+    b = max(1, math.ceil(df.count() / k / max_block_rows))
 
-    def score(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    def _cos_block(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+        dim = x.shape[1]
+        nx = np.zeros(len(x))
+        ny = np.zeros(len(y))
+        for d in range(dim):
+            nx += x[:, d] * x[:, d]
+            ny += y[:, d] * y[:, d]
+        acc = np.zeros((len(x), len(y)))
+        for d in range(dim):
+            acc += x[:, d : d + 1] * y[None, :, d]
+        return acc / (np.sqrt(nx)[:, None] * np.sqrt(ny)[None, :])
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+        {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+    )
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = (key[1], key[2]) if len(key) >= 3 else (0, 0)
+        if tx == ty:  # diagonal tile: triangle over one block
+            m = len(pdf)
+            if m < 2:
+                return empty
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf[vec]), dtype=np.float64)
+            cos = _cos_block(mat, mat)
+            ai, bi = np.nonzero(
+                (cos >= threshold) & (ids[:, None] < ids[None, :])
             )
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf[vec]), dtype=np.float64)
-        dim = mat.shape[1]
-        sq = np.zeros(m)
-        for d in range(dim):
-            sq += mat[:, d] * mat[:, d]
-        nrm = np.sqrt(sq)
-        acc = np.zeros((m, m))
-        for d in range(dim):
-            acc += mat[:, d : d + 1] * mat[None, :, d]
-        cos = acc / (nrm[:, None] * nrm[None, :])
-        ai, bi = np.nonzero((cos >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {"id_a": ids[ai], "id_b": ids[bi], "cosine": cos[ai, bi]}
+            )
+        xs = pdf[pdf["blk"] == tx]
+        ys = pdf[pdf["blk"] == ty]
+        if xs.empty or ys.empty:
+            return empty
+        idx = xs[id_col].to_numpy(dtype=np.int64)
+        idy = ys[id_col].to_numpy(dtype=np.int64)
+        cos = _cos_block(
+            np.array(list(xs[vec]), dtype=np.float64),
+            np.array(list(ys[vec]), dtype=np.float64),
+        )
+        ai, bi = np.nonzero(cos >= threshold)
         return pd.DataFrame(
-            {"id_a": ids[ai], "id_b": ids[bi], "cosine": cos[ai, bi]}
+            {
+                "id_a": np.minimum(idx[ai], idy[bi]),
+                "id_b": np.maximum(idx[ai], idy[bi]),
+                "cosine": cos[ai, bi],
+            }
         )
 
-    return assigned.groupBy("cluster_id").applyInPandas(
-        score, "id_a long, id_b long, cosine double"
+    schema = "id_a long, id_b long, cosine double"
+    if b == 1:
+        def score_tri(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return score((None, 0, 0), pdf)
+
+        return assigned.groupBy("cluster_id").applyInPandas(
+            score_tri, schema
+        )
+    p = (F.col(id_col) % b).cast("int")
+    tiles = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda q: F.struct(
+            F.least(p, q).alias("tx"), F.greatest(p, q).alias("ty")
+        ),
     )
+    exploded = assigned.withColumn("blk", p).withColumn(
+        "tile", F.explode(tiles)
+    )
+    return exploded.groupBy(
+        "cluster_id", F.col("tile.tx").alias("tx"), F.col("tile.ty").alias("ty")
+    ).applyInPandas(score, schema)
 
 
 def ivf_topk_trained(

@@ -123,6 +123,33 @@ def test_blocked_numpy_variant_is_bit_identical(spark, emb):
     assert jvm == arrow and len(jvm) > 100
 
 
+def test_tiled_pair_stage_is_bit_identical(spark, emb):
+    """Oversized-cluster tiling (the sf1-sweep scale fix) must return the
+    EXACT tuple set of the untiled pair stage — every pair produced once,
+    cosine bits unchanged — when max_block_rows forces b > 1 tiles per
+    cluster. Threshold low enough that every pair is emitted, so missed
+    cross-tile pairs or double-emitted diagonal pairs cannot hide."""
+    untiled = {
+        tuple(r)
+        for r in KM.semantic_neardup_pairs_blocked_numpy(
+            emb, -1.0, 6, n_iter=1
+        ).collect()
+    }
+    tiled = {
+        tuple(r)
+        for r in KM.semantic_neardup_pairs_blocked_numpy(
+            emb, -1.0, 6, n_iter=1, max_block_rows=7
+        ).collect()
+    }
+    assert untiled == tiled and len(tiled) > 100
+    # tiling also never duplicates a pair (set-compare above would hide
+    # duplicates): count rows, not distinct tuples
+    n_rows = KM.semantic_neardup_pairs_blocked_numpy(
+        emb, -1.0, 6, n_iter=1, max_block_rows=7
+    ).count()
+    assert n_rows == len(tiled)
+
+
 def test_trained_ivf_recall_beats_arbitrary_centroids(spark, emb):
     """k-means-trained IVF must reach high recall@10 vs brute force, and
     at least match the registered arbitrary-centroid IVF at the same

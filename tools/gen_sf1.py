@@ -1,0 +1,162 @@
+"""Generate an sf1-scale test lake from the committed sf0.1 parquet.
+
+The driver ships sf{0.001,0.01,0.1} only (TESTDATA.md); the sf1 sweep
+(VERDICT r5 ask #2: catch superlinear constants sf0.1 hides) needs a
+10× lake with the SAME schema and join topology. Each replica r∈[0,10)
+is a self-consistent universe:
+
+- fact/bridge keys are offset by r × (max_key+1), consistently across
+  referencing tables (l_orderkey and o_orderkey share the orders
+  stride, o_custkey/user_id the customer stride, …) — so join
+  selectivity and per-key group sizes are IDENTICAL to sf0.1 while key
+  cardinality scales 10×;
+- region/nation stay fixed (TPC-H semantics: dimension size is
+  SF-independent; they must remain broadcastable at every SF);
+- document text in replica r is letter-ROTATED by r (a substitution
+  cipher via translate): token/shingle structure, lengths, whitespace
+  and the intra-replica duplicate topology are preserved exactly,
+  while cross-replica shingles are disjoint — duplicate/near-dup PAIR
+  counts therefore scale exactly 10× (linear), instead of the 100×
+  pair blow-up naive text replication would plant;
+- embeddings in replica r are circularly SHIFTED by r·(dim/10)
+  positions: a coordinate permutation preserves norms and every
+  intra-replica dot product bit-for-bit (identical cluster geometry and
+  near-dup structure per replica) while cross-replica cosines drop to
+  noise (~N(0, 1/√dim)) — so cosine-pair counts scale exactly 10×.
+  The first cut added +r·0.001 to one component instead; that left
+  cross-replica cosines ≈ 1 and planted a 100× near-dup pair blow-up
+  (measured: kmeans_semantic_dedup 13.2× at 10× data, dropping to ~10×
+  expectations once replicas are decorrelated).
+
+Output timestamps are written at parquet MICROS precision (DuckDB's
+writer) where the driver lake uses NANOS — catalog.load_table
+dispatches on either, so the engine reads both identically.
+
+Usage: python tools/gen_sf1.py [src_dir] [dst_dir]
+Defaults: /root/testdata/sf0.1 → <repo>/.testdata/sf1 (gitignored).
+Deterministic: pure SQL over the committed inputs, ORDER BY on output.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+from pathlib import Path
+
+import duckdb
+
+REPLICAS = int(os.environ.get("SF1_REPLICAS", "10"))
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else str(Path(__file__).resolve().parent.parent / ".testdata" / "sf1")
+    )
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+
+    def rd(t: str) -> str:
+        return f"read_parquet('{src}/{t}.parquet')"
+
+    def stride(t: str, key: str) -> int:
+        return con.execute(f"SELECT max({key}) + 1 FROM {rd(t)}").fetchone()[0]
+
+    cu = stride("customer", "c_custkey")
+    su = stride("supplier", "s_suppkey")
+    pa = stride("part", "p_partkey")
+    orr = stride("orders", "o_orderkey")
+    ev = stride("events", "event_id")
+    do = stride("documents", "doc_id")
+    ve = stride("embeddings", "vec_id")
+
+    def copy(table: str, select_sql: str) -> None:
+        con.execute(
+            f"COPY ({select_sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')"
+        ).fetchone()[0]
+        print(f"{table}: {n} rows")
+
+    rep = f"CROSS JOIN range(0, {REPLICAS}) t(r)"
+    # Dimensions with SF-independent cardinality: copied verbatim.
+    copy("region", f"SELECT * FROM {rd('region')}")
+    copy("nation", f"SELECT * FROM {rd('nation')}")
+    copy(
+        "customer",
+        f"""SELECT c_custkey + r * {cu} AS c_custkey, c_name, c_nationkey,
+                   c_acctbal, c_mktsegment
+            FROM {rd('customer')} {rep} ORDER BY c_custkey""",
+    )
+    copy(
+        "supplier",
+        f"""SELECT s_suppkey + r * {su} AS s_suppkey, s_name, s_nationkey,
+                   s_acctbal
+            FROM {rd('supplier')} {rep} ORDER BY s_suppkey""",
+    )
+    copy(
+        "part",
+        f"""SELECT p_partkey + r * {pa} AS p_partkey, p_name, p_brand,
+                   p_type, p_size, p_retailprice
+            FROM {rd('part')} {rep} ORDER BY p_partkey""",
+    )
+    copy(
+        "orders",
+        f"""SELECT o_orderkey + r * {orr} AS o_orderkey,
+                   o_custkey + r * {cu} AS o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority
+            FROM {rd('orders')} {rep} ORDER BY o_orderkey""",
+    )
+    copy(
+        "lineitem",
+        f"""SELECT l_orderkey + r * {orr} AS l_orderkey,
+                   l_partkey + r * {pa} AS l_partkey,
+                   l_suppkey + r * {su} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM {rd('lineitem')} {rep} ORDER BY l_orderkey, l_linenumber""",
+    )
+    copy(
+        "events",
+        f"""SELECT event_id + r * {ev} AS event_id, ts,
+                   user_id + r * {cu} AS user_id, event_type, value, props
+            FROM {rd('events')} {rep} ORDER BY event_id""",
+    )
+
+    lower = string.ascii_lowercase
+    upper = string.ascii_uppercase
+
+    def rot(s: str, r: int) -> str:
+        return s[r:] + s[:r]
+
+    doc_branches = " UNION ALL ".join(
+        f"""SELECT doc_id + {r * do} AS doc_id,
+                   translate(text, '{lower + upper}',
+                             '{rot(lower, r) + rot(upper, r)}') AS text,
+                   lang, source, n_chars
+            FROM {rd('documents')}"""
+        for r in range(REPLICAS)
+    )
+    copy("documents", f"SELECT * FROM ({doc_branches}) ORDER BY doc_id")
+
+    dim = con.execute(
+        f"SELECT len(embedding) FROM {rd('embeddings')} LIMIT 1"
+    ).fetchone()[0]
+    emb_branches = " UNION ALL ".join(
+        f"""SELECT vec_id + {r * ve} AS vec_id,
+                   CAST(list_concat(embedding[{r * (dim // REPLICAS) + 1}:],
+                                    embedding[:{r * (dim // REPLICAS)}])
+                        AS FLOAT[]) AS embedding,
+                   label
+            FROM {rd('embeddings')}"""
+        for r in range(REPLICAS)
+    )
+    copy("embeddings", f"SELECT * FROM ({emb_branches}) ORDER BY vec_id")
+
+
+if __name__ == "__main__":
+    main()
