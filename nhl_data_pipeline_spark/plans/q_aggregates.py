@@ -341,10 +341,39 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT 'percentile', event_type, CAST(NULL AS VARCHAR),
                CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
-               quantile_cont(value, 0.5), quantile_cont(value, 0.9),
-               quantile_cont(value, 0.99)
-        FROM events
-        GROUP BY event_type
+               {", ".join(
+                   f"lo{p} + (COALESCE(hi{p}, lo{p}) - lo{p}) * fr{p}"
+                   for p in ("50", "90", "99")
+               )}
+        FROM (
+            SELECT event_type,
+                   {", ".join(
+                       f'''max(CASE WHEN rn = k{p} + 1 THEN value END)
+                           AS lo{p},
+                       max(CASE WHEN rn = k{p} + 2 THEN value END) AS hi{p},
+                       max(CASE WHEN rn = k{p} + 1
+                                THEN pos{p} - CAST(k{p} AS DOUBLE) END)
+                           AS fr{p}'''
+                       for p in ("50", "90", "99")
+                   )}
+            FROM (
+                SELECT event_type, value, rn,
+                       {", ".join(
+                           f'''0.{p} * CAST(cnt - 1 AS DOUBLE) AS pos{p},
+                           CAST(floor(0.{p} * CAST(cnt - 1 AS DOUBLE))
+                                AS BIGINT) AS k{p}'''
+                           for p in ("50", "90", "99")
+                       )}
+                FROM (
+                    SELECT event_type, value,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY value) AS rn,
+                           count(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM events WHERE value IS NOT NULL
+                )
+            )
+            GROUP BY event_type
+        )
         UNION ALL
         SELECT 'nulls', cols.c, CAST(NULL AS VARCHAR), cols.n_nulls,
                CAST(t.n_rows AS DOUBLE), CAST(NULL AS DOUBLE),
@@ -366,8 +395,9 @@ def profiling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     null_profiling, merged row-for-row): CUBE grouping sets over orders
     (SURVEY §2.5 notes the reference has none; a 100 TB profiling pipeline
     wants every marginal from one pass), exact interpolated percentiles
-    per event type (Spark `percentile` ≡ DuckDB `quantile_cont`, verified
-    bit-equal; at 100 TB prefer approx_percentile's t-digest), and the
+    per event type (explicit rank arithmetic mirrored in both engines —
+    see the inline comment; the builtins drift 1 ulp at 1M rows; at
+    100 TB prefer approx_percentile's t-digest), and the
     per-column null profile of events (A9 — analog of the time-travel
     validator's null profile, `src/nhl_pipeline/utils/
     time_travel_validator.py:126-160`, `query/validate_bronze.py:157-166`)
@@ -396,22 +426,61 @@ def profiling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     e = load_table(spark, sf_dir, "events")
-    pct = (
-        e.groupBy("event_type")
-        .agg(
-            F.percentile("value", 0.5).alias("p50"),
-            F.percentile("value", 0.9).alias("p90"),
-            F.percentile("value", 0.99).alias("p99"),
+    # Exact interpolated percentiles via EXPLICIT rank arithmetic, not the
+    # builtin: Spark `percentile` and DuckDB `quantile_cont` implement the
+    # same definition with differently-ordered float ops, and at sf1
+    # (1M events) the p99 interpolation drifted 1 ulp between them
+    # (caught by the r6 sf1 parity sweep; bit-equal held through sf0.1).
+    # Here BOTH engines evaluate the identical expression tree —
+    # pos = p·(n−1); k = floor(pos); lo/hi = values at rank k+1/k+2;
+    # lo + (coalesce(hi, lo) − lo)·(pos − k) — so every IEEE op matches
+    # bit-for-bit at any scale. NULL values are filtered first (the
+    # builtins ignore them; NULL ordering also differs between engines).
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        e.filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("event_type").orderBy("value")),
         )
+        .withColumn(
+            "cnt", F.count(F.lit(1)).over(W.partitionBy("event_type"))
+        )
+    )
+    aggs = []
+    for p, tag in ((0.5, "50"), (0.9, "90"), (0.99, "99")):
+        pos = F.lit(p) * (F.col("cnt") - 1).cast("double")
+        k = F.floor(pos)
+        aggs += [
+            F.max(F.when(F.col("rn") == k + 1, F.col("value"))).alias(
+                f"lo{tag}"
+            ),
+            F.max(F.when(F.col("rn") == k + 2, F.col("value"))).alias(
+                f"hi{tag}"
+            ),
+            F.max(
+                F.when(F.col("rn") == k + 1, pos - k.cast("double"))
+            ).alias(f"fr{tag}"),
+        ]
+
+    def interp(tag: str) -> F.Column:
+        lo, hi, fr = (F.col(f"{c}{tag}") for c in ("lo", "hi", "fr"))
+        return lo + (F.coalesce(hi, lo) - lo) * fr
+
+    pct = (
+        ranked.groupBy("event_type")
+        .agg(*aggs)
         .select(
             F.lit("percentile").alias("op"),
             F.col("event_type").alias("dim1"),
             F.lit(None).cast("string").alias("dim2"),
             F.lit(None).cast("bigint").alias("n"),
             F.lit(None).cast("double").alias("total"),
-            "p50",
-            "p90",
-            "p99",
+            interp("50").alias("p50"),
+            interp("90").alias("p90"),
+            interp("99").alias("p99"),
         )
     )
     one = e.agg(
