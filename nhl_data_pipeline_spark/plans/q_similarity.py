@@ -433,10 +433,13 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT replay exactly in DuckDB; k-means-trained codebooks
     (operators.pq.train_codebooks) are the production path, verified by
     numpy-bitwise + planted-cluster ranking tests (tests/test_pq.py).
-    Encode is one codegen projection (operators/pq.py:63-86); ADC is m
-    element_at lookups + left-assoc adds per row; top-k is a global
-    row_number with (dist, id) tiebreak — at scale, per-partition top-k
-    then merge (the cosine_topk pattern).
+    Encode is the Arrow-vectorized form (operators/pq.py::encode_numpy,
+    bit-identical to the codegen projection — r6: the interpreted-HOF
+    fold was the query's dominant cost; measured 2.38 → 0.67 s at sf0.1
+    and 4.92 → 0.86 s at sf1, same-session A/B); ADC is
+    m element_at lookups + left-assoc adds per row; top-k is a global
+    row_number with (dist, id) tiebreak — Spark's WindowGroupLimit
+    prefilters each partition to its local top-k before the merge.
     """
     from nhl_data_pipeline_spark.operators import pq as PQ
 
@@ -448,9 +451,8 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_PQ_M)
     ]
     # ADC dist appended to the coded frame in the same projection — the
-    # encode (the expensive stage: m×k interpreted sq-dist argmins per
-    # row) runs ONCE and there is no self-join on the id.
-    scored = PQ.encode(e, books).withColumn(
+    # encode runs ONCE and there is no self-join on the id.
+    scored = PQ.encode_numpy(e, books).withColumn(
         "adc_dist", PQ.adc_dist_column(base[0], books)
     )
     w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))

@@ -42,6 +42,19 @@ def test_encoding_partitioning_invariant(spark, emb, books):
     assert a == b
 
 
+def test_encode_numpy_bit_identical(spark, emb, books):
+    """The Arrow-vectorized encode must emit the EXACT code per vector as
+    the codegen/HOF projection — same dimension-ordered sq-dist
+    accumulation, same first-minimum tiebreak — on every row and across
+    partitionings (Arrow batch boundaries must not matter)."""
+    hof = {r["vec_id"]: list(r["pq_code"]) for r in pq.encode(emb, books).collect()}
+    vec = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq.encode_numpy(emb.repartition(11), books).collect()
+    }
+    assert hof == vec and len(hof) == emb.count()
+
+
 def test_adc_approximates_exact_distances(spark, emb, books):
     """ADC must (a) match the numpy lookup-table computation exactly and
     (b) rank vectors usefully: the ADC top-10 recovers most of the exact
