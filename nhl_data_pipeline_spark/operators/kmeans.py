@@ -233,14 +233,21 @@ def semantic_neardup_pairs_blocked_numpy(
     Oversized-cluster TILING (the r6 sf1-sweep fix): with fixed k, a
     10× corpus makes every cluster's pair block 100× bigger AND caps
     parallelism at k tasks — measured 12.6× wall-clock at 10× data
-    (BENCH_r06_sf1_sweep.json). When the expected cluster size n/k
-    exceeds ``max_block_rows``, rows are deterministically split into
-    b = ⌈n/k/max_block_rows⌉ sub-blocks (id % b) and each cluster's
+    (BENCH_r06_sf1_sweep.json). Tiles are sized from the LARGEST
+    cluster, not the average: k-means clusters are routinely skewed,
+    and an average-sized b would let a 10×-average cluster build
+    ~100×-the-bound matrices in its tile tasks. One k-row
+    groupBy('cluster_id').count() after assignment (cheap relative to
+    the pair stage it sizes) finds that max. When it exceeds
+    ``max_block_rows``, rows are deterministically split into
+    b = ⌈max_cluster/max_block_rows⌉ sub-blocks (id % b) and each cluster's
     pair search fans out over the b(b+1)/2 block-tiles — diagonal tiles
     score their triangle, off-diagonal tiles the cross rectangle — so
     every pair is produced EXACTLY once (pair (a,b) lives only in tile
     (min,max) of its blocks), per-task matrices are bounded at
-    ~max_block_rows² regardless of corpus size, and parallelism is
+    ~max_block_rows² regardless of corpus size or cluster skew (the
+    id % b split is uniform WITHIN a cluster, so even the largest
+    cluster's blocks are ≤ ~max_block_rows), and parallelism is
     k·b(b+1)/2 instead of k. Each row is replicated to its b tiles —
     shuffle volume grows b× on the (small) vector rows, pair work total
     is unchanged. b=1 (every SF the driver/bench correctness gates run
@@ -255,8 +262,18 @@ def semantic_neardup_pairs_blocked_numpy(
     assigned = kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0].select(
         "cluster_id", F.col(id_col), F.col(vec)
     )
-    # parquet-metadata count: cheap relative to the pair stage it sizes
-    b = max(1, math.ceil(df.count() / k / max_block_rows))
+    # Worst-case sizing: one k-row agg over the assignment finds the
+    # largest cluster, so the per-task matrix bound holds under skew
+    # (an average-based b would be ~skew² too small for the hot
+    # cluster's tiles). Bounded driver state: a single long.
+    max_cluster = (
+        assigned.groupBy("cluster_id")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        or 0
+    )
+    b = max(1, math.ceil(max_cluster / max_block_rows))
 
     def _cos_block(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
         dim = x.shape[1]

@@ -123,6 +123,10 @@ def encode_numpy(
 
     @pandas_udf("array<int>")
     def _enc(col: pd.Series) -> pd.Series:
+        if not len(col):
+            # An empty Arrow batch would make np.array(list(col)) 1-D
+            # (0,)-shaped and the 2-D index below raise IndexError.
+            return pd.Series([], dtype=object)
         mat = np.array(list(col), dtype=np.float64)  # (n, dim)
         n = len(mat)
         codes = np.empty((n, m), dtype=np.int32)

@@ -57,8 +57,11 @@ def get_spark(
     # process-wide default lives in _instantiatedSession (what
     # SparkSession.active() consults after the thread-local miss;
     # pyspark exposes no public getDefaultSession) — fall back to it.
-    existing = (
-        SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    # getattr, not attribute access: _instantiatedSession is private
+    # (probed present in pyspark 4.1.2); if a future release drops it,
+    # degrade to getOrCreate instead of raising AttributeError.
+    existing = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
     )
     if existing is not None:
         for k, v in (extra_conf or {}).items():

@@ -55,6 +55,15 @@ def test_encode_numpy_bit_identical(spark, emb, books):
     assert hof == vec and len(hof) == emb.count()
 
 
+def test_encode_numpy_empty_input(spark, emb, books):
+    """Zero-row input (and hence any empty Arrow batch the runtime hands
+    the pandas_udf) must yield an empty result, not an IndexError from
+    2-D-indexing a (0,)-shaped np.array."""
+    none = emb.filter(F.lit(False))
+    assert pq.encode_numpy(none, books).count() == 0
+    assert pq.encode_numpy(none.repartition(4), books).count() == 0
+
+
 def test_adc_approximates_exact_distances(spark, emb, books):
     """ADC must (a) match the numpy lookup-table computation exactly and
     (b) rank vectors usefully: the ADC top-10 recovers most of the exact
