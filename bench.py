@@ -46,6 +46,45 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def _calibration_anchor(spark) -> float:
+    """Fixed, data-independent CPU-bound micro-op timed with the same
+    discipline as the headline queries (2 warmups, median of 3).
+
+    Purpose: cross-ENVIRONMENT normalization. Identical pinned plans have
+    measured 1.5-1.7× apart between the driver's bench env and same-day
+    local runs (r6: 25.88 vs 16.58 s, uniform across all queries), and
+    ±15-30% between runs in one booted container — without a
+    data-independent anchor those gaps can only be argued, not divided
+    out. normalized_total = total / (anchor / reference_anchor).
+
+    The op: 2^24 rows → md5(id) → substring group key → hash-agg with a
+    count and a decimal-exact sum. Exercises exactly this engine's hot
+    mix (string/hash codegen + shuffle hash aggregation + decimal sums),
+    touches no input table, and its plan cannot drift with data.
+    """
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1 << 24, 1, 32)
+            .select(F.md5(F.col("id").cast("string")).alias("h"), "id")
+            .groupBy(F.substring("h", 1, 4).alias("k"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("id").cast("decimal(18,0)")).alias("s"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    runs = [once() for _ in range(5)][2:]
+    return round(sorted(runs)[1], 3)
+
+
 def main() -> None:
     spark = get_spark("bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
@@ -62,6 +101,13 @@ def main() -> None:
         load_table(spark, SF_DIR, t).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
+    # Calibration anchor FIRST (before query JIT state accumulates): a
+    # fixed CPU-bound micro-op whose time depends only on the
+    # environment, emitted in the headline JSON so cross-env /
+    # cross-round totals can be normalized by the anchor ratio.
+    anchor_sec = _calibration_anchor(spark)
+    print(json.dumps({"probe": "calibration_anchor", "sec": anchor_sec}))
+    sys.stdout.flush()
     # Per-query measurement blocks: 2 warmup runs, then the MEDIAN of 3
     # timed runs. Earlier rounds warmed every query once and then timed
     # each once in sequence — but tools/bench_probe.py shows per-plan
@@ -129,6 +175,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "anchor_sec": anchor_sec,
             }
         )
     )
