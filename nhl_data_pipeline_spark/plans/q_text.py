@@ -841,11 +841,83 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strata.unionAll(mixed).unionAll(soft)
 
 
+_BPE_N = 8  # merges the driver row replays; >1-count pairs exist at every SF
+
+
+def _bpe_oracle_ctes(n: int) -> str:
+    """DuckDB CTE chain replaying BPE training merge-for-merge.
+
+    bpe_w0 is the word-frequency table with each word exploded to a
+    space-separated character sequence; each step k then (a) derives
+    merge k by the engine's exact argmax — pair count weighted by word
+    freq, tiebreak (count DESC, a ASC, b ASC), stop when the best count
+    is <= 1 (HAVING > 1; an empty step LEFT-JOINs through unchanged, and
+    once one step is empty all later ones are too, matching the
+    trainer's permanent stop) — and (b) applies it with a list_reduce
+    fold whose accumulator is the rebuilt space-joined sequence:
+    merging appends the right symbol directly onto the trailing left
+    symbol (acc ends with the left symbol token ⇒ acc || x IS the
+    merged token), which reproduces left-to-right NON-OVERLAPPING
+    replacement exactly (the merged token can never re-match as `left`
+    because left||right != left for nonempty right). MATERIALIZED is
+    load-bearing: inlined, the doubly-referenced chain re-evaluates
+    w0 2^n times (measured 7.9 s -> 0.07 s at sf0.01, n=8).
+    """
+    parts = [
+        f"""
+        bpe_w0 AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                   array_to_string(string_split(word, ''), ' ') AS seq
+            FROM (SELECT unnest({_TOKS}) AS word FROM documents)
+            WHERE len(word) > 0 GROUP BY word
+        )"""
+    ]
+    for k in range(1, n + 1):
+        prev = f"bpe_w{k - 1}"
+        parts.append(
+            f"""
+        bpe_p{k} AS MATERIALIZED (
+            SELECT pr[1] AS a, pr[2] AS b FROM (
+                SELECT unnest(list_zip(toks, toks[2:])) AS pr, freq
+                FROM (SELECT freq, string_split(seq, ' ') AS toks
+                      FROM {prev})
+            ) WHERE pr[2] IS NOT NULL
+            GROUP BY 1, 2 HAVING sum(freq) > 1
+            ORDER BY sum(freq) DESC, a, b LIMIT 1
+        ),
+        bpe_w{k} AS MATERIALIZED (
+            SELECT word, freq,
+                   list_reduce(string_split(seq, ' '),
+                       (acc, x) -> CASE
+                           WHEN (acc = p.a OR ends_with(acc, ' ' || p.a))
+                                AND x = p.b
+                           THEN acc || x
+                           ELSE acc || ' ' || x END) AS seq
+            FROM {prev} LEFT JOIN bpe_p{k} p ON TRUE
+        )"""
+        )
+    return ",".join(parts)
+
+
+_BPE_MERGE_UNION = "\nUNION ALL\n".join(
+    f"SELECT {k} AS rnk, a || '|' || b AS term FROM bpe_p{k}"
+    for k in range(1, _BPE_N + 1)
+)
+
+# Memo for the driver-trained merge list, keyed on the SOURCE file's
+# identity (same invalidation rule as the robust-census corpus): the
+# trainer's word-count job + driver loop then runs once per corpus, not
+# once per plan construction (tests/fingerprint tool/parity all
+# construct this query).
+_BPE_MEMO: dict[tuple[str, int, int], list[tuple[str, str]]] = {}
+
+
 @query(
     "tfidf_top_terms",
-    covers="LLM-text,tfidf,W2,A1",
+    covers="LLM-text,tfidf,LLM-bpe,W2,A1",
     oracle=f"""
-        WITH toks AS (
+        WITH {_bpe_oracle_ctes(_BPE_N)},
+        toks AS (
             SELECT doc_id, unnest({_TOKS}) AS term FROM documents
         ),
         tf AS (
@@ -861,7 +933,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(tf.tf * (n.n_docs + 1) AS DOUBLE) / (df.df + 1) AS score
             FROM tf JOIN df USING (term) CROSS JOIN n
         )
-        SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+        SELECT 'tfidf' AS op, doc_id, term, tf, df, score,
+               CAST(rnk AS INT) AS rnk, CAST(NULL AS VARCHAR) AS seq
         FROM (
             SELECT scored.*, row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, term
@@ -869,24 +942,67 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM scored
         )
         WHERE rnk <= 3
+        UNION ALL
+        SELECT 'bpe_merge', CAST(NULL AS BIGINT), term,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(rnk AS INT),
+               CAST(NULL AS VARCHAR)
+        FROM ({_BPE_MERGE_UNION})
+        UNION ALL
+        SELECT 'bpe_seg', CAST(NULL AS BIGINT), word, freq,
+               CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+               CAST(NULL AS INT), seq
+        FROM bpe_w{_BPE_N}
+        UNION ALL
+        SELECT 'bpe_vocab', CAST(NULL AS BIGINT), tok,
+               CAST(sum(freq) AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS INT),
+               CAST(NULL AS VARCHAR)
+        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS tok
+              FROM bpe_w{_BPE_N})
+        GROUP BY tok
     """,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document top-3 distinguishing terms by smoothed TF-IDF.
+    """Per-document top-3 distinguishing terms by smoothed TF-IDF, PLUS
+    the BPE tokenizer-training family union-tagged into the same slot
+    (r7: converts the last parity-only §8 family to driver-checked).
 
-    Document fingerprinting for corpus analysis: tf per (doc, term), df
-    per term, score = tf·(N+1)/(df+1) — a rational TF-IDF variant chosen
-    because IEEE multiply/divide are correctly rounded in every engine
-    (ln() is not guaranteed bit-identical across libm implementations, so
-    a log-idf would flake the hash gate in the last ulp). Ranking ties
-    break on the term string, so the top-3 SET is fully deterministic.
+    BPE branches — all three production pieces hash-checked against a
+    full SQL replay of the training algorithm (see _bpe_oracle_ctes):
+    - 'bpe_merge': the first ``_BPE_N`` merge rules from
+      ``bpe.train_bpe_driver`` — the 100 TB path (ONE corpus-sized
+      word-frequency job, merge loop driver-local over the compact
+      vocab; reference-free, see operators/bpe.py) — as (rank, 'a|b').
+    - 'bpe_seg': ``bpe.encode`` of every distinct corpus word under
+      those merges (codegen aggregate-fold per merge, no Python, no
+      shuffle) — encode(train corpus) must BE the training
+      segmentation, so this hash also pins the trainer/encoder
+      round-trip.
+    - 'bpe_vocab': ``bpe.vocabulary`` over the segmentation — per
+      subword token, total corpus frequency (tf) and #words (df).
+
+    TF-IDF branch — document fingerprinting for corpus analysis: tf per
+    (doc, term), df per term, score = tf·(N+1)/(df+1) — a rational
+    TF-IDF variant chosen because IEEE multiply/divide are correctly
+    rounded in every engine (ln() is not guaranteed bit-identical across
+    libm implementations, so a log-idf would flake the hash gate in the
+    last ulp). Ranking ties break on the term string, so the top-3 SET
+    is fully deterministic.
 
     Plan: tf groupBy (one shuffle on doc+term), df groupBy (one on term),
     scalar N broadcast via cross join, score join back on term, top-k per
     doc as a rank window (one shuffle on doc). Every stage is JVM codegen;
     df for ultra-common terms is the only skew point — at 100 TB cap it
     with a stop-term filter before the join, same shape as stop-shingles.
+    The BPE branches add one corpus-sized word count per side of the
+    trainer/encoder (at 100 TB you would persist the word table once and
+    feed both; at driver scale the recompute is cheaper than the cache).
     """
+    import os
+
+    from nhl_data_pipeline_spark.operators import bpe as B
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -907,11 +1023,64 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
-    return (
+    nul = lambda t, a: F.lit(None).cast(t).alias(a)  # noqa: E731
+    tfidf = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("doc_id", "term", "tf", "df", "score", "rnk")
+        .select(
+            F.lit("tfidf").alias("op"),
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "score",
+            "rnk",
+            nul("string", "seq"),
+        )
     )
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = (src, st.st_size, st.st_mtime_ns)
+    if key not in _BPE_MEMO:
+        _BPE_MEMO[key] = B.train_bpe_driver(d, _BPE_N)
+    merges = _BPE_MEMO[key]
+    merge_rows = spark.createDataFrame(
+        [(f"{a}|{b}", i + 1) for i, (a, b) in enumerate(merges)],
+        "term string, rnk int",
+    ).select(
+        F.lit("bpe_merge").alias("op"),
+        nul("bigint", "doc_id"),
+        "term",
+        nul("bigint", "tf"),
+        nul("bigint", "df"),
+        nul("double", "score"),
+        "rnk",
+        nul("string", "seq"),
+    )
+    segt = B.encode(B.word_frequencies(d), merges, text_col="word")
+    seg = segt.select(
+        F.lit("bpe_seg").alias("op"),
+        nul("bigint", "doc_id"),
+        F.col("word").alias("term"),
+        F.col("freq").alias("tf"),
+        nul("bigint", "df"),
+        nul("double", "score"),
+        nul("int", "rnk"),
+        F.array_join("bpe_tokens", " ").alias("seq"),
+    )
+    voc = B.vocabulary(
+        segt.select("freq", F.col("bpe_tokens").alias("syms"))
+    ).select(
+        F.lit("bpe_vocab").alias("op"),
+        nul("bigint", "doc_id"),
+        F.col("token").alias("term"),
+        F.col("total_freq").alias("tf"),
+        F.col("n_words").alias("df"),
+        nul("double", "score"),
+        nul("int", "rnk"),
+        nul("string", "seq"),
+    )
+    return tfidf.unionByName(merge_rows).unionByName(seg).unionByName(voc)
 
 
 _SH4_SQL = D.shingles_sql(_TOKS, 4)
