@@ -202,10 +202,27 @@ _BBKT_SQL = hyperplane_band_buckets_sql("embedding", _DIM, _LSH_BANDS, _LSH_ROWS
 # Driver-checked as the 'emb' branch of dedup_minhash_lsh in plans/q_text
 # (round-5 second rotation — both are banded-LSH near-dup pair generators;
 # the fold freed a driver slot for the bloom/chunking/diffing/robust rows).
+#
+# r7 rewrite for sf1-sweep repeatability (the all-pairs cosine was the one
+# ~40-min DuckDB oracle at 20K vectors): the per-pair interpreted
+# list_zip/list_transform fold — evaluated TWICE (SELECT + WHERE) — is
+# replaced by a LEFT-ASSOCIATED unrolled arithmetic chain over 64
+# pre-extracted double columns, computed once in a streamed subquery.
+# (0.0 + q.d1*c.d1 + ... + q.d64*c.d64) parses left-associative, so the
+# float64 addition order is EXACTLY the engine's aggregate fold (which
+# seeds acc=0.0) and the old list_sum form — verified bit-exact over all
+# 920 sf0.1 pairs, 3.2× faster there and vectorized instead of
+# interpreted at scale (extrapolates to ~2 min at sf1's 200M pairs).
+# Semantics unchanged: still the full exact all-pairs audit baseline.
+_NEARDUP_DIM_COLS = ",\n                   ".join(
+    f"CAST(embedding[{i}] AS DOUBLE) AS d{i}" for i in range(1, _DIM + 1)
+)
+_NEARDUP_DOT_CHAIN = " + ".join(f"q.d{i}*c.d{i}" for i in range(1, _DIM + 1))
 EMBEDDING_NEARDUP_ORACLE = f"""
-        WITH normed AS (
-            SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
-                   {_BBKT_SQL} AS bkts
+        WITH normed AS MATERIALIZED (
+            SELECT vec_id, {norm_sql('embedding')} AS nrm,
+                   {_BBKT_SQL} AS bkts,
+                   {_NEARDUP_DIM_COLS}
             FROM embeddings
         ),
         banded AS (
@@ -218,13 +235,18 @@ EMBEDDING_NEARDUP_ORACLE = f"""
             FROM banded a JOIN banded b
               ON a.band_idx = b.band_idx AND a.bucket = b.bucket
              AND a.vec_id < b.vec_id
+        ),
+        nd_scored AS (
+            SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+                   (0.0 + {_NEARDUP_DOT_CHAIN}) / (q.nrm * c.nrm) AS cosine
+            FROM normed q JOIN normed c ON q.vec_id < c.vec_id
         )
-        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b, {_COS} AS cosine,
+        SELECT s.vec_a, s.vec_b, s.cosine,
                EXISTS (SELECT 1 FROM cand
-                       WHERE cand.vec_a = q.vec_id AND cand.vec_b = c.vec_id)
+                       WHERE cand.vec_a = s.vec_a AND cand.vec_b = s.vec_b)
                    AS in_lsh
-        FROM normed q JOIN normed c ON q.vec_id < c.vec_id
-        WHERE {_COS} >= 0.4
+        FROM nd_scored s
+        WHERE s.cosine >= 0.4
     """
 
 
