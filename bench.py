@@ -88,6 +88,17 @@ def _calibration_anchor(spark) -> float:
 def main() -> None:
     spark = get_spark("bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
+    # Targeted sweeps (e.g. the sf3 second-decade exponent runs) time a
+    # subset without perturbing the full-headline artifact contract:
+    # SPARK_GRAFT_ONLY="q1,q2" filters the benched set; the output line
+    # keeps the same shape so sweep tooling parses it unchanged.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = names - specs.keys()
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names not benched: {unknown}")
+        specs = {n: s for n, s in specs.items() if n in names}
 
     # Warmup: touch every table (footer reads), then run each headline
     # query once AT THE TARGET SF. Warming at a smaller sf is not enough:
@@ -153,6 +164,7 @@ def main() -> None:
             ("streaming_throughput_probe", _streaming_throughput_probe),
             ("partition_sizing_probe", _partition_sizing_probe),
             ("pipeline_e2e_probe", _pipeline_e2e_probe),
+            ("pipeline_scale_probe", _pipeline_scale_probe),
         ):
             try:
                 probes[pname] = pfn(spark)
@@ -682,6 +694,203 @@ def _pipeline_e2e_probe(spark) -> dict:
         big_counts,
     )
     out["staging_x100_rows"] = float(sum(big_counts))
+    return out
+
+
+def _pipeline_scale_probe(spark) -> dict:
+    """r7: second-decade scaling for the NHL model DAG + the full analyst
+    worksheet corpus at replicated scale (VERDICT r6 asks #6/#7).
+
+    - ``staging_cj_x100/x1000``: bronze boxscore+pbp replicated ×100 and
+      ×1000 with DISTINCT game ids via a single-plan crossJoin-range
+      replicator (the e2e probe's reduce-union replicate builds an
+      n-branch plan — analysis-bound past a few hundred replicas; the
+      crossJoin form is how you'd actually fan out synthetic load at
+      scale). Same id policy (r*20 payload-id offsets, injective for the
+      <20 distinct fixture games). Timed through the volume-bound
+      bronze→silver path (stg_games + player flatten + shot-event
+      explode → count), counts asserted to scale EXACTLY ×n at both
+      decades, and the per-decade exponent emitted:
+      exponent = log10(t_x1000 / t_x100) — sublinear (<1) means the
+      staging DAG adds no superlinear stage across the second decade.
+    - ``dag_x100``: the FULL model DAG (run_pipeline with table/Z-order
+      materialization, 25 models) built over the ×100 lake, timed; model
+      row counts sanity-asserted (games models scale ×100; odds inputs
+      stay ×1 per the e2e probe's fan-out note — shared game_dates give
+      the props fact an artificial ×100 match fan-out, which is fine for
+      an executability/scale probe and is documented here, but means
+      odds-side counts are NOT asserted to a clean multiple).
+    - ``worksheets_x100``: ALL 18 verbatim reference worksheet
+      statements (10 team + 8 odds) executed over that ×100 model lake
+      through the dialect shim — the fixture-scale pytest corpus run at
+      replicated scale, with the odds suite's semantic spot-check intact
+      (worksheet §1 crosswalk overview == an independent Spark-native
+      recount over the same lake). Non-empty counts recorded; the four
+      odds statements that are non-empty at ×1 must stay non-empty.
+      Skipped (recorded) when /root/reference is absent.
+    """
+    import math
+    import re
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from nhl_data_pipeline_spark.nhl import facts, schemas, staging
+    from nhl_data_pipeline_spark.nhl.pipeline import run_pipeline
+    from nhl_data_pipeline_spark.plans.dialect import (
+        resolve_dbt_refs,
+        spark_sql_compat,
+    )
+
+    fixtures = (
+        Path(__file__).resolve().parent
+        / "nhl_data_pipeline_spark"
+        / "nhl"
+        / "bronze_fixtures"
+    )
+    bronze = {
+        t: spark.read.parquet(str(fixtures / t))
+        for t in ("game_boxscore", "game_pbp", "schedule", "odds_player_props")
+    }
+
+    def replicate(raw, schema, n: int):
+        p = F.from_json("payload", schema)
+        return (
+            raw.crossJoin(spark.range(n).select(F.col("id").alias("_r")))
+            .withColumn(
+                "payload",
+                F.to_json(p.withField("id", p["id"] + F.col("_r") * 20)),
+            )
+            .withColumn("game_id", F.col("game_id") + F.col("_r") * 20)
+            .drop("_r")
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
+
+    dim_player = spark.createDataFrame(
+        staging.stg_player_game_stats(bronze["game_boxscore"])
+        .select("player_id")
+        .distinct()
+        .toPandas()
+        .assign(player_name="Probe Player", position_code="C", position_type="F")
+    )
+
+    def silver_counts(box, pbp):
+        return (
+            staging.stg_games(box).count(),
+            staging.stg_player_game_stats(box).count(),
+            facts.fact_shot_events(pbp, dim_player).count(),
+        )
+
+    out: dict[str, float] = {}
+    base = silver_counts(bronze["game_boxscore"], bronze["game_pbp"])
+
+    def staged_at(n: int) -> tuple[tuple, float]:
+        spark.catalog.clearCache()
+        box = replicate(bronze["game_boxscore"], schemas.boxscore_payload(), n)
+        pbp = replicate(bronze["game_pbp"], schemas.pbp_payload(), n)
+        t0 = time.perf_counter()
+        c = silver_counts(box, pbp)
+        return c, time.perf_counter() - t0
+
+    staged_at(100)  # warmup: compiles every silver plan variant
+    c100, t100 = staged_at(100)
+    c1000, t1000 = staged_at(1000)
+    assert c100 == tuple(100 * c for c in base), (base, c100)
+    assert c1000 == tuple(1000 * c for c in base), (base, c1000)
+    out["staging_cj_x100_sec"] = round(t100, 3)
+    out["staging_cj_x1000_sec"] = round(t1000, 3)
+    out["staging_x1000_rows"] = float(sum(c1000))
+    out["staging_exponent"] = round(math.log10(t1000 / t100), 3)
+
+    box100 = replicate(bronze["game_boxscore"], schemas.boxscore_payload(), 100)
+    pbp100 = replicate(bronze["game_pbp"], schemas.pbp_payload(), 100)
+    # ×1 baseline for the game-grain DAG output (fact_game_results is 2
+    # rows per FINISHED game — game_state-filtered, so the multiple must
+    # be measured, not assumed from the game count).
+    fgr1 = facts.fact_game_results(
+        staging.stg_games(bronze["game_boxscore"])
+    ).count()
+    tmp = tempfile.mkdtemp(prefix="nhl_scale_")
+    try:
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        models = run_pipeline(
+            spark,
+            {
+                "game_boxscore": box100,
+                "game_pbp": pbp100,
+                "schedule": bronze["schedule"],
+                "odds_player_props": bronze["odds_player_props"],
+            },
+            warehouse_dir=f"{tmp}/wh",
+        ).models
+        out["dag_x100_sec"] = round(time.perf_counter() - t0, 3)
+        assert models["fact_game_results"].count() == 100 * fgr1
+        out["dag_x100_models"] = float(len(models))
+
+        team_ws = Path(
+            "/root/reference/dbt_nhl/analysis/team_shot_example_queries.sql"
+        )
+        odds_ws = Path(
+            "/root/reference/dbt_nhl/analysis/odds_matching_queries.sql"
+        )
+        if not (team_ws.exists() and odds_ws.exists()):
+            out["worksheets_x100"] = -1.0  # reference tree absent: recorded
+            return out
+
+        def stmts_of(path: Path) -> list[str]:
+            raw = re.sub(r"--[^\n]*", "", path.read_text())
+            return [s.strip() for s in raw.split(";") if s.strip()]
+
+        from pyspark.sql.types import DateType
+
+        date_cols = {
+            f.name
+            for v in ("fact_team_game_stats", "team_shot_metrics")
+            for f in spark.table(v).schema.fields
+            if isinstance(f.dataType, DateType)
+        }
+        t0 = time.perf_counter()
+        executed = nonempty = 0
+        for s in stmts_of(team_ws):
+            n = spark_sql_compat(
+                spark,
+                s,
+                name_map={"nhl_analytics.silver.": ""},
+                date_columns=date_cols,
+            ).count()
+            executed += 1
+            nonempty += 1 if n else 0
+        odds_counts = []
+        for s in stmts_of(odds_ws):
+            odds_counts.append(
+                spark_sql_compat(spark, resolve_dbt_refs(s)).count()
+            )
+            executed += 1
+            nonempty += 1 if odds_counts[-1] else 0
+        out["worksheets_x100_sec"] = round(time.perf_counter() - t0, 3)
+        out["worksheets_x100_executed"] = float(executed)
+        out["worksheets_x100_nonempty"] = float(nonempty)
+        assert executed == 18, executed
+        assert all(odds_counts[i] > 0 for i in (0, 1, 3, 7)), odds_counts
+        # Semantic spot-check intact at scale: worksheet §1 == direct recount
+        got = {
+            r["match_method"]: r["num_players"]
+            for r in spark_sql_compat(
+                spark, resolve_dbt_refs(stmts_of(odds_ws)[0])
+            ).collect()
+        }
+        want = {
+            r["match_method"]: r["n"]
+            for r in models["stg_player_name_crosswalk"]
+            .groupBy("match_method")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want and len(got) >= 2, (got, want)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

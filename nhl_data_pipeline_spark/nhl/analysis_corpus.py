@@ -21,7 +21,7 @@ AS_OF = "2024-11-15"  # injected "today" (reproducibility, SURVEY §7.3.4)
 CORPUS: dict[str, str] = {
     # team_shot_example_queries.sql §1 — latest game per team
     "latest_team_game": """
-        SELECT team_id, game_date, shots_on_goal, shots_against, goals_for
+        SELECT team_id, game_date, shots_for, shots_against, goals_for
         FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY team_id ORDER BY game_date DESC, game_id DESC
@@ -32,7 +32,7 @@ CORPUS: dict[str, str] = {
     # §2 — volume leaders with min-sample HAVING
     "shot_volume_leaders": """
         SELECT team_id, COUNT(*) AS games,
-               ROUND(AVG(shots_on_goal), 2) AS avg_sog
+               ROUND(AVG(shots_for), 2) AS avg_sog
         FROM fact_team_game_stats
         GROUP BY team_id
         HAVING COUNT(*) >= 1
@@ -42,8 +42,8 @@ CORPUS: dict[str, str] = {
     "shot_efficiency": """
         SELECT team_id,
                SUM(goals_for) AS goals,
-               SUM(shots_on_goal) AS shots,
-               ROUND(SUM(goals_for) / NULLIF(CAST(SUM(shots_on_goal) AS DOUBLE), 0), 4)
+               SUM(shots_for) AS shots,
+               ROUND(SUM(goals_for) / NULLIF(CAST(SUM(shots_for) AS DOUBLE), 0), 4)
                    AS shooting_pct
         FROM fact_team_game_stats
         GROUP BY team_id
@@ -51,25 +51,27 @@ CORPUS: dict[str, str] = {
     """,
     # §4 — rolling trends read from the metric view
     "rolling_trends": """
-        SELECT team_id, game_date, sog_avg_3, sog_avg_10, sog_avg_season
+        SELECT team_id, game_date, shots_against_3game_avg,
+               shots_for_10game_avg, shots_for_season_avg
         FROM team_shot_metrics
         WHERE games_played_in_season >= 3
         ORDER BY team_id, game_date
     """,
     # §5 — hot-streak detection: 5-game avg above season avg at the latest game
     "hot_streaks": """
-        SELECT m.team_id, m.game_date, m.sog_avg_5, m.sog_avg_season
+        SELECT m.team_id, m.game_date, m.shots_for_5game_avg,
+               m.shots_for_season_avg
         FROM team_shot_metrics m
         WHERE (m.team_id, m.game_date) IN (
                   SELECT team_id, MAX(game_date)
                   FROM team_shot_metrics GROUP BY team_id
               )
-          AND m.sog_avg_5 > m.sog_avg_season
+          AND m.shots_for_5game_avg > m.shots_for_season_avg
     """,
     # §6 — shot differential
     "shot_differential": """
         SELECT team_id,
-               SUM(shots_on_goal) - SUM(shots_against) AS shot_diff
+               SUM(shots_for) - SUM(shots_against) AS shot_diff
         FROM fact_team_game_stats
         GROUP BY team_id
         ORDER BY shot_diff DESC, team_id
@@ -77,11 +79,11 @@ CORPUS: dict[str, str] = {
     # §7 — home vs away comparison via two CTEs
     "home_vs_away": """
         WITH home_stats AS (
-            SELECT team_id, AVG(shots_on_goal) AS home_sog
+            SELECT team_id, AVG(shots_for) AS home_sog
             FROM fact_team_game_stats WHERE home_away = 'home' GROUP BY team_id
         ),
         away_stats AS (
-            SELECT team_id, AVG(shots_on_goal) AS away_sog
+            SELECT team_id, AVG(shots_for) AS away_sog
             FROM fact_team_game_stats WHERE home_away = 'away' GROUP BY team_id
         )
         SELECT h.team_id, ROUND(h.home_sog, 2) AS home_sog,
@@ -93,7 +95,7 @@ CORPUS: dict[str, str] = {
     # §8-10 — recent-window ML feature extraction (interval filter)
     "ml_features_recent": f"""
         SELECT team_id, game_id, game_date,
-               shots_on_goal, shots_against, goals_for, goals_against,
+               shots_for, shots_against, goals_for, goals_against,
                CAST(won AS INT) AS label_won
         FROM fact_team_game_stats
         WHERE game_date >= DATE '{AS_OF}' - INTERVAL 15 DAY

@@ -160,7 +160,11 @@ def fact_team_game_stats(
         goals_for.alias("goals_for"),
         goals_against.alias("goals_against"),
         (goals_for - goals_against).alias("goal_differential"),
-        sog_for.alias("shots_on_goal"),
+        # Reference name `shots_for` (fact_team_game_stats.sql:68,132) —
+        # an earlier round shipped this as shots_on_goal, which broke the
+        # reference's verbatim analyst worksheet over the engine's own
+        # model lake (caught by bench._pipeline_scale_probe r7).
+        sog_for.alias("shots_for"),
         sog_against.alias("shots_against"),
         (sog_for - sog_against).alias("shot_differential"),
         # NULL on a tie, like the reference (fact_team_game_stats.sql:72-76

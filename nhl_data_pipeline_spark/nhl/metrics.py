@@ -13,24 +13,32 @@ from pyspark.sql.window import Window
 
 
 def team_shot_metrics(fact_team_game_stats: DataFrame) -> DataFrame:
-    """3/5/10-game rolling + season-to-date shot rates per team
-    (team_shot_metrics.sql:29-86) + games_played counter (:80-83)."""
+    """3/5/10-game rolling + season-to-date shot rates per team at
+    reference OUTPUT-NAME parity (team_shot_metrics.sql:88-120): the
+    shipped analyst worksheet reads `shots_for_5game_avg`/`…_season_avg`
+    etc. verbatim, so the engine's model must carry exactly those names
+    (an earlier round shipped sog_avg_{n}, which broke the worksheet
+    over the engine's own lake — caught by bench._pipeline_scale_probe).
+    Averages ROUND to 2 like the reference (:107-119); the 3-game frame
+    exists only for shots_against (:107), mirrored exactly."""
     base = Window.partitionBy("team_id", "season").orderBy("game_date", "game_id")
-    frames = {"3": base.rowsBetween(-2, 0), "5": base.rowsBetween(-4, 0),
-              "10": base.rowsBetween(-9, 0)}
+    f3, f5, f10 = (base.rowsBetween(-(n - 1), 0) for n in (3, 5, 10))
     season_td = base.rowsBetween(Window.unboundedPreceding, 0)
-    cols = [
-        "game_id", "season", "game_date", "team_id", "home_away",
-        "shots_on_goal", "shots_against", "goals_for", "goals_against",
-    ]
-    out = fact_team_game_stats.select(*cols)
-    for n, w in frames.items():
-        out = out.withColumn(f"sog_avg_{n}", F.avg("shots_on_goal").over(w))
-        out = out.withColumn(f"shots_against_avg_{n}", F.avg("shots_against").over(w))
-    return (
-        out.withColumn("sog_avg_season", F.avg("shots_on_goal").over(season_td))
-        .withColumn("shots_against_avg_season", F.avg("shots_against").over(season_td))
-        .withColumn("games_played_in_season", F.row_number().over(base))
+    r2 = lambda c, w: F.round(F.avg(c).over(w), 2)  # noqa: E731
+    return fact_team_game_stats.select(
+        "game_id", "game_date", "season", "team_id", "home_away", "result",
+        "shots_for", "shots_against", "shot_differential", "shooting_pct",
+        "save_pct", "goals_for", "goals_against",
+    ).select(
+        "*",
+        F.row_number().over(base).alias("games_played_in_season"),
+        r2("shots_against", f3).alias("shots_against_3game_avg"),
+        r2("shots_for", f5).alias("shots_for_5game_avg"),
+        r2("shots_against", f5).alias("shots_against_5game_avg"),
+        r2("shots_for", f10).alias("shots_for_10game_avg"),
+        r2("shots_against", f10).alias("shots_against_10game_avg"),
+        r2("shots_for", season_td).alias("shots_for_season_avg"),
+        r2("shots_against", season_td).alias("shots_against_season_avg"),
     )
 
 

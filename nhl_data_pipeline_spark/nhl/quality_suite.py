@@ -161,7 +161,8 @@ SUITE: dict[str, dict] = {
         ],
     },
     "fact_team_game_stats": {
-        "map": {"shots_for": "shots_on_goal"},
+        # (r7: the shots_for->shots_on_goal rename map is gone — the
+        # engine model now carries the reference's column name directly.)
         "not_null": [
             "game_id", "team_id", "date_key", "opponent_team_id",
             "season", "game_type", "home_away", "goals_for",

@@ -150,7 +150,7 @@ def test_sog_props_game_date_survives_unresolved_game(spark, models):
 def test_rolling_metrics_shapes(models):
     tsm = models["team_shot_metrics"].filter("games_played_in_season >= 3")
     # a 3-game average can never exceed the running max of the inputs
-    bad = tsm.filter(F.col("sog_avg_3") > 100).count()
+    bad = tsm.filter(F.col("shots_against_3game_avg") > 100).count()
     assert bad == 0
     assert models["player_shot_metrics"].count() > 0
     assert models["team_shots_against_by_position"].count() > 0
@@ -230,7 +230,7 @@ def test_analyst_sql_corpus_runs(spark, models):
     assert len(leaders) == 5
     streak = spark.sql(
         """
-        SELECT t.team_id, t.game_date, t.shots_on_goal
+        SELECT t.team_id, t.game_date, t.shots_for
         FROM fact_team_game_stats t
         WHERE (t.team_id, t.game_date) IN (
             SELECT team_id, MAX(game_date) FROM fact_team_game_stats GROUP BY team_id

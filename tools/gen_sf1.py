@@ -133,10 +133,29 @@ def main() -> None:
     def rot(s: str, r: int) -> str:
         return s[r:] + s[:r]
 
+    def letter_target(r: int) -> str:
+        """Distinct substitution alphabet per replica, r < 52.
+
+        r < 26: rotation by r (the original scheme). r >= 26: rotation
+        by r-26 COMPOSED with a case swap — without it, replica r and
+        r-26 would share an identical mapping (rot 26 == rot 0), plant
+        exact cross-replica duplicate docs, and corrupt the linear
+        pair-count scaling the rotated lake exists to guarantee
+        (discovered preparing the sf3 sweep, REPLICAS=30)."""
+        n, swap = r % 26, (r // 26) % 2
+        lo, up = rot(lower, n), rot(upper, n)
+        return (up + lo) if swap else (lo + up)
+
+    if REPLICAS > 52:
+        raise SystemExit(
+            "letter_target is injective only for REPLICAS <= 52 "
+            "(26 rotations x case swap); larger lakes need a third "
+            "shingle-preserving transform dimension"
+        )
     doc_branches = " UNION ALL ".join(
         f"""SELECT doc_id + {r * do} AS doc_id,
                    translate(text, '{lower + upper}',
-                             '{rot(lower, r) + rot(upper, r)}') AS text,
+                             '{letter_target(r)}') AS text,
                    lang, source, n_chars
             FROM {rd('documents')}"""
         for r in range(REPLICAS)
@@ -146,10 +165,13 @@ def main() -> None:
     dim = con.execute(
         f"SELECT len(embedding) FROM {rd('embeddings')} LIMIT 1"
     ).fetchone()[0]
+    # Per-replica circular shift; max(1, ...) keeps shifts distinct (mod
+    # dim) when REPLICAS > dim/2 (e.g. the 30-replica sf3 lake).
+    step = max(1, dim // REPLICAS)
     emb_branches = " UNION ALL ".join(
         f"""SELECT vec_id + {r * ve} AS vec_id,
-                   CAST(list_concat(embedding[{r * (dim // REPLICAS) + 1}:],
-                                    embedding[:{r * (dim // REPLICAS)}])
+                   CAST(list_concat(embedding[{r * step % dim + 1}:],
+                                    embedding[:{r * step % dim}])
                         AS FLOAT[]) AS embedding,
                    label
             FROM {rd('embeddings')}"""
