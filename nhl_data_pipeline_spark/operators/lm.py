@@ -118,6 +118,32 @@ def ngram_lm_score(
         .agg(F.count(F.lit(1)).alias("c_tri"))
         .persist()
     )
+    # Size-aware join strategy for the MODEL-side joins (r7, found by the
+    # sf1->sf3 sweep): the model table grows with the corpus (exactly
+    # linearly on the rotated sweep lakes, Heaps-law in real text), so
+    # AQE's size-based broadcast promotion eventually broadcasts a
+    # hundreds-of-MB hash relation per run whose driver build + lingering
+    # old-gen garbage (ContextCleaner reclaims broadcasts ASYNC) turns
+    # wall-clock chaotic and superlinear — measured at sf3/816K grams:
+    # 13.9-48.2 s across 6 runs (12g heap) vs 5.8-8.3 s STABLE with
+    # shuffle joins; sf1/272K grams: shuffle 3.2 s already beats
+    # broadcast's 3.6 s. Below the crossover the broadcast stays strictly
+    # better (sf0.1/27K grams: 1.1 s vs 2.0 s). The true decision
+    # variable is the model's distinct-gram count, but counting the
+    # persisted model table at plan-construction time repopulates the
+    # cache and perturbs every consumer's captured plan (the fingerprint
+    # gate caught exactly that), so the gate uses the model-SOURCE row
+    # count — a column-pruned parquet count, no cache side effects. The
+    # 20K-doc threshold maps between the measured regimes (5K docs/27K
+    # grams: broadcast wins; 50K docs/272K grams: shuffle wins); a
+    # corpus of few huge documents would misjudge — at 100 TB this
+    # decision comes from catalog distinct-count stats instead.
+    model_src = reference if reference is not None else docs
+    big_model = model_src.count() > 20_000
+
+    def _model_side(df: DataFrame) -> DataFrame:
+        return df.hint("shuffle_hash") if big_model else df
+
     # Context counts from the MODEL table, not the corpus: every trigram
     # occurrence contributes exactly 1 to its 2-token prefix, so
     # c_ctx = Σ c_tri over grams sharing the prefix — identical counts,
@@ -147,7 +173,7 @@ def ngram_lm_score(
             tri_counts.withColumn(
                 "ctx", F.expr("substring_index(gram, ' ', 2)")
             )
-            .join(ctx_counts, "ctx")
+            .join(_model_side(ctx_counts), "ctx")
             .crossJoin(F.broadcast(v))
             .select(
                 F.xxhash64("gram").alias("gk"),
@@ -156,7 +182,7 @@ def ngram_lm_score(
         )
         scored = tri_ref.select(
             id_col, F.xxhash64("gram").alias("gk")
-        ).join(model, "gk")
+        ).join(_model_side(model), "gk")
     else:
         tri_doc = _ngrams(docs, 3, id_col=id_col, text_col=text_col).select(
             id_col,
@@ -164,8 +190,8 @@ def ngram_lm_score(
             F.expr("substring_index(gram, ' ', 2)").alias("ctx"),
         )
         scored = (
-            tri_doc.join(tri_counts, "gram", "left")
-            .join(ctx_counts, "ctx", "left")
+            tri_doc.join(_model_side(tri_counts), "gram", "left")
+            .join(_model_side(ctx_counts), "ctx", "left")
             .crossJoin(F.broadcast(v))
             .select(id_col, _p_fixed_expr().alias("p_fixed"))
         )
