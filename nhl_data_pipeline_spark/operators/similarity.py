@@ -170,6 +170,16 @@ def cosine_allpairs_numpy(
     it replaces; the scale path is the banded hyperplane LSH). Each Arrow
     batch scores batch×n pairs at C speed and emits only survivors, with
     the id< guard dropping mirrored/self pairs.
+
+    Parallelism (r7): the streamed side is hash-REPARTITIONED across the
+    session's cores and scored in ≤1024-row chunks — the sf1 lake is one
+    parquet file, so without the exchange ONE python worker scored all
+    20K×20K pairs through a 3.2 GB-per-dimension-pass intermediate
+    (~205 GB of memory traffic, 16+ min single-core; chunked+parallel:
+    ~1 min, and the per-task intermediate is capped at
+    1024×n×8 B). Values are partitioning- and chunk-invariant by
+    construction — every pair's dot is the same dimension-ordered
+    scalar chain regardless of which task/chunk computes it.
     """
     import numpy as np
     import pandas as pd
@@ -191,25 +201,34 @@ def cosine_allpairs_numpy(
 
     def score(batches):
         for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf[vec]), dtype=np.float64)
-            a_nrm = np.sqrt(seq_sq_norm(a_mat))
-            acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
-            for k in range(dim):
-                acc += a_mat[:, k : k + 1] * b_mat[None, :, k]
-            cos = acc / (a_nrm[:, None] * b_nrm[None, :])
-            ai, bi = np.nonzero((cos >= threshold) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cosine": cos[ai, bi],
-                }
-            )
+            for lo in range(0, len(pdf), 1024):
+                chunk = pdf.iloc[lo : lo + 1024]
+                if chunk.empty:
+                    continue
+                a_ids = chunk[id_col].to_numpy(dtype=np.int64)
+                a_mat = np.array(list(chunk[vec]), dtype=np.float64)
+                a_nrm = np.sqrt(seq_sq_norm(a_mat))
+                acc = np.zeros((a_mat.shape[0], b_mat.shape[0]))
+                for k in range(dim):
+                    acc += a_mat[:, k : k + 1] * b_mat[None, :, k]
+                cos = acc / (a_nrm[:, None] * b_nrm[None, :])
+                ai, bi = np.nonzero(
+                    (cos >= threshold) & (a_ids[:, None] < b_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": b_ids[bi],
+                        "cosine": cos[ai, bi],
+                    }
+                )
 
-    return df.select(id_col, vec).mapInPandas(score, out_schema)
+    sc = df.sparkSession.sparkContext
+    return (
+        df.select(id_col, vec)
+        .repartition(sc.defaultParallelism, id_col)
+        .mapInPandas(score, out_schema)
+    )
 
 
 # ------------------------------------------------- hyperplane LSH buckets
