@@ -259,8 +259,17 @@ def semantic_neardup_pairs_blocked_numpy(
     import numpy as np
     import pandas as pd
 
-    assigned = kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0].select(
-        "cluster_id", F.col(id_col), F.col(vec)
+    # Persisted: the sizing agg below materializes the assignment and
+    # the pair stage then reads it back instead of re-scanning +
+    # re-assigning the corpus (the r7 review caught the double pass) —
+    # same not-unpersisted pattern as minhash_band_pairs' band table
+    # (CacheManager dedupes on plan equality; bench clearCache()s
+    # between runs). The persist is part of the query's own plan, so
+    # the captured fingerprint stays deterministic.
+    assigned = (
+        kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0]
+        .select("cluster_id", F.col(id_col), F.col(vec))
+        .persist()
     )
     # Worst-case sizing: one k-row agg over the assignment finds the
     # largest cluster, so the per-task matrix bound holds under skew

@@ -87,6 +87,7 @@ def ngram_lm_score(
     reference: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model_rows: int | None = None,
 ) -> DataFrame:
     """(id, n_trigrams, mean_tri_prob) per document.
 
@@ -138,8 +139,14 @@ def ngram_lm_score(
     # grams: broadcast wins; 50K docs/272K grams: shuffle wins); a
     # corpus of few huge documents would misjudge — at 100 TB this
     # decision comes from catalog distinct-count stats instead.
-    model_src = reference if reference is not None else docs
-    big_model = model_src.count() > 20_000
+    # ``model_rows`` lets a caller that already knows (or memoizes) the
+    # corpus size skip the count job — this is a plan BUILDER, and an
+    # unconditional action here would run once per construction (5× per
+    # benched query: 2 warmups + 3 timed).
+    if model_rows is None:
+        model_src = reference if reference is not None else docs
+        model_rows = model_src.count()
+    big_model = model_rows > 20_000
 
     def _model_side(df: DataFrame) -> DataFrame:
         return df.hint("shuffle_hash") if big_model else df

@@ -184,7 +184,12 @@ def cosine_allpairs_numpy(
     import numpy as np
     import pandas as pd
 
+    out_schema = "vec_a long, vec_b long, cosine double"
     rows = df.select(id_col, vec).collect()
+    if not rows:
+        # An empty table would make b_mat (0,)-shaped and the 2-D
+        # shape[1] below raise IndexError (same guard as pq.encode_numpy).
+        return df.sparkSession.createDataFrame([], out_schema)
     b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     b_mat = np.array([r[vec] for r in rows], dtype=np.float64)  # f32→f64 exact
     dim = b_mat.shape[1]
@@ -196,8 +201,6 @@ def cosine_allpairs_numpy(
         return acc
 
     b_nrm = np.sqrt(seq_sq_norm(b_mat))
-
-    out_schema = "vec_a long, vec_b long, cosine double"
 
     def score(batches):
         for pdf in batches:

@@ -299,26 +299,30 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    # One sink per SOURCE identity, not per plan construction: a fresh
-    # mkdtemp here leaked a target + __ckpt pair (and re-ran the full
-    # streaming sink) on every call — bench alone constructs the plan
-    # 5× (warmups + median-of-3). Same pattern as the robust-census
-    # corpus (q_projection.py): key the path on the events file's
-    # path|size|mtime so regenerated testdata invalidates the cache,
-    # and skip the run when the sink's _SUCCESS marker exists (the
-    # final upsert_latest rewrite leaves one). Driver-local existence
-    # check: probe/test scaffolding, local-FS semantics.
+    # One sink per (SOURCE identity, sink semantics), not per plan
+    # construction: a fresh mkdtemp here leaked a target + __ckpt pair
+    # (and re-ran the full streaming sink) on every call — bench alone
+    # constructs the plan 5× (warmups + median-of-3). Same pattern as
+    # the robust-census corpus (q_projection.py): key the path on the
+    # events file's path|size|mtime so regenerated testdata invalidates
+    # the cache, PLUS the streamed columns/key/order spec so a later
+    # code change to the sink's semantics can never silently reuse a
+    # stale sink built by the old code (r7 review). Skip the run when
+    # the sink's _SUCCESS marker exists (the final upsert_latest rewrite
+    # leaves one). Driver-local existence check, single-process
+    # assumption: probe/test scaffolding, local-FS semantics — same
+    # trade as the robust census.
+    cols = ("event_id", "ts", "user_id", "event_type", "value")
+    sink_spec = f"cols={','.join(cols)};key=user_id;order=ts,event_id"
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     target = "/tmp/nhl_spark_upsert_sink_" + hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{sink_spec}".encode()
     ).hexdigest()[:16] + "/events_latest"
     if not os.path.exists(os.path.join(target, "_SUCCESS")):
         es.upsert_stream(
             spark,
-            es.read_events_stream(spark, sf_dir).select(
-                "event_id", "ts", "user_id", "event_type", "value"
-            ),
+            es.read_events_stream(spark, sf_dir).select(*cols),
             target,
             key="user_id",
             order_cols=("ts", "event_id"),

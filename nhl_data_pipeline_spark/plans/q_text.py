@@ -8,6 +8,8 @@ as the Spark expressions (operators.text / operators.dedup `_sql` twins).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -911,6 +913,11 @@ _BPE_MERGE_UNION = "\nUNION ALL\n".join(
 # construct this query).
 _BPE_MEMO: dict[tuple[str, int, int], list[tuple[str, str]]] = {}
 
+# Same identity-keyed memo for the corpus row count feeding the LM
+# model-size join gate (ngram_lm_quality) — one column-pruned count per
+# corpus, not one per plan construction.
+_DOC_COUNT_MEMO: dict[tuple[str, int, int], int] = {}
+
 
 @query(
     "tfidf_top_terms",
@@ -999,8 +1006,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer/encoder (at 100 TB you would persist the word table once and
     feed both; at driver scale the recompute is cheaper than the cache).
     """
-    import os
-
     from nhl_data_pipeline_spark.operators import bpe as B
 
     d = load_table(spark, sf_dir, "documents")
@@ -1462,10 +1467,18 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ONE final double division — see operators/lm.py. Scale shape: the
     model side is the distinct-ngram table (two map-side-combinable
     groupBys), orders of magnitude smaller than the corpus; scoring is two
-    hash joins on the gram/context keys.
+    hash joins on the gram/context keys — broadcast below the measured
+    model-size gate, shuffle_hash above it (operators/lm.py). The corpus
+    row count feeding that gate is memoized per source identity so the
+    plan builder stays action-free after the first construction.
     """
     d = load_table(spark, sf_dir, "documents")
-    return LM.ngram_lm_score(d)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = (src, st.st_size, st.st_mtime_ns)
+    if key not in _DOC_COUNT_MEMO:
+        _DOC_COUNT_MEMO[key] = d.count()
+    return LM.ngram_lm_score(d, model_rows=_DOC_COUNT_MEMO[key])
 
 
 _CMS_TOP = 20

@@ -63,6 +63,15 @@ def test_simhash_exploded_equals_array_fold(spark, token_docs):
     assert fast == ref  # includes empty-token docs (bits all zero)
 
 
+def test_cosine_allpairs_numpy_empty_input(spark):
+    """Zero-row input must yield an empty frame, not an IndexError from
+    2-D-indexing a (0,)-shaped collected matrix."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = S.cosine_allpairs_numpy(df, threshold=0.4)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_a", "vec_b", "cosine"]
+
+
 def test_cosine_allpairs_numpy_bit_equals_jvm_fold(spark):
     rng = random.Random(11)
     dim = 16

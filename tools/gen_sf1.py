@@ -136,21 +136,28 @@ def main() -> None:
     def letter_target(r: int) -> str:
         """Distinct substitution alphabet per replica, r < 52.
 
-        r < 26: rotation by r (the original scheme). r >= 26: rotation
-        by r-26 COMPOSED with a case swap — without it, replica r and
-        r-26 would share an identical mapping (rot 26 == rot 0), plant
-        exact cross-replica duplicate docs, and corrupt the linear
-        pair-count scaling the rotated lake exists to guarantee
-        (discovered preparing the sf3 sweep, REPLICAS=30)."""
-        n, swap = r % 26, (r // 26) % 2
+        r < 26: rotation by r (the original scheme). r >= 26: the
+        REFLECTED alphabet rotated by r-26 — the dihedral group's 52
+        distinct permutations. Two rejected designs, both of which
+        planted cross-replica duplicates and corrupted the linear
+        pair-count scaling this lake exists to guarantee: plain
+        rotation cycles at 26 (replica r == replica r-26 exactly), and
+        a case SWAP for r >= 26 looks distinct but is erased by any
+        case-insensitive key — the engine's exact-dedup fingerprint is
+        md5(lower(trim(...))), so lower(case_swap(t)) == lower(t) and
+        replicas 26-29 aliased 0-3 for every fingerprint-keyed query
+        (caught by the r7 code review). Reflections act WITHIN each
+        case, so they survive lower() and never equal a rotation."""
+        n, refl = r % 26, (r // 26) % 2
         lo, up = rot(lower, n), rot(upper, n)
-        return (up + lo) if swap else (lo + up)
+        return (lo[::-1] + up[::-1]) if refl else (lo + up)
 
     if REPLICAS > 52:
         raise SystemExit(
             "letter_target is injective only for REPLICAS <= 52 "
-            "(26 rotations x case swap); larger lakes need a third "
-            "shingle-preserving transform dimension"
+            "(26 rotations x reflection); larger lakes need a third "
+            "shingle-preserving, case-insensitive-safe transform "
+            "dimension"
         )
     doc_branches = " UNION ALL ".join(
         f"""SELECT doc_id + {r * do} AS doc_id,
