@@ -136,6 +136,57 @@ try:
         got_segs = {r["word"]: list(r["syms"]) for r in words.collect()}
         assert got_segs == want_segs
 
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.lists(_WORD, min_size=1, max_size=8), min_size=2, max_size=10
+        )
+    )
+    def test_bpe_sql_replay_matches_python_on_random_corpora(docs_words):
+        """The DuckDB CTE replay that ORACLE-checks the driver's BPE row
+        (plans/q_text._bpe_oracle_ctes) must equal the Python reference
+        merge-for-merge AND segment-for-segment on arbitrary corpora —
+        the tight alphabet makes count ties, overlapping pairs ('aaa'),
+        and early stop-at-count<=1 exhaustion all common, exactly the
+        regimes where an argmax/fold replay would silently diverge.
+        Pure DuckDB + Python: no Spark session, so hypothesis can afford
+        10 examples."""
+        import duckdb
+        import pandas as pd
+
+        from nhl_data_pipeline_spark.plans.q_text import _bpe_oracle_ctes
+
+        n = 6
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+        con = duckdb.connect()
+        con.register(
+            "documents", pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        merge_union = " UNION ALL ".join(
+            f"SELECT {k} AS rnk, a, b FROM bpe_p{k}" for k in range(1, n + 1)
+        )
+        got_merges = [
+            (r[1], r[2])
+            for r in con.sql(
+                f"WITH {_bpe_oracle_ctes(n)} "
+                f"SELECT * FROM ({merge_union}) ORDER BY rnk"
+            ).fetchall()
+        ]
+        got_segs = {
+            r[0]: r[1].split(" ")
+            for r in con.sql(
+                f"WITH {_bpe_oracle_ctes(n)} SELECT word, seq FROM bpe_w{n}"
+            ).fetchall()
+        }
+        wf: dict[str, int] = {}
+        for _, text in rows:
+            for w in text.split(" "):
+                if w:
+                    wf[w] = wf.get(w, 0) + 1
+        want_merges, want_segs = _py_bpe(wf, n)
+        assert got_merges == want_merges
+        assert got_segs == want_segs
+
 except ImportError:  # pragma: no cover
     pass
 
