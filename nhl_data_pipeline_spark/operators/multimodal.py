@@ -75,20 +75,129 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """STUB: image decode (PIL not available in this container).
+    """STUB: compressed-image decode (PIL not available in this container).
 
     The mapInPandas contract is identical to extract_features: binary in,
     typed struct out (width/height/mode + pixel tensor). Raises until a
-    codec library is present.
+    codec library is present. For the UNCOMPRESSED formats a decoder
+    needs no library for — P6 PPM and 24-bit BI_RGB BMP —
+    :func:`decode_image_raw` below is a REAL, tested decode path.
     """
     try:
         import PIL  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires PIL/pillow, not present in this "
-            "environment; plumbing contract is extract_features()"
+            "compressed-image decode requires PIL/pillow, not present in "
+            "this environment; decode_image_raw handles PPM/BMP today and "
+            "the plumbing contract is extract_features()"
         ) from e
     raise NotImplementedError("wire PIL decode here when available")
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_rgb", T.ArrayType(T.DoubleType())),
+        T.StructField("pixel_md5", T.StringType()),
+    ]
+)
+
+
+def _decode_rgb(data: bytes):
+    """(format, HxWx3 uint8 RGB top-down array) for P6 PPM / 24-bit BMP.
+
+    Both formats normalize to the same canonical tensor — RGB channel
+    order, top-down row order — so the same image encoded either way
+    decodes bit-identically (tested). Raises ValueError on anything else
+    (compressed formats go through the PIL-gated :func:`decode_image`).
+    """
+    import struct
+
+    import numpy as np
+
+    if data[:2] == b"P6":
+        # header: P6 <ws> width <ws> height <ws> maxval <single ws> raw
+        # RGB rows top-down; '#' comments legal between tokens.
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        pos += 1  # the single whitespace byte after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"P6 maxval {maxval} unsupported (want 255)")
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return "ppm", px.reshape(h, w, 3)
+    if data[:2] == b"BM":
+        off = struct.unpack_from("<I", data, 10)[0]
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        comp = struct.unpack_from("<I", data, 30)[0]
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+        rows = np.frombuffer(
+            data, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if flip:
+            rows = rows[::-1]
+        return "bmp", rows[:, :, ::-1]  # BGR -> RGB
+    raise ValueError(f"unsupported image magic {data[:2]!r}")
+
+
+def decode_image_raw(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL image decode for the library-free formats (P6 PPM, 24-bit
+    BI_RGB BMP): binary in → typed decode struct out via Arrow batches —
+    the exact contract :func:`decode_image` fills in for compressed
+    formats once a codec library exists.
+
+    Emits per image: format, dimensions, per-channel float64 means
+    (deterministic: integer pixel sums divided once), and the md5 of the
+    canonical RGB-top-down tensor — so two payloads carrying the same
+    pixels in different containers (BMP vs PPM) produce IDENTICAL
+    mean_rgb and pixel_md5 (tested), which is what makes this usable as
+    a cross-format near-dup / integrity key. The payload never leaves
+    the map stage — at 100 TB the binary column stays out of every
+    shuffle and only these fixed-width features flow on.
+    """
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "width", "height", "channels",
+                "mean_rgb", "pixel_md5",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                fmt, px = _decode_rgb(bytes(b))
+                out["doc_id"].append(doc_id)
+                out["format"].append(fmt)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["channels"].append(px.shape[2])
+                n = px.shape[0] * px.shape[1]
+                out["mean_rgb"].append(
+                    [float(px[:, :, c].sum(dtype="int64")) / n for c in range(3)]
+                )
+                out["pixel_md5"].append(
+                    hashlib.md5(px.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(_dec, DECODE_SCHEMA)
 
 
 HISTOGRAM_DIM = 16

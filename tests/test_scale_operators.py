@@ -306,6 +306,64 @@ def test_multimodal_frame_sample_and_resize(spark):
         assert r.n_bytes == (sizes[r.doc_id] + 3) // 4
 
 
+def test_multimodal_decode_image_raw_ppm_bmp(spark):
+    """The real (dependency-free) decode path: the SAME pixels encoded as
+    P6 PPM and as padded bottom-up 24-bit BMP must decode to identical
+    canonical tensors (pixel_md5 + exact per-channel means), and dims/
+    means must match a direct numpy reference. Width 5 forces BMP row
+    padding (stride 16 over 15 payload bytes); the PPM header carries a
+    comment line to exercise the tokenizer."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from nhl_data_pipeline_spark.operators.multimodal import (
+        decode_image_raw,
+    )
+
+    h, w = 3, 5
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)  # RGB top-down
+
+    ppm = b"P6\n# synthetic\n" + f"{w} {h}\n255\n".encode() + px.tobytes()
+
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = b""
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = px[r, :, ::-1].tobytes()  # BGR
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        + rows
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_image_raw(df).collect()}
+    assert got[1].format == "ppm" and got[2].format == "bmp"
+    want_mean = [float(px[:, :, c].sum(dtype="int64")) / (h * w) for c in range(3)]
+    want_md5 = hashlib.md5(px.tobytes()).hexdigest()
+    for r in got.values():
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert list(r.mean_rgb) == want_mean
+        assert r.pixel_md5 == want_md5
+
+    # Unsupported magic raises (the PIL-gated decode_image path's job).
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"\x89PNG\r\n"))], "doc_id long, payload binary"
+    )
+    with _pt.raises(Exception, match="unsupported image magic"):
+        decode_image_raw(bad).collect()
+
+
 def test_interval_join_bucketed_equals_naive(spark):
     """Bin-join form == theta-join form on adversarial interval shapes:
     boundary-exact events, zero-length and inverted intervals, windows
