@@ -561,24 +561,81 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
 
 @query(
     "multimodal_feature_extract",
-    covers="LLM-multimodal,mapInPandas",
-    oracle="""
-        SELECT doc_id,
+    covers="LLM-multimodal,LLM-multimodal-decode,mapInPandas",
+    oracle=f"""
+        SELECT 'bytes' AS op, doc_id,
                CAST(strlen(text) AS INT) AS n_bytes,
-               md5(text) AS content_hash
+               md5(text) AS content_hash,
+               CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+               CAST(NULL AS DOUBLE) AS mean_r,
+               CAST(NULL AS DOUBLE) AS mean_g,
+               CAST(NULL AS DOUBLE) AS mean_b
         FROM documents
+        UNION ALL
+        SELECT 'decode', doc_id, CAST(NULL AS INT),
+               md5(substr(text, 1, 36)),
+               CAST(4 AS INT), CAST(3 AS INT),
+               {", ".join(
+                   "CAST(list_sum(list_transform(range(0, 12), k -> "
+                   f"ord(substr(text, 1 + k*3 + {c}, 1)))) AS DOUBLE) / 12"
+                   for c in range(3)
+               )}
+        FROM documents WHERE strlen(text) >= 36
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction through the Arrow mapInPandas path.
+    """Binary-payload feature extraction through the Arrow mapInPandas path,
+    PLUS (r7) the REAL image decoder driver-checked end to end.
 
-    The payload is a real binary column; the extractor runs per Arrow batch
-    exactly as an image/audio featurizer would (decode stays stubbed —
-    codec libs absent). The oracle checks the deterministic stand-in
-    features (byte length + md5), proving the plumbing end to end.
+    'bytes' branch: the payload is a real binary column; the extractor
+    runs per Arrow batch exactly as an image/audio featurizer would; the
+    oracle checks the deterministic features (byte length + md5), proving
+    the plumbing.
+
+    'decode' branch: each document's first 36 bytes become the raster of
+    a REAL 4×3 P6 PPM payload (header + raw RGB rows — text is ASCII, so
+    chars are bytes), decoded by operators.multimodal.decode_image_raw
+    (the dependency-free PPM/BMP decoder). The oracle replays the decode
+    arithmetic from the source text: per-channel means are integer byte
+    sums over every 3rd char's code point divided once (bit-exact both
+    engines), and pixel_md5 of the canonical RGB tensor equals
+    md5(substr(text,1,36)) because the tensor bytes ARE those text
+    bytes. A wrong stride, channel order, or row order in the decoder
+    would break the hash — the decode path itself is driver-checked,
+    not just the batch plumbing.
     """
     d = load_table(spark, sf_dir, "documents")
-    return M.extract_features(M.attach_binary_payload(d))
+    nul = lambda t, a: F.lit(None).cast(t).alias(a)  # noqa: E731
+    feats = M.extract_features(M.attach_binary_payload(d)).select(
+        F.lit("bytes").alias("op"),
+        "doc_id",
+        "n_bytes",
+        "content_hash",
+        nul("int", "width"),
+        nul("int", "height"),
+        nul("double", "mean_r"),
+        nul("double", "mean_g"),
+        nul("double", "mean_b"),
+    )
+    img = d.filter(F.length("text") >= 36).select(
+        "doc_id",
+        F.encode(
+            F.concat(F.lit("P6\n4 3\n255\n"), F.substring("text", 1, 36)),
+            "utf-8",
+        ).alias("payload"),
+    )
+    dec = M.decode_image_raw(img).select(
+        F.lit("decode").alias("op"),
+        "doc_id",
+        nul("int", "n_bytes"),
+        F.col("pixel_md5").alias("content_hash"),
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).alias("mean_r"),
+        F.element_at("mean_rgb", 2).alias("mean_g"),
+        F.element_at("mean_rgb", 3).alias("mean_b"),
+    )
+    return feats.unionByName(dec)
 
 
 _CURATION_BOILER = "subscribe footer newsletter cookie banner legal notice"
