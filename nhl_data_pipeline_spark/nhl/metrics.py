@@ -20,12 +20,15 @@ def team_shot_metrics(fact_team_game_stats: DataFrame) -> DataFrame:
     (an earlier round shipped sog_avg_{n}, which broke the worksheet
     over the engine's own lake — caught by bench._pipeline_scale_probe).
     Averages ROUND to 2 like the reference (:107-119); the 3-game frame
-    exists only for shots_against (:107), mirrored exactly."""
+    exists only for shots_against (:107), mirrored exactly. Regular-season
+    rows only (`WHERE game_type = 2`, team_shot_metrics.sql:26) — applied
+    BEFORE the windows so playoff/preseason games never enter the rolling
+    frames or the games_played_in_season numbering."""
     base = Window.partitionBy("team_id", "season").orderBy("game_date", "game_id")
     f3, f5, f10 = (base.rowsBetween(-(n - 1), 0) for n in (3, 5, 10))
     season_td = base.rowsBetween(Window.unboundedPreceding, 0)
     r2 = lambda c, w: F.round(F.avg(c).over(w), 2)  # noqa: E731
-    return fact_team_game_stats.select(
+    return fact_team_game_stats.filter(F.col("game_type") == 2).select(
         "game_id", "game_date", "season", "team_id", "home_away", "result",
         "shots_for", "shots_against", "shot_differential", "shooting_pct",
         "save_pct", "goals_for", "goals_against",

@@ -40,6 +40,10 @@ from pyspark.sql import functions as F
 
 from nhl_data_pipeline_spark.operators.similarity import dot, norm
 
+# Previous semantic_neardup_pairs_blocked_numpy assignment cache, rotated
+# per call so long-lived sessions never accumulate persisted copies.
+_LAST_ASSIGNED: DataFrame | None = None
+
 Matrix = list[list[float]]
 
 
@@ -261,12 +265,22 @@ def semantic_neardup_pairs_blocked_numpy(
 
     # Persisted: the sizing agg below materializes the assignment and
     # the pair stage then reads it back instead of re-scanning +
-    # re-assigning the corpus (the r7 review caught the double pass) —
-    # same not-unpersisted pattern as minhash_band_pairs' band table
-    # (CacheManager dedupes on plan equality; bench clearCache()s
-    # between runs). The persist is part of the query's own plan, so
-    # the captured fingerprint stays deterministic.
-    assigned = (
+    # re-assigning the corpus (the r7 review caught the double pass).
+    # Leak guard (r7 ADVICE): each call rotates a module-level handle,
+    # unpersisting the PREVIOUS call's assignment before persisting the
+    # new one — long-lived sessions calling this repeatedly hold at most
+    # one cached assignment instead of accumulating one per call. The
+    # old entry's data was already consumed by the pair DataFrame the
+    # prior call returned (it materializes on first action); unpersist
+    # after that merely forces a recompute if someone re-collects it.
+    global _LAST_ASSIGNED
+    if _LAST_ASSIGNED is not None:
+        try:
+            _LAST_ASSIGNED.unpersist(blocking=False)
+        except Exception:
+            pass
+        _LAST_ASSIGNED = None
+    assigned = _LAST_ASSIGNED = (
         kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0]
         .select("cluster_id", F.col(id_col), F.col(vec))
         .persist()

@@ -307,11 +307,14 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events file's path|size|mtime so regenerated testdata invalidates
     # the cache, PLUS the streamed columns/key/order spec so a later
     # code change to the sink's semantics can never silently reuse a
-    # stale sink built by the old code (r7 review). Skip the run when
-    # the sink's _SUCCESS marker exists (the final upsert_latest rewrite
-    # leaves one). Driver-local existence check, single-process
-    # assumption: probe/test scaffolding, local-FS semantics — same
-    # trade as the robust census.
+    # stale sink built by the old code (r7 review). Skip the run only
+    # when an explicit _NHL_DONE sentinel exists — written AFTER
+    # upsert_stream returns. _SUCCESS alone is NOT completion evidence:
+    # upsert_latest rewrites leave one after EVERY micro-batch, so a
+    # run that dies between batches leaves a partial sink that a
+    # _SUCCESS-keyed skip would silently reuse (r7 ADVICE). Driver-local
+    # existence check, single-process assumption: probe/test
+    # scaffolding, local-FS semantics — same trade as the robust census.
     cols = ("event_id", "ts", "user_id", "event_type", "value")
     sink_spec = f"cols={','.join(cols)};key=user_id;order=ts,event_id"
     src = os.path.join(sf_dir, "events.parquet")
@@ -319,7 +322,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = "/tmp/nhl_spark_upsert_sink_" + hashlib.md5(
         f"{src}|{st.st_size}|{st.st_mtime_ns}|{sink_spec}".encode()
     ).hexdigest()[:16] + "/events_latest"
-    if not os.path.exists(os.path.join(target, "_SUCCESS")):
+    done = os.path.join(os.path.dirname(target), "_NHL_DONE")
+    if not os.path.exists(done):
         es.upsert_stream(
             spark,
             es.read_events_stream(spark, sf_dir).select(*cols),
@@ -327,6 +331,8 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             key="user_id",
             order_cols=("ts", "event_id"),
         )
+        with open(done, "w") as fh:
+            fh.write("upsert_stream complete\n")
     upserted = spark.read.parquet(target).select(
         F.lit("upsert").alias("op"),
         "user_id",

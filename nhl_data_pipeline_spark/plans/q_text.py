@@ -580,7 +580,9 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
                    f"ord(substr(text, 1 + k*3 + {c}, 1)))) AS DOUBLE) / 12"
                    for c in range(3)
                )}
-        FROM documents WHERE strlen(text) >= 36
+        FROM documents
+        WHERE strlen(text) >= 36
+          AND regexp_matches(text, '^[\\x00-\\x7f]*$')
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,7 +619,15 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul("double", "mean_g"),
         nul("double", "mean_b"),
     )
-    img = d.filter(F.length("text") >= 36).select(
+    # ASCII gate (r7 ADVICE): DuckDB substr/strlen/ord and Spark
+    # substring/length are CHARACTER-based while decode_image_raw
+    # consumes UTF-8 BYTES — any non-ASCII char in the raster window
+    # would desync chars from bytes (ord() > 255, raster > 36 bytes).
+    # Gate the branch on an identical full-text ASCII predicate on both
+    # sides so the chars-are-bytes invariant is checked, not assumed.
+    img = d.filter(
+        (F.length("text") >= 36) & F.col("text").rlike("^[\\x00-\\x7f]*$")
+    ).select(
         "doc_id",
         F.encode(
             F.concat(F.lit("P6\n4 3\n255\n"), F.substring("text", 1, 36)),

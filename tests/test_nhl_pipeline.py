@@ -158,6 +158,29 @@ def test_rolling_metrics_shapes(models):
     assert models["player_shot_locations"].count() > 0
 
 
+def test_team_shot_metrics_regular_season_only(spark, models):
+    """team_shot_metrics.sql:26 filters `WHERE game_type = 2` BEFORE the
+    windows; fixtures are all regular season, so inject a playoff row and
+    assert it neither appears nor shifts games_played_in_season."""
+    from nhl_data_pipeline_spark.nhl import metrics
+
+    ftgs = models["fact_team_game_stats"]
+    one = ftgs.orderBy("team_id", "game_date", "game_id").limit(1)
+    playoff = (
+        one.withColumn("game_type", F.lit(3))
+        .withColumn("game_id", F.col("game_id") + 9_000_000)
+        .withColumn("game_date", F.date_sub(F.col("game_date"), 30))
+    )
+    base = metrics.team_shot_metrics(ftgs)
+    spiked = metrics.team_shot_metrics(ftgs.unionByName(playoff))
+    assert spiked.count() == base.count()
+    # the earlier playoff game must not have bumped the season numbering
+    assert (
+        spiked.groupBy().max("games_played_in_season").first()[0]
+        == base.groupBy().max("games_played_in_season").first()[0]
+    )
+
+
 def test_bruins_next_opponent(models):
     rows = models["bruins_next_opponent"].collect()
     assert len(rows) == 1

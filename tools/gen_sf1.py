@@ -173,7 +173,16 @@ def main() -> None:
         f"SELECT len(embedding) FROM {rd('embeddings')} LIMIT 1"
     ).fetchone()[0]
     # Per-replica circular shift; max(1, ...) keeps shifts distinct (mod
-    # dim) when REPLICAS > dim/2 (e.g. the 30-replica sf3 lake).
+    # dim) when REPLICAS > dim/2 (e.g. the 30-replica sf3 lake). Shifts
+    # r*step are injective mod dim only while REPLICAS <= dim — a lake
+    # with embedding dim < REPLICAS would plant exact-duplicate
+    # embeddings across replicas and corrupt the linear near-dup pair
+    # scaling this generator exists to guarantee (mirrors the
+    # letter_target injectivity guard).
+    assert REPLICAS <= dim, (
+        f"REPLICAS={REPLICAS} exceeds embedding dim={dim}: "
+        "circular shifts would collide across replicas"
+    )
     step = max(1, dim // REPLICAS)
     emb_branches = " UNION ALL ".join(
         f"""SELECT vec_id + {r * ve} AS vec_id,
