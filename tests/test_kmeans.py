@@ -106,6 +106,48 @@ def test_semantic_neardup_subset_of_exact_and_finds_planted(spark, emb):
     assert set(range(5)) <= kept_ids  # keep-lowest-id survivors
 
 
+def test_lsh_blocked_scale_form_subset_and_recall(spark, emb):
+    """The benched kmeans×LSH scale form (r8): every pair it emits is an
+    exact within-cluster pair with the SAME cosine bits (candidates are
+    scored by the same JVM fold — the BLAS bucketize only GENERATES
+    candidates, it never touches the emitted cosine), and planted
+    near-identicals are always caught (near-1 cosines agree on every
+    band w.h.p.). The test lake itself has NO pairs above cosine 0.6
+    (max ≈ 0.6 by construction), so recall in the production ≥0.9
+    regime is exercised via the planted set."""
+    pairs = lambda df: {  # noqa: E731
+        (r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()
+    }
+    # Subset invariant at a low threshold: the LSH form may surface only
+    # a fraction of 0.4-cosine pairs (banding is parameterized for the
+    # ≥0.9 near-dup regime), but anything it emits must be an exact
+    # within-cluster pair, cosine bits included.
+    exact = pairs(KM.semantic_neardup_pairs(emb, 0.4, 8, n_iter=0))
+    lsh = pairs(KM.semantic_neardup_pairs_lsh_blocked(emb, 0.4, 8))
+    assert lsh <= exact
+    # The clean lake yields zero rows in the production regime — a real
+    # property of a dup-free corpus, not a degenerate plan (candidate
+    # generation still scans/buckets/joins everything).
+    assert pairs(KM.semantic_neardup_pairs_lsh_blocked(emb, 0.9, 8)) == set()
+
+    # Planted near-identical vectors: cosine ≈ 1 ⇒ same cluster AND same
+    # bucket in every band — the scale form must find all of them, at the
+    # production threshold, among the untouched corpus.
+    base = emb.select("vec_id", "embedding").limit(100)
+    dup = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.000001).cast("float")
+        ).alias("embedding"),
+    )
+    got = pairs(
+        KM.semantic_neardup_pairs_lsh_blocked(base.unionAll(dup), 0.9, 5)
+    )
+    assert {(i, i + 100000) for i in range(5)} <= {
+        (a, b) for a, b, _ in got
+    }
+
+
 def test_blocked_numpy_variant_is_bit_identical(spark, emb):
     """The one-pass Arrow pair stage must return the exact tuple set —
     cosine BITS included — of the pure-JVM self-join form, at a
