@@ -85,6 +85,70 @@ def _calibration_anchor(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+def _calibration_anchors(spark) -> dict[str, float]:
+    """THREE fixed, data-independent anchor shapes (r8, VERDICT ask #3).
+
+    The r7 single CPU anchor over-corrected across hosts: driver/local
+    anchor ratio 1.48× vs a bench-total ratio of 1.19× — normalizing the
+    driver total by it yielded a driver time FASTER than local, which is
+    impossible. The environment gap evidently does not live uniformly in
+    JVM-CPU speed, so one shape cannot transfer. Emitting one anchor per
+    execution COMPONENT lets a reader attribute the gap instead:
+
+    - ``anchor_sec``      — JVM codegen + hash-agg (the r7 shape, kept
+      under its old key so sweep tooling and round-over-round
+      comparisons parse unchanged);
+    - ``anchor_shuffle_sec`` — a fixed 2^22-row round-trip through a
+      hash-partitioned exchange (shuffle write + fetch + read path:
+      serialization, disk, scheduler);
+    - ``anchor_arrow_sec``   — a 2^21-row mapInPandas round-trip
+      (Python worker launch/reuse + Arrow (de)serialization — the
+      component that prices every applyInPandas/mapInPandas stage).
+
+    Same discipline as the headline queries: 2 warmups, median of 3.
+    Cross-ENV normalization claims are scoped to same-host legs (the
+    sweep's use); cross-host comparisons should quote per-component
+    ratios, not divide by any single shape.
+    """
+    from pyspark.sql import functions as F
+
+    def timed(build) -> float:
+        def once() -> float:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        runs = [once() for _ in range(5)][2:]
+        return round(sorted(runs)[1], 3)
+
+    def shuffle_shape():
+        # repartition on a computed key: a real map→exchange→reduce round
+        # trip of 4M narrow rows; the post-shuffle projection keeps the
+        # read side from being optimized into the noop sink.
+        return (
+            spark.range(0, 1 << 22, 1, 32)
+            .repartition(64, (F.col("id") % 9973).alias("k"))
+            .select((F.col("id") + 1).alias("v"))
+        )
+
+    def arrow_shape():
+        def roundtrip(batches):
+            for pdf in batches:
+                pdf["v"] = pdf["id"] * 2 + 1
+                yield pdf[["v"]]
+
+        return spark.range(0, 1 << 21, 1, 32).mapInPandas(
+            roundtrip, "v long"
+        )
+
+    return {
+        "anchor_sec": _calibration_anchor(spark),
+        "anchor_shuffle_sec": timed(shuffle_shape),
+        "anchor_arrow_sec": timed(arrow_shape),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench")
     specs = {n: s for n, s in all_queries().items() if s.bench}
@@ -116,8 +180,8 @@ def main() -> None:
     # fixed CPU-bound micro-op whose time depends only on the
     # environment, emitted in the headline JSON so cross-env /
     # cross-round totals can be normalized by the anchor ratio.
-    anchor_sec = _calibration_anchor(spark)
-    print(json.dumps({"probe": "calibration_anchor", "sec": anchor_sec}))
+    anchors = _calibration_anchors(spark)
+    print(json.dumps({"probe": "calibration_anchor", **anchors}))
     sys.stdout.flush()
     # Per-query measurement blocks: 2 warmup runs, then the MEDIAN of 3
     # timed runs. Earlier rounds warmed every query once and then timed
@@ -187,7 +251,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
-                "anchor_sec": anchor_sec,
+                **anchors,
             }
         )
     )
@@ -697,6 +761,22 @@ def _pipeline_e2e_probe(spark) -> dict:
     return out
 
 
+# The two statements expected to return zero rows over the ×100 model lake
+# (r8, VERDICT ask #4 — pinned so any OTHER statement going empty fails
+# loudly): team_8 filters `game_date >= CURRENT_DATE - INTERVAL '15 days'`
+# (team_shot_example_queries.sql:193) — wall-clock-relative, unsatisfiable
+# by the 2024-season fixtures; team_3 filters `team_id = 10 AND season =
+# 20242025` (:~160) — the committed bronze fixtures contain no team-10
+# (TOR) games, and the ×100 replication multiplies rows, never teams.
+# Measured, not derived: the first pin of this set guessed CURRENT_DATE
+# covered both and was wrong (no odds statement is date-relative).
+_WORKSHEET_EXPECTED_EMPTY = {"team_3", "team_8"}
+_WORKSHEET_EMPTY_CAUSE = (
+    "team_8: CURRENT_DATE-relative window vs 2024-season fixtures; "
+    "team_3: team_id=10 absent from bronze fixtures"
+)
+
+
 def _pipeline_scale_probe(spark) -> dict:
     """r7: second-decade scaling for the NHL model DAG + the full analyst
     worksheet corpus at replicated scale (VERDICT r6 asks #6/#7).
@@ -802,6 +882,12 @@ def _pipeline_scale_probe(spark) -> dict:
     out["staging_cj_x1000_sec"] = round(t1000, 3)
     out["staging_x1000_rows"] = float(sum(c1000))
     out["staging_exponent"] = round(math.log10(t1000 / t100), 3)
+    # r8 (VERDICT ask #6): the second-decade staging exponent is a GATE,
+    # not just a recording — a model change that makes staging
+    # superlinear fails the bench run instead of drifting (r7 measured
+    # 0.848; 0.95 leaves headroom for environment noise while still
+    # catching anything structurally worse than linear).
+    assert out["staging_exponent"] <= 0.95, out["staging_exponent"]
 
     box100 = replicate(bronze["game_boxscore"], schemas.boxscore_payload(), 100)
     pbp100 = replicate(bronze["game_pbp"], schemas.pbp_payload(), 100)
@@ -813,6 +899,27 @@ def _pipeline_scale_probe(spark) -> dict:
     ).count()
     tmp = tempfile.mkdtemp(prefix="nhl_scale_")
     try:
+        # r8 (VERDICT ask #6): the full-DAG leg gets the same asserted
+        # exponent ceiling as staging — time the 25-model DAG at ×10 AND
+        # ×100 and gate the decade exponent. Fixed per-model costs
+        # (planning, Z-order write setup) dominate at ×10, so the
+        # expected reading is well under 1; anything ≥ 0.95 means a
+        # model went superlinear in data volume.
+        spark.catalog.clearCache()
+        box10 = replicate(bronze["game_boxscore"], schemas.boxscore_payload(), 10)
+        pbp10 = replicate(bronze["game_pbp"], schemas.pbp_payload(), 10)
+        t0 = time.perf_counter()
+        run_pipeline(
+            spark,
+            {
+                "game_boxscore": box10,
+                "game_pbp": pbp10,
+                "schedule": bronze["schedule"],
+                "odds_player_props": bronze["odds_player_props"],
+            },
+            warehouse_dir=f"{tmp}/wh10",
+        )
+        out["dag_x10_sec"] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
         t0 = time.perf_counter()
         models = run_pipeline(
@@ -828,6 +935,10 @@ def _pipeline_scale_probe(spark) -> dict:
         out["dag_x100_sec"] = round(time.perf_counter() - t0, 3)
         assert models["fact_game_results"].count() == 100 * fgr1
         out["dag_x100_models"] = float(len(models))
+        out["dag_exponent"] = round(
+            math.log10(out["dag_x100_sec"] / out["dag_x10_sec"]), 3
+        )
+        assert out["dag_exponent"] <= 0.95, out["dag_exponent"]
 
         team_ws = Path(
             "/root/reference/dbt_nhl/analysis/team_shot_example_queries.sql"
@@ -853,7 +964,8 @@ def _pipeline_scale_probe(spark) -> dict:
         }
         t0 = time.perf_counter()
         executed = nonempty = 0
-        for s in stmts_of(team_ws):
+        empty: list[str] = []
+        for i, s in enumerate(stmts_of(team_ws)):
             n = spark_sql_compat(
                 spark,
                 s,
@@ -862,17 +974,31 @@ def _pipeline_scale_probe(spark) -> dict:
             ).count()
             executed += 1
             nonempty += 1 if n else 0
+            if not n:
+                empty.append(f"team_{i}")
         odds_counts = []
-        for s in stmts_of(odds_ws):
+        for i, s in enumerate(stmts_of(odds_ws)):
             odds_counts.append(
                 spark_sql_compat(spark, resolve_dbt_refs(s)).count()
             )
             executed += 1
             nonempty += 1 if odds_counts[-1] else 0
+            if not odds_counts[-1]:
+                empty.append(f"odds_{i}")
         out["worksheets_x100_sec"] = round(time.perf_counter() - t0, 3)
         out["worksheets_x100_executed"] = float(executed)
         out["worksheets_x100_nonempty"] = float(nonempty)
+        out["worksheets_x100_empty"] = ",".join(empty)
+        out["worksheets_x100_empty_cause"] = _WORKSHEET_EMPTY_CAUSE
         assert executed == 18, executed
+        # r8 (VERDICT ask #4): the EXACT expected-empty set is pinned —
+        # any OTHER statement going empty (a regression silently
+        # emptying a join) fails the probe loudly, as does a fixture /
+        # date change making these two produce rows.
+        assert set(empty) == _WORKSHEET_EXPECTED_EMPTY, (
+            empty,
+            _WORKSHEET_EXPECTED_EMPTY,
+        )
         assert all(odds_counts[i] > 0 for i in (0, 1, 3, 7)), odds_counts
         # Semantic spot-check intact at scale: worksheet §1 == direct recount
         got = {

@@ -159,6 +159,100 @@ def _decode_rgb(data: bytes):
     raise ValueError(f"unsupported image magic {data[:2]!r}")
 
 
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_amp", T.ArrayType(T.DoubleType())),
+        T.StructField("sample_md5", T.StringType()),
+    ]
+)
+
+
+def _decode_wav(data: bytes):
+    """(n_channels, sample_rate, frames×channels int16 array) for RIFF
+    WAVE PCM-16 payloads — dependency-free like :func:`_decode_rgb`.
+
+    Walks the RIFF chunk list (a real WAV may carry LIST/INFO chunks
+    before `data`; chunks pad to even sizes), requires fmt tag 1 (PCM)
+    at 16 bits, and de-interleaves the little-endian samples into a
+    (frames, channels) int16 tensor — signedness included (a byte pair
+    ≥ 0x8000 is a negative sample; tested explicitly, since ASCII-built
+    payloads never exercise it). Raises ValueError on anything else
+    (compressed codecs would go through an env-gated decode_audio the
+    way compressed images go through decode_image).
+    """
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError(f"unsupported audio magic {data[:4]!r}")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+            break
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt /data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"WAV fmt={audio_fmt} bits={bits} unsupported")
+    n = len(raw) // (2 * n_ch)
+    samples = np.frombuffer(raw, dtype="<i2", count=n * n_ch).reshape(n, n_ch)
+    return n_ch, rate, samples
+
+
+def decode_audio_raw(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode for RIFF WAVE PCM-16 (r7 VERDICT ask #7) — the
+    audio twin of :func:`decode_image_raw`: binary in → typed decode
+    struct out via Arrow batches.
+
+    Emits per clip: channel/rate/frame counts, per-CHANNEL float64 means
+    (integer sample sums divided once — deterministic, engine-portable),
+    and the md5 of the canonical frames×channels little-endian int16
+    tensor. De-interleaving is the load-bearing part: a wrong channel
+    stride swaps the channel means, and a wrong byte order breaks the
+    tensor md5 — both replayed from source bytes by the SQL oracle
+    (plans/q_text.py 'audio' branch). Payload never leaves the map stage.
+    """
+
+    def _dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "format", "n_channels", "sample_rate",
+                "n_frames", "mean_amp", "sample_md5",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf[payload_col]):
+                n_ch, rate, samples = _decode_wav(bytes(b))
+                out["doc_id"].append(doc_id)
+                out["format"].append("wav")
+                out["n_channels"].append(n_ch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(samples.shape[0])
+                n = max(samples.shape[0], 1)
+                out["mean_amp"].append(
+                    [
+                        float(samples[:, c].sum(dtype="int64")) / n
+                        for c in range(n_ch)
+                    ]
+                )
+                out["sample_md5"].append(
+                    hashlib.md5(samples.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", payload_col).mapInPandas(_dec, AUDIO_SCHEMA)
+
+
 def decode_image_raw(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL image decode for the library-free formats (P6 PPM, 24-bit
     BI_RGB BMP): binary in → typed decode struct out via Arrow batches —

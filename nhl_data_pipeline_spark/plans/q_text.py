@@ -583,6 +583,21 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
         FROM documents
         WHERE strlen(text) >= 36
           AND regexp_matches(text, '^[\\x00-\\x7f]*$')
+        UNION ALL
+        SELECT 'audio', doc_id, CAST(NULL AS INT),
+               md5(substr(text, 1, 36)),
+               CAST(9 AS INT), CAST(2 AS INT),
+               {", ".join(
+                   "CAST(list_sum(list_transform(range(0, 9), k -> "
+                   f"ord(substr(text, 1 + k*4 + {c * 2}, 1)) + "
+                   f"256 * ord(substr(text, 1 + k*4 + {c * 2} + 1, 1))"
+                   ")) AS DOUBLE) / 9"
+                   for c in range(2)
+               )},
+               CAST(NULL AS DOUBLE)
+        FROM documents
+        WHERE strlen(text) >= 36
+          AND regexp_matches(text, '^[\\x00-\\x7f]*$')
     """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,9 +640,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would desync chars from bytes (ord() > 255, raster > 36 bytes).
     # Gate the branch on an identical full-text ASCII predicate on both
     # sides so the chars-are-bytes invariant is checked, not assumed.
-    img = d.filter(
+    ascii_docs = d.filter(
         (F.length("text") >= 36) & F.col("text").rlike("^[\\x00-\\x7f]*$")
-    ).select(
+    )
+    img = ascii_docs.select(
         "doc_id",
         F.encode(
             F.concat(F.lit("P6\n4 3\n255\n"), F.substring("text", 1, 36)),
@@ -645,7 +661,44 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("mean_rgb", 2).alias("mean_g"),
         F.element_at("mean_rgb", 3).alias("mean_b"),
     )
-    return feats.unionByName(dec)
+    # 'audio' branch (r8, VERDICT ask #7): the same 36 ASCII bytes become
+    # the data chunk of a REAL stereo PCM-16 RIFF WAVE payload (9 frames
+    # × 2 channels × 2 bytes), decoded by decode_audio_raw — the oracle
+    # replays the int16 little-endian DE-INTERLEAVE from the source
+    # chars (sample[k,c] = ord(byte[4k+2c]) + 256·ord(byte[4k+2c+1]);
+    # ASCII ⇒ high byte < 128 ⇒ non-negative, so the chars-are-bytes
+    # trick stays exact — signed samples are covered by unit test), and
+    # the canonical tensor md5 equals md5(substr(text,1,36)) because
+    # reshaping a contiguous LE buffer preserves its bytes. Columns map
+    # onto the union schema: width=n_frames, height=n_channels,
+    # mean_r/mean_g = channel means.
+    import struct as _struct
+
+    wav_header = (
+        b"RIFF" + _struct.pack("<I", 36 + 36) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + _struct.pack("<I", 36)
+    )
+    aud = M.decode_audio_raw(
+        ascii_docs.select(
+            "doc_id",
+            F.concat(
+                F.lit(wav_header),
+                F.encode(F.substring("text", 1, 36), "utf-8"),
+            ).alias("payload"),
+        )
+    ).select(
+        F.lit("audio").alias("op"),
+        "doc_id",
+        nul("int", "n_bytes"),
+        F.col("sample_md5").alias("content_hash"),
+        F.col("n_frames").alias("width"),
+        F.col("n_channels").alias("height"),
+        F.element_at("mean_amp", 1).alias("mean_r"),
+        F.element_at("mean_amp", 2).alias("mean_g"),
+        nul("double", "mean_b"),
+    )
+    return feats.unionByName(dec).unionByName(aud)
 
 
 _CURATION_BOILER = "subscribe footer newsletter cookie banner legal notice"

@@ -364,6 +364,68 @@ def test_multimodal_decode_image_raw_ppm_bmp(spark):
         decode_image_raw(bad).collect()
 
 
+def test_multimodal_decode_audio_raw_wav(spark):
+    """The real WAV PCM-16 decode path (r8): de-interleave, signedness,
+    RIFF chunk walking, and the canonical tensor md5, all against a
+    direct numpy reference. Samples include negatives (the ASCII-built
+    oracle payloads can never exercise the sign bit) and the second
+    payload carries a LIST chunk with an ODD size before `data` (real
+    writers pad chunks to even offsets)."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from nhl_data_pipeline_spark.operators.multimodal import (
+        decode_audio_raw,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(-32768, 32768, size=(7, 2)).astype("<i2")
+    data = frames.tobytes()
+
+    def wav(extra_chunks: bytes) -> bytes:
+        fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        body = b"WAVE" + fmt + extra_chunks + b"data" + struct.pack(
+            "<I", len(data)
+        ) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    odd_list = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    df = spark.createDataFrame(
+        [(1, bytearray(wav(b""))), (2, bytearray(wav(odd_list)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in decode_audio_raw(df).collect()}
+    want_mean = [float(frames[:, c].sum(dtype="int64")) / 7 for c in range(2)]
+    want_md5 = hashlib.md5(data).hexdigest()
+    for r in got.values():
+        assert (r.format, r.n_channels, r.sample_rate, r.n_frames) == (
+            "wav", 2, 8000, 7,
+        )
+        assert list(r.mean_amp) == want_mean
+        assert r.sample_md5 == want_md5
+    assert any(v < 0 for v in want_mean) or frames.min() < 0  # sign exercised
+
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [(3, bytearray(b"OggS\x00\x02"))], "doc_id long, payload binary"
+    )
+    with _pt.raises(Exception, match="unsupported audio magic"):
+        decode_audio_raw(bad).collect()
+    flac_bits = bytearray(wav(b"").replace(
+        struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16),
+        struct.pack("<IHHIIHH", 16, 1, 2, 8000, 16000, 2, 8),
+    ))
+    with _pt.raises(Exception, match="unsupported"):
+        decode_audio_raw(
+            spark.createDataFrame(
+                [(4, flac_bits)], "doc_id long, payload binary"
+            )
+        ).collect()
+
+
 def test_interval_join_bucketed_equals_naive(spark):
     """Bin-join form == theta-join form on adversarial interval shapes:
     boundary-exact events, zero-length and inverted intervals, windows

@@ -152,22 +152,64 @@ def main() -> None:
         lo, up = rot(lower, n), rot(upper, n)
         return (lo[::-1] + up[::-1]) if refl else (lo + up)
 
-    if REPLICAS > 52:
+    # Third transform dimension (r8, for the 100-replica sf10 lake): the
+    # dihedral 52 are exactly the AFFINE letter maps x → a·x + b mod 26
+    # with a ∈ {1, 25}; the remaining ten units of Z/26 extend the family
+    # to 12·26 = 312 distinct permutations. Affine maps applied to both
+    # cases in lockstep commute with lower() (the r7-review property the
+    # case-swap design violated), are length/shingle-structure-preserving
+    # like any substitution, and distinct (a, b) ⇒ distinct permutations
+    # (they differ at letter 0 or letter 1). Residual cross-replica-dup
+    # risk is the same class as rotations (the corpus would have to
+    # contain an affine image of one of its own docs) — and is CHECKED,
+    # not assumed: main() asserts the case-insensitive fingerprint
+    # surplus scales exactly ×REPLICAS after the build.
+    _EXTRA_UNITS = (3, 5, 7, 9, 11, 15, 17, 19, 21, 23)
+
+    def letter_target_affine(r: int) -> str:
+        if r < 52:
+            return letter_target(r)  # keep sf1/sf3 lakes byte-compatible
+        a = _EXTRA_UNITS[(r - 52) // 26]
+        b = (r - 52) % 26
+        perm = [(a * i + b) % 26 for i in range(26)]
+        return "".join(lower[p] for p in perm) + "".join(
+            upper[p] for p in perm
+        )
+
+    if REPLICAS > 312:
         raise SystemExit(
-            "letter_target is injective only for REPLICAS <= 52 "
-            "(26 rotations x reflection); larger lakes need a third "
+            "letter targets are injective only for REPLICAS <= 312 "
+            "(12 affine units x 26 shifts); larger lakes need a fourth "
             "shingle-preserving, case-insensitive-safe transform "
             "dimension"
         )
     doc_branches = " UNION ALL ".join(
         f"""SELECT doc_id + {r * do} AS doc_id,
                    translate(text, '{lower + upper}',
-                             '{letter_target(r)}') AS text,
+                             '{letter_target_affine(r)}') AS text,
                    lang, source, n_chars
             FROM {rd('documents')}"""
         for r in range(REPLICAS)
     )
     copy("documents", f"SELECT * FROM ({doc_branches}) ORDER BY doc_id")
+
+    # Dup-density invariant, CHECKED (r8): the duplicate surplus under
+    # the engine's case-insensitive exact-dedup fingerprint must scale
+    # exactly ×REPLICAS — any letter-target aliasing (the r7 case-swap
+    # bug) or corpus-contains-its-own-image collision fails the build.
+    def fp_surplus(src_sql: str) -> int:
+        return con.execute(
+            f"SELECT count(*) - count(DISTINCT md5(lower(trim(text)))) "
+            f"FROM {src_sql}"
+        ).fetchone()[0]
+
+    base_surplus = fp_surplus(rd("documents"))
+    big_surplus = fp_surplus(f"read_parquet('{dst}/documents.parquet')")
+    assert big_surplus == REPLICAS * base_surplus, (
+        base_surplus,
+        big_surplus,
+        REPLICAS,
+    )
 
     dim = con.execute(
         f"SELECT len(embedding) FROM {rd('embeddings')} LIMIT 1"
@@ -179,20 +221,33 @@ def main() -> None:
     # embeddings across replicas and corrupt the linear near-dup pair
     # scaling this generator exists to guarantee (mirrors the
     # letter_target injectivity guard).
-    assert REPLICAS <= dim, (
-        f"REPLICAS={REPLICAS} exceeds embedding dim={dim}: "
-        "circular shifts would collide across replicas"
+    # r8: past dim replicas, a SIGN FLIP is the second embedding
+    # transform dimension — negation preserves norms and every
+    # intra-replica cosine bit-for-bit (cos(-x,-y) = cos(x,y)) while
+    # plain-vs-negated cross-replica cosines are the same ~N(0, 1/√dim)
+    # noise, negated. (sign, shift) pairs are injective for
+    # REPLICAS <= 2·dim; shifts for r < dim keep the original
+    # step-stride formula so existing sf1/sf3 lakes regenerate
+    # byte-identically.
+    assert REPLICAS <= 2 * dim, (
+        f"REPLICAS={REPLICAS} exceeds 2x embedding dim={dim}: "
+        "(sign, shift) transforms would collide across replicas"
     )
-    step = max(1, dim // REPLICAS)
-    emb_branches = " UNION ALL ".join(
-        f"""SELECT vec_id + {r * ve} AS vec_id,
-                   CAST(list_concat(embedding[{r * step % dim + 1}:],
-                                    embedding[:{r * step % dim}])
-                        AS FLOAT[]) AS embedding,
+    step = max(1, dim // REPLICAS) if REPLICAS <= dim else 1
+
+    def emb_branch(r: int) -> str:
+        shift = (r * step) % dim if r < dim else (r - dim) % dim
+        rotated = (
+            f"list_concat(embedding[{shift + 1}:], embedding[:{shift}])"
+        )
+        if r >= dim:
+            rotated = f"list_transform({rotated}, x -> -x)"
+        return f"""SELECT vec_id + {r * ve} AS vec_id,
+                   CAST({rotated} AS FLOAT[]) AS embedding,
                    label
             FROM {rd('embeddings')}"""
-        for r in range(REPLICAS)
-    )
+
+    emb_branches = " UNION ALL ".join(emb_branch(r) for r in range(REPLICAS))
     copy("embeddings", f"SELECT * FROM ({emb_branches}) ORDER BY vec_id")
 
 
