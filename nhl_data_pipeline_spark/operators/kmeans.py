@@ -378,7 +378,7 @@ def semantic_neardup_pairs_lsh_blocked(
     *,
     dim: int = 64,
     bands: int = 32,
-    rows: int = 16,
+    rows: int | None = None,
     vec: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -401,6 +401,22 @@ def semantic_neardup_pairs_lsh_blocked(
     shared bucket with prob 1-(1-0.857¹⁶)³² ≈ 0.94 — and true
     near-duplicates (cosine ≈ 1) with prob ≈ 1. Candidate volume then
     tracks duplicate density, the thing that is linear in corpus size.
+
+    ``rows=None`` (the default) makes the band width ADAPTIVE:
+    rows = max(16, ⌈log₂(n/k)⌉ + 4). FIXED-width banding keeps a
+    quadratic term — random same-cluster pairs collide at bands·2⁻ʳᵒʷˢ,
+    so candidates grow ~(n/k)²·k·bands·2⁻ʳᵒʷˢ — which the sf3→sf10
+    sweep measured directly: 314K → 3.48M candidates (11× at 3.33×
+    data) at rows=16, dragging the benched exponent toward 1. Growing
+    rows with log₂ of the cluster population pins EXPECTED random
+    collisions per vector at a constant (bands·2⁻⁴ = 2 here), i.e.
+    linear candidates — the standard LSH n-scaling, not a tuned
+    constant. The recall cost is confined to the threshold boundary
+    (at cosine 0.9, rows 16→19 is ≈0.94→≈0.83 per the band formula);
+    true near-identicals (p≈1) stay at recall ≈1 at any practical
+    width. n comes from a column-pruned count of the caller's frame —
+    for the registered query that is a parquet metadata count, never a
+    cached frame (the r7 fingerprint-drift lesson).
 
     Scale shape, piece by piece:
     - assignment is the fixed-k literal-centroid codegen scan (k stays
@@ -425,9 +441,15 @@ def semantic_neardup_pairs_lsh_blocked(
     misses (recall audited in tests/test_kmeans.py against the exact
     within-cluster form).
     """
+    import math
+
     from nhl_data_pipeline_spark.operators.similarity import (
         hyperplane_banded_numpy,
     )
+
+    if rows is None:
+        n_total = df.select(id_col).count()
+        rows = max(16, math.ceil(math.log2(max(n_total / k, 2))) + 4)
 
     cents = init_centroids(df, k, vec=vec, id_col=id_col)
     # id-hash repartition BEFORE the Arrow stages: a single-file parquet

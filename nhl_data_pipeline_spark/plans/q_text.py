@@ -407,23 +407,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SAME distribution: one compact doc-row shuffle replaces a round-robin
       doc shuffle PLUS an exploded-token-row shuffle (plan-verified 2→1
       exchanges);
+    - SIZE-ADAPTIVE width (r8, found by the sf3→sf10 sweep): every count
+      in this plan scales exactly linearly (shingles/candidates/pairs all
+      ×3.33 at 3.33× data, re-verified), yet the benched time read a 1.18
+      normalized exponent — zero spill at sf3 vs ~15 GB spill PER RUN at
+      sf10, because a FIXED 32-partition shuffle makes per-task hash
+      state (SHJ build + partial-agg maps) grow linearly with the lake.
+      The self-join sides are therefore explicitly repartitioned on `s`
+      to a width derived from the source parquet size (driver-side stat,
+      no job, no cache side effects — the lm.py gate lesson; explicit
+      numPartitions so AQE's parallelism-first coalescing cannot fold it
+      back to 32). On a cluster this width would come from catalog size
+      stats / maxPartitionBytes. Post-fix sf10: 16.4 → ~6.4 s, spill
+      eliminated, exponent back under 1;
     - at 100 TB additionally drop ultra-frequent shingles pre-join
       (stop-shingles) and/or gate with the MinHash-LSH candidates — this
       exact form is the verifier stage.
     """
+    import os as _os
+
+    par = spark.sparkContext.defaultParallelism
+    # ~512 KiB of compressed documents per partition ≈ the measured
+    # no-spill per-task budget (sf3/17 MB ran clean at 32 partitions;
+    # sf10/57 MB spilled 15 GB at the same width).
+    try:
+        doc_bytes = _os.path.getsize(
+            _os.path.join(sf_dir, "documents.parquet")
+        )
+    except OSError:  # non-local path (cluster): fall back to parallelism
+        doc_bytes = 0
+    width = max(par, doc_bytes // (512 << 10) + 1)
     d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
+        width, F.col("doc_id")
     )
     sh = D.exploded_distinct_shingles(
         d, X.tokens(F.col("text")), 3, hash_shingles=True
     ).persist()
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s")
+    # Each side is EXPLICITLY repartitioned on the join key at `width`
+    # (REPARTITION_BY_NUM satisfies the join's distribution, so
+    # EnsureRequirements plants nothing on top and the join executes at
+    # `width`, not at the session's fixed shuffle.partitions). A
+    # repartition-once-then-cache variant was tried and rejected: the
+    # self-join re-aliases one side's attributes, the cached
+    # HashPartitioning no longer matches either scan's output, and
+    # EnsureRequirements re-exchanged BOTH sides at session width —
+    # one extra shuffle AND the spill back.
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s"
+    ).repartition(width, F.col("s"))
     # shuffle_hash: skips the sort-merge sort on the wide string key (~40%
-    # faster here); the per-partition build side is narrow (doc_id, n, s)
-    # rows — at larger scale keep shuffle partitions sized so a partition's
-    # build side fits executor memory, or drop the hint to fall back to SMJ.
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s").hint(
-        "shuffle_hash"
+    # faster here); the width above keeps a partition's build side inside
+    # executor memory as the lake grows.
+    b = (
+        sh.select(
+            F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
+        )
+        .repartition(width, F.col("s"))
+        .hint("shuffle_hash")
     )
     common = (
         a.join(b, ["s"])
