@@ -422,10 +422,14 @@ def semantic_neardup_pairs_lsh_blocked(
     - assignment is the fixed-k literal-centroid codegen scan (k stays
       SMALL — the LSH bands do the fine blocking, so k does NOT need to
       grow with n; no k∝n centroid matrix, no superlinear anything);
-    - bucketize is ONE Arrow stage (hyperplane_banded_numpy: a 512-plane
-      sign matmul per batch — the interpreted per-plane HOF fold would
-      be 512 aggregate() evals per row); cluster_id rides through as an
-      Arrow passthrough column, so no join-back shuffle;
+    - assignment + bucketize are ONE fused Arrow stage (per batch: a
+      bit-exact sequential-per-dimension distance accumulation → argmin,
+      then a sign matmul over all bands·rows planes — the interpreted
+      per-plane HOF fold would be hundreds of aggregate() evals per
+      row), and scoring is a second Arrow stage over the candidates —
+      no interpreted higher-order function anywhere in this plan (the
+      r8 sf10 profile read 8-34 s run-to-run variance with ZERO spill
+      from HOF allocation churn alone);
     - the band table carries (cluster, band, bucket, id) ONLY — vectors
       are never replicated through the ×bands fan-out;
     - the self-join shuffles on the 3-part key; group sizes track bucket
@@ -443,45 +447,77 @@ def semantic_neardup_pairs_lsh_blocked(
     """
     import math
 
-    from nhl_data_pipeline_spark.operators.similarity import (
-        hyperplane_banded_numpy,
-    )
-
     if rows is None:
         n_total = df.select(id_col).count()
         rows = max(16, math.ceil(math.log2(max(n_total / k, 2))) + 4)
 
-    cents = init_centroids(df, k, vec=vec, id_col=id_col)
+    import numpy as np
+    import pandas as pd
+
+    from nhl_data_pipeline_spark.operators.similarity import hyperplanes
+
+    cents = np.array(
+        init_centroids(df, k, vec=vec, id_col=id_col), dtype=np.float64
+    )
+    planes = np.array(hyperplanes(dim, bands * rows), dtype=np.float64)
+
+    # ONE Arrow stage does assignment + bucketize (r8 GC fix): the
+    # interpreted HOF forms — the per-row zip_with/aggregate squared-L2
+    # fold over k centroids for assignment, and the per-candidate
+    # zip_with/aggregate cosine fold for scoring — were this query's
+    # dominant cost AND its variance at sf10 (8-34 s run-to-run with
+    # zero spill: interpreted HOF evaluation allocates per row/lambda,
+    # churning old-gen exactly like the r7 LM broadcast pathology).
+    # Distances use the SAME sequential per-dimension accumulation as
+    # the JVM fold (acc += (v_d - c_d)² in dim order, vectorized across
+    # rows) so argmin — np.argmin's first-minimum matches
+    # array_position(array_min)'s lowest-cluster tiebreak — reproduces
+    # assign_clusters bit-for-bit; bucket signs use one BLAS matmul
+    # (nothing pins them — recall is statistical, audited by test).
+    band_schema = f"{id_col} long, band_idx int, bucket long, cluster_id int"
+
+    def assign_bucketize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            v = np.array(list(pdf[vec]), dtype=np.float64)
+            d2 = np.zeros((v.shape[0], k))
+            for c in range(k):
+                acc = np.zeros(v.shape[0])
+                for dd in range(dim):
+                    t = v[:, dd] - cents[c, dd]
+                    acc += t * t
+                d2[:, c] = acc
+            cluster = d2.argmin(axis=1).astype(np.int32)
+            bits = ((v @ planes.T) > 0.0).astype(np.int64)
+            frames = []
+            for b in range(bands):
+                bucket = sum(bits[:, b * rows + r] << r for r in range(rows))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            id_col: ids,
+                            "band_idx": np.full(ids.shape, b, dtype=np.int32),
+                            "bucket": bucket,
+                            "cluster_id": cluster,
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
     # id-hash repartition BEFORE the Arrow stages: a single-file parquet
-    # read is one partition → one Python worker doing the whole 512-plane
-    # matmul serially (measured: the bucketize stage alone was 10 s at
-    # sf1 single-partition vs ~1 s spread over the cluster). Hashing on
-    # the id (not round-robin) lets the candidate join-backs below reuse
-    # the distribution.
+    # read is one partition → one Python worker doing all the numpy work
+    # serially (measured: 10 s vs ~1 s spread over the cluster). Hashing
+    # on the id (not round-robin) lets the scoring join below reuse the
+    # distribution.
     src = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
-    assigned = assign_clusters(src, cents, vec=vec, id_col=id_col).select(
-        F.col(id_col), F.col(vec), "cluster_id"
-    )
-    normed = assigned.select(
-        F.col(id_col), F.col(vec), norm(F.col(vec)).alias("nrm")
-    )
+    ).select(F.col(id_col), F.col(vec))
     # Persisted: the band table feeds BOTH self-join sides — without it
-    # the bucketize matmul (and the assignment scan under it) runs twice
-    # (same pattern as minhash_band_pairs' bands.persist()). bit_exact
-    # off: nothing pins these bucket ids — recall is a statistical
-    # property, audited by test, and BLAS is ~an order cheaper here.
-    banded = hyperplane_banded_numpy(
-        assigned,
-        dim,
-        bands,
-        rows,
-        vec=vec,
-        id_col=id_col,
-        passthrough=("cluster_id",),
-        bit_exact=False,
-    ).persist()
+    # the assignment+bucketize stage runs twice (same pattern as
+    # minhash_band_pairs' bands.persist()).
+    banded = src.mapInPandas(assign_bucketize, band_schema).persist()
     a = banded.select(
         "cluster_id", "band_idx", "bucket", F.col(id_col).alias("id_a")
     )
@@ -494,24 +530,42 @@ def semantic_neardup_pairs_lsh_blocked(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = normed.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec).alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    vb = normed.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec).alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
+    va = src.select(F.col(id_col).alias("id_a"), F.col(vec).alias("va"))
+    vb = src.select(F.col(id_col).alias("id_b"), F.col(vec).alias("vb"))
+    scored_schema = "id_a long, id_b long, cosine double"
+    thr = float(threshold)
+
+    def score_pairs(batches):
+        # Bit-identical to the JVM fold (the cosine_allpairs_numpy
+        # idiom): dot and both norms accumulate sequentially in
+        # dimension order, vectorized across the candidate pairs.
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf["va"]), dtype=np.float64)
+            y = np.array(list(pdf["vb"]), dtype=np.float64)
+            dot_ = np.zeros(len(pdf))
+            nx = np.zeros(len(pdf))
+            ny = np.zeros(len(pdf))
+            for dd in range(dim):
+                dot_ += x[:, dd] * y[:, dd]
+                nx += x[:, dd] * x[:, dd]
+                ny += y[:, dd] * y[:, dd]
+            cos = dot_ / (np.sqrt(nx) * np.sqrt(ny))
+            keep = cos >= thr
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(dtype=np.int64)[keep],
+                    "id_b": pdf["id_b"].to_numpy(dtype=np.int64)[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "cosine", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select("id_a", "id_b", "va", "vb")
+        .mapInPandas(score_pairs, scored_schema)
     )
 
 
