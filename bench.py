@@ -195,6 +195,11 @@ def main() -> None:
     # recomputed inside the measurement — only JIT/codegen state stays
     # warm, never data.
     timings: dict[str, float] = {}
+    # Per-rep times (r9, VERDICT ask #6): the headline keeps the median,
+    # but the artifact now carries every timed rep — run-to-run spread is
+    # the kmeans-variance signal, and the sweep tool emits max/min per
+    # query from these instead of anyone stitching legs by hand.
+    reps: dict[str, list[float]] = {}
     for name, spec in specs.items():
         runs: list[float] = []
         try:
@@ -212,7 +217,28 @@ def main() -> None:
             print(f"WARNING: bench run failed for {name}: {exc!r}", file=sys.stderr)
             timings[name] = 999.0
             continue
+        reps[name] = [round(r, 3) for r in runs]
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+
+    # Deterministic scale counts (r9, VERDICT ask #3): candidate-pair
+    # cardinalities are the noise-immune scaling signal (the r8 jaccard
+    # diagnosis worked exactly this way) — SPARK_GRAFT_COUNTS=1 records
+    # them in the headline so sweep artifacts carry counts alongside
+    # times. Off by default: the count jobs would perturb the driver's
+    # timed environment for no benefit at sf0.1.
+    counts: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_COUNTS") == "1":
+        try:
+            from nhl_data_pipeline_spark.plans.q_text import (
+                _minhash_lsh_pure,
+            )
+
+            spark.catalog.clearCache()
+            counts["minhash_lsh_candidate_pairs"] = float(
+                _minhash_lsh_pure(spark, SF_DIR).count()
+            )
+        except Exception as exc:  # noqa: BLE001
+            counts["error"] = repr(exc)[:200]  # type: ignore[assignment]
 
     # Probes: each on its own EARLY stdout line + all collected into
     # BENCH_probes.json. A probe failure is recorded, never fatal — the
@@ -250,6 +276,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "runs": reps,
+                **({"counts": counts} if counts else {}),
                 "sf": _sf_from_dir(SF_DIR),
                 **anchors,
             }
@@ -874,12 +902,24 @@ def _pipeline_scale_probe(spark) -> dict:
         return c, time.perf_counter() - t0
 
     staged_at(100)  # warmup: compiles every silver plan variant
-    c100, t100 = staged_at(100)
-    c1000, t1000 = staged_at(1000)
+    # min-of-2 per leg (r9, VERDICT ask #5): the gate read 0.848 (r7) →
+    # 0.933 (driver r8) vs 0.81 on builder legs — environment noise, not
+    # growth, and single-shot legs left 0.017 of cushion to the 0.95
+    # gate. Wall-clock noise is one-sided (times only inflate), so the
+    # min of 2 reps per leg is the noise-robust estimator — the same
+    # reasoning as the sweep tool's per-leg min — and both reps are
+    # recorded so drift stays diagnosable.
+    c100, t100a = staged_at(100)
+    _, t100b = staged_at(100)
+    c1000, t1000a = staged_at(1000)
+    _, t1000b = staged_at(1000)
+    t100, t1000 = min(t100a, t100b), min(t1000a, t1000b)
     assert c100 == tuple(100 * c for c in base), (base, c100)
     assert c1000 == tuple(1000 * c for c in base), (base, c1000)
     out["staging_cj_x100_sec"] = round(t100, 3)
     out["staging_cj_x1000_sec"] = round(t1000, 3)
+    out["staging_cj_x100_reps"] = [round(t100a, 3), round(t100b, 3)]
+    out["staging_cj_x1000_reps"] = [round(t1000a, 3), round(t1000b, 3)]
     out["staging_x1000_rows"] = float(sum(c1000))
     out["staging_exponent"] = round(math.log10(t1000 / t100), 3)
     # r8 (VERDICT ask #6): the second-decade staging exponent is a GATE,

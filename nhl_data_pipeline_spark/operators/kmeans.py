@@ -40,9 +40,38 @@ from pyspark.sql import functions as F
 
 from nhl_data_pipeline_spark.operators.similarity import dot, norm
 
-# Previous semantic_neardup_pairs_blocked_numpy assignment cache, rotated
-# per call so long-lived sessions never accumulate persisted copies.
+# Per-call cached-table rotation handles: each call unpersists the
+# PREVIOUS call's cached table before persisting its own, so long-lived
+# sessions hold at most one cached copy per operator instead of one per
+# call. The swap is lock-guarded (r9, ADVICE r8): without it, two
+# concurrent callers could race the read-then-unpersist and one would
+# drop the other's cache before its downstream stage ran — correctness
+# is unaffected (unpersist just forces a recompute), but the persist's
+# double-scan saving would be silently defeated. The lock makes the
+# rotation atomic; INTERLEAVED callers (A rotates, then B rotates before
+# A's pair stage materializes) still trade A's cache away — that is the
+# documented single-pipeline-at-a-time assumption of these operators.
+import threading as _threading
+
+_CACHE_LOCK = _threading.Lock()
 _LAST_ASSIGNED: DataFrame | None = None
+_LAST_BANDED: DataFrame | None = None
+
+
+def _rotate_cache(handle_name: str, new_df: DataFrame) -> DataFrame:
+    """Atomically swap a module-level persisted-table handle: unpersist
+    the previous call's table, persist and record the new one."""
+    global _LAST_ASSIGNED, _LAST_BANDED
+    with _CACHE_LOCK:
+        prev = globals()[handle_name]
+        if prev is not None:
+            try:
+                prev.unpersist(blocking=False)
+            except Exception:
+                pass
+        new_df = new_df.persist()
+        globals()[handle_name] = new_df
+    return new_df
 
 Matrix = list[list[float]]
 
@@ -266,24 +295,19 @@ def semantic_neardup_pairs_blocked_numpy(
     # Persisted: the sizing agg below materializes the assignment and
     # the pair stage then reads it back instead of re-scanning +
     # re-assigning the corpus (the r7 review caught the double pass).
-    # Leak guard (r7 ADVICE): each call rotates a module-level handle,
-    # unpersisting the PREVIOUS call's assignment before persisting the
-    # new one — long-lived sessions calling this repeatedly hold at most
-    # one cached assignment instead of accumulating one per call. The
-    # old entry's data was already consumed by the pair DataFrame the
-    # prior call returned (it materializes on first action); unpersist
-    # after that merely forces a recompute if someone re-collects it.
-    global _LAST_ASSIGNED
-    if _LAST_ASSIGNED is not None:
-        try:
-            _LAST_ASSIGNED.unpersist(blocking=False)
-        except Exception:
-            pass
-        _LAST_ASSIGNED = None
-    assigned = _LAST_ASSIGNED = (
-        kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0]
-        .select("cluster_id", F.col(id_col), F.col(vec))
-        .persist()
+    # Leak guard (r7 ADVICE, lock-guarded r9 — see _rotate_cache): each
+    # call rotates a module-level handle, unpersisting the PREVIOUS
+    # call's assignment before persisting the new one — long-lived
+    # sessions calling this repeatedly hold at most one cached
+    # assignment instead of accumulating one per call. The old entry's
+    # data was already consumed by the pair DataFrame the prior call
+    # returned (it materializes on first action); unpersist after that
+    # merely forces a recompute if someone re-collects it.
+    assigned = _rotate_cache(
+        "_LAST_ASSIGNED",
+        kmeans(df, k, n_iter, vec=vec, id_col=id_col)[0].select(
+            "cluster_id", F.col(id_col), F.col(vec)
+        ),
     )
     # Worst-case sizing: one k-row agg over the assignment finds the
     # largest cluster, so the per-task matrix bound holds under skew
@@ -436,9 +460,12 @@ def semantic_neardup_pairs_lsh_blocked(
       occupancy (the 2¹⁶ bucket space keeps same-cluster random
       collisions at the 10⁻⁴ level);
     - candidates join back to the normed vectors (two id-hash shuffles
-      of density-linear candidate lists) and score with the JVM
-      zip_with/aggregate cosine fold — interpreted HOF is fine HERE
-      because it runs per candidate, not per n² pair.
+      of density-linear candidate lists) and score in the second Arrow
+      stage (``score_pairs``): a numpy SEQUENTIAL per-dimension fold —
+      dot and both norms accumulate in dimension order, vectorized
+      across pairs — bit-identical to the JVM zip_with/aggregate cosine
+      fold (pinned vs the exact form in tests/test_kmeans.py) without
+      the fold's per-row interpreted-HOF allocation churn.
 
     Output: (id_a, id_b, cosine), id_a < id_b, cosine ≥ threshold —
     same contract as semantic_neardup_pairs*, minus the pairs LSH
@@ -516,8 +543,13 @@ def semantic_neardup_pairs_lsh_blocked(
     ).select(F.col(id_col), F.col(vec))
     # Persisted: the band table feeds BOTH self-join sides — without it
     # the assignment+bucketize stage runs twice (same pattern as
-    # minhash_band_pairs' bands.persist()).
-    banded = src.mapInPandas(assign_bucketize, band_schema).persist()
+    # minhash_band_pairs' bands.persist()). Rotated per call like the
+    # blocked form's assignment cache (r9, ADVICE r8: this persist had
+    # no rotation — the same cached-table leak class the r7 fix closed
+    # for semantic_neardup_pairs_blocked_numpy).
+    banded = _rotate_cache(
+        "_LAST_BANDED", src.mapInPandas(assign_bucketize, band_schema)
+    )
     a = banded.select(
         "cluster_id", "band_idx", "bucket", F.col(id_col).alias("id_a")
     )

@@ -196,7 +196,15 @@ def _decode_wav(data: bytes):
         cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            # Validate BEFORE unpacking (r9, ADVICE r8): a truncated fmt
+            # chunk raised struct.error and a 0-channel one reached the
+            # frame-count division as ZeroDivisionError — both outside
+            # the documented ValueError contract for malformed payloads.
+            if len(body) < 16:
+                raise ValueError(f"fmt chunk truncated ({len(body)} bytes)")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt[1] < 1:
+                raise ValueError("WAV fmt declares 0 channels")
         elif cid == b"data":
             raw = body
             break

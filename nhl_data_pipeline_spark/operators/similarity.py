@@ -351,6 +351,14 @@ def hyperplane_banded_numpy(
     float-epsilon of 0 can flip its sign bit vs the JVM/DuckDB fold —
     use only where no oracle pins the bucket ids (e.g. the benched
     kmeans×LSH scale form, whose recall is statistical, not pinned).
+
+    Note (r9): kmeans.semantic_neardup_pairs_lsh_blocked deliberately
+    does NOT compose from this function — it fuses centroid assignment
+    and bucketize into ONE Arrow stage (the r8 GC fix); composing here
+    would reintroduce the second Python stage plus a cluster_id
+    join-back. Both parameters are exercised directly by
+    tests/test_operator_equivalence.py::
+    test_hyperplane_banded_numpy_blas_and_passthrough.
     """
     import numpy as np
     import pandas as pd

@@ -100,6 +100,12 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="also write a PARITY_*.json artifact (r9: tool-emitted, so "
+        "every committed parity artifact traces to one run)",
+    )
     ap.add_argument("names", nargs="*", help="query names (default: all)")
     args = ap.parse_args()
 
@@ -107,11 +113,48 @@ def main() -> None:
     con = duck_connection(args.sf_dir)
     names = args.names or list(all_queries())
     failed = 0
+    rows: dict[str, dict] = {}
     for name in names:
         r = compare_query(spark, con, name, args.sf_dir)
         print(f"{'PASS' if r.ok else 'FAIL'} {name} ({r.spark_rows} rows) {r.detail if not r.ok else ''}")
+        rows[name] = {"ok": r.ok, "rows": r.spark_rows}
+        if not r.ok:
+            rows[name]["detail"] = r.detail
         failed += 0 if r.ok else 1
     print(f"{len(names) - failed}/{len(names)} queries match")
+    if args.json_out:
+        import json
+        import subprocess
+        from pathlib import Path
+
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=Path(__file__).resolve().parents[2],
+            ).stdout.strip()
+        except Exception:
+            commit = "unknown"
+        Path(args.json_out).write_text(
+            json.dumps(
+                {
+                    "sf_dir": args.sf_dir,
+                    "engine_commit": commit,
+                    "queries_pass": len(names) - failed,
+                    "queries_total": len(names),
+                    "method": (
+                        "full driver-style gate per query: row count + "
+                        "column names + order-insensitive value hash, "
+                        "Spark vs DuckDB oracle; single run, artifact "
+                        "emitted by plans/parity.py --json-out"
+                    ),
+                    "queries": rows,
+                },
+                indent=1,
+            )
+            + "\n"
+        )
     raise SystemExit(1 if failed else 0)
 
 

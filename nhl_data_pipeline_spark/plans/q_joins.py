@@ -78,8 +78,25 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`fact_team_game_stats.sql:158`). Both sides share the (l_orderkey,
     l_suppkey) hash partitioning, so AQE can plan a single shuffle reused by
     the aggregate and the join.
+
+    r9 (VERDICT r8 ask #2 audit): the shared shuffle previously ran at the
+    session's fixed width — the same per-task-state-grows-with-the-lake
+    class that made join_chain_revenue superlinear at sf10, masked here
+    only because the benched SF is small. One explicit size-derived
+    repartition on the composite key now feeds BOTH the aggregate and both
+    join sides (distribution satisfied → zero planted exchanges on top).
+    Gated on width > parallelism so test-SF plans keep their broadcast/AQE
+    shapes (see join_chain_revenue).
     """
+    from nhl_data_pipeline_spark.catalog import (
+        ROW_BYTES_PER_PARTITION,
+        shuffle_width_for,
+    )
+
+    w = shuffle_width_for(spark, sf_dir, "lineitem", ROW_BYTES_PER_PARTITION)
     li = load_table(spark, sf_dir, "lineitem")
+    if w > spark.sparkContext.defaultParallelism:
+        li = li.repartition(w, F.col("l_orderkey"), F.col("l_suppkey"))
     grp = li.groupBy("l_orderkey", "l_suppkey").agg(
         dsum_double("l_quantity").alias("grp_qty"),
         F.count(F.lit(1)).alias("grp_lines"),
@@ -111,19 +128,55 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inner equi-join chain across five tables (TPC-H Q5 shape).
 
     Analog of the player_actuals chain `fact_player_sog_props_v2.sql:83-86`.
-    Dim tables broadcast; only the orders⋈lineitem join shuffles, on the
-    natural key. The region filter prunes before any join.
+    Dim tables broadcast; the customer⋈orders and orders⋈lineitem joins
+    shuffle on their natural keys. The region filter prunes before any join.
+
+    r9 scale fix (VERDICT r8 ask #2): both fact-side shuffles previously
+    ran at the session's fixed shuffle width, so per-task sort/join state
+    grew linearly with the lake — measured raw sf3→sf10 exponent 1.25.
+    Each shuffled side is now explicitly repartitioned on its join key at
+    a width derived from the source parquet size (catalog.shuffle_width_for,
+    the recipe proven on the jaccard self-join in plans/q_text.py).
+    REPARTITION_BY_NUM hash-partitioning on the join key satisfies the
+    join's required distribution, so EnsureRequirements plants nothing on
+    top — same exchange COUNT as before, size-correct widths. The c⋈o
+    result (custkey-partitioned) still needs one planted exchange onto
+    orderkey for the lineitem join; EnsureRequirements sizes it to match
+    the lineitem side's explicit width, not the session default.
+
+    The repartitions are GATED on width > session parallelism: below that
+    the lake is broadcast-threshold-sized, the static planner picks BHJs,
+    and an explicit repartition would ADD a shuffle the small plan never
+    needed (fingerprints at test SFs stay byte-identical; the fix engages
+    exactly where the spill regime starts).
     """
+    from nhl_data_pipeline_spark.catalog import (
+        ROW_BYTES_PER_PARTITION,
+        shuffle_width_for,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    w_co = shuffle_width_for(
+        spark, sf_dir, ("customer", "orders"), ROW_BYTES_PER_PARTITION
+    )
+    w_li = shuffle_width_for(
+        spark, sf_dir, ("orders", "lineitem"), ROW_BYTES_PER_PARTITION
+    )
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    if w_co > par:
+        c = c.repartition(w_co, F.col("c_custkey"))
+        o = o.repartition(w_co, F.col("o_custkey"))
+    if w_li > par:
+        li = li.repartition(w_li, F.col("l_orderkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == o.o_orderkey)
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)

@@ -424,19 +424,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       (stop-shingles) and/or gate with the MinHash-LSH candidates — this
       exact form is the verifier stage.
     """
-    import os as _os
-
-    par = spark.sparkContext.defaultParallelism
     # ~512 KiB of compressed documents per partition ≈ the measured
     # no-spill per-task budget (sf3/17 MB ran clean at 32 partitions;
-    # sf10/57 MB spilled 15 GB at the same width).
-    try:
-        doc_bytes = _os.path.getsize(
-            _os.path.join(sf_dir, "documents.parquet")
-        )
-    except OSError:  # non-local path (cluster): fall back to parallelism
-        doc_bytes = 0
-    width = max(par, doc_bytes // (512 << 10) + 1)
+    # sf10/57 MB spilled 15 GB at the same width). r9: the inline stat
+    # moved to catalog.shuffle_width_for so every fact-side shuffle in the
+    # engine derives width from the same one-liner.
+    from nhl_data_pipeline_spark.catalog import (
+        TEXT_BYTES_PER_PARTITION,
+        shuffle_width_for,
+    )
+
+    width = shuffle_width_for(
+        spark, sf_dir, "documents", TEXT_BYTES_PER_PARTITION
+    )
     d = load_table(spark, sf_dir, "documents").repartition(
         width, F.col("doc_id")
     )
@@ -493,10 +493,27 @@ def _minhash_lsh_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure MinHash-LSH pair shape — what bench.py (and the recall
     probe in tests/test_scale_operators.py) times; the merged correctness
     query below adds the embedding-LSH branch."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    # Size-derived width (r9, VERDICT r8 ask #3): the band self-join ran
+    # at session width, putting minhash on the same per-task-state growth
+    # path the sf10 sweep burned jaccard with (raw exponent 0.89 / norm
+    # 1.01 at sf3→sf10 — exactly at the red line). Same 512 KiB/partition
+    # text budget as the jaccard plan: the dominant stage is the identical
+    # shingle explosion feeding the signature aggregate.
+    from nhl_data_pipeline_spark.catalog import (
+        TEXT_BYTES_PER_PARTITION,
+        shuffle_width_for,
     )
-    return minhash_band_pairs(d)
+
+    width = shuffle_width_for(
+        spark, sf_dir, "documents", TEXT_BYTES_PER_PARTITION
+    )
+    par = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents").repartition(
+        width, F.col("doc_id")
+    )
+    # Gate like join_chain_revenue: below the spill regime (width == par)
+    # the band join keeps its pinned planner shape.
+    return minhash_band_pairs(d, width=width if width > par else None)
 
 
 @query(
@@ -561,10 +578,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionByName(emb)
 
 
-def minhash_band_pairs(d: DataFrame) -> DataFrame:
+def minhash_band_pairs(d: DataFrame, width: int | None = None) -> DataFrame:
     """Banded MinHash candidate pairs over any (doc_id, text) frame (the
     registered query's body; bench's skew probe reuses it on a
-    boilerplate-heavy corpus to measure candidate precision)."""
+    boilerplate-heavy corpus to measure candidate precision).
+
+    ``width`` (r9): explicit partition count for the band self-join sides —
+    callers with a known source size pass catalog.shuffle_width_for so the
+    join executes at a lake-proportional width instead of the session's
+    fixed shuffle.partitions (REPARTITION_BY_NUM on the join keys satisfies
+    the join's distribution, so EnsureRequirements plants nothing on top).
+    Default None: no explicit side repartitions — the planner's choice
+    (broadcast at fixture scale, planted session-width exchanges above)
+    is right for small callers and keeps the pinned pre-r9 fingerprints
+    byte-identical."""
     # Signature via aggregation, not array HOFs: over the codegen-built
     # exploded shingle table, sig[i] is simply MIN(md5('<i>|' || s)) — k
     # plain min aggregates (lexicographic string min ≡ array_min of the
@@ -587,6 +614,9 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
     b = bands.select(
         F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
     )
+    if width is not None:
+        a = a.repartition(width, F.col("band_idx"), F.col("band_key"))
+        b = b.repartition(width, F.col("band_idx"), F.col("band_key"))
     return (
         a.join(b, ["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))

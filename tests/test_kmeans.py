@@ -109,8 +109,10 @@ def test_semantic_neardup_subset_of_exact_and_finds_planted(spark, emb):
 def test_lsh_blocked_scale_form_subset_and_recall(spark, emb):
     """The benched kmeans×LSH scale form (r8): every pair it emits is an
     exact within-cluster pair with the SAME cosine bits (candidates are
-    scored by the same JVM fold — the BLAS bucketize only GENERATES
-    candidates, it never touches the emitted cosine), and planted
+    scored by the Arrow score_pairs numpy stage, whose dimension-ordered
+    sequential accumulation is bit-identical to the JVM fold — the BLAS
+    bucketize only GENERATES candidates, it never touches the emitted
+    cosine), and planted
     near-identicals are always caught (near-1 cosines agree on every
     band w.h.p.). The test lake itself has NO pairs above cosine 0.6
     (max ≈ 0.6 by construction), so recall in the production ≥0.9

@@ -129,6 +129,40 @@ def test_hyperplane_banded_numpy_equals_array_form(spark):
     assert fast == ref
 
 
+def test_hyperplane_banded_numpy_blas_and_passthrough(spark):
+    """The bit_exact=False BLAS branch and the passthrough columns (r9,
+    ADVICE r8: previously untested surface). Vectors are INTEGER-valued
+    and the planes are exactly ±1, so every plane dot is exact integer
+    arithmetic in float64 — summation ORDER cannot change a single bit,
+    and the BLAS matmul must reproduce the sequential fold's buckets
+    exactly. Passthrough columns must be replicated onto each of the
+    row's `bands` output rows without a join."""
+    rng = random.Random(29)
+    dim = 16
+    df = spark.createDataFrame(
+        [
+            (i, [float(rng.randint(-9, 9)) for _ in range(dim)], i % 3)
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>, cluster_id int",
+    )
+    seq = {
+        (r["vec_id"], r["band_idx"], r["bucket"], r["cluster_id"])
+        for r in S.hyperplane_banded_numpy(
+            df, dim, 4, 3, passthrough=("cluster_id",)
+        ).collect()
+    }
+    blas = {
+        (r["vec_id"], r["band_idx"], r["bucket"], r["cluster_id"])
+        for r in S.hyperplane_banded_numpy(
+            df, dim, 4, 3, passthrough=("cluster_id",), bit_exact=False
+        ).collect()
+    }
+    assert seq == blas
+    assert len(seq) == 40 * 4  # every row fanned out to `bands` rows
+    assert {(v % 3) == c for v, _, _, c in seq} == {True}  # passthrough
+
+
 # ---------------------------------------------------------------------------
 # Repetition stats (Gopher-style) vs a Python brute force, and PII redaction
 # vs the literal-same-regex DuckDB oracle fragment.

@@ -425,6 +425,29 @@ def test_multimodal_decode_audio_raw_wav(spark):
             )
         ).collect()
 
+    # Malformed fmt chunks keep the ValueError contract (r9, ADVICE r8:
+    # a 0-channel fmt previously leaked ZeroDivisionError and a
+    # truncated one struct.error). Driver-side call — the contract is
+    # the decoder's, not the Arrow stage's.
+    from nhl_data_pipeline_spark.operators.multimodal import _decode_wav
+
+    def wav_fmt(fmt_body: bytes) -> bytes:
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt_body))
+            + fmt_body
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with _pt.raises(ValueError, match="0 channels"):
+        _decode_wav(wav_fmt(struct.pack("<HHIIHH", 1, 0, 8000, 0, 4, 16)))
+    with _pt.raises(ValueError, match="truncated"):
+        _decode_wav(wav_fmt(struct.pack("<HH", 1, 2)))
+
 
 def test_interval_join_bucketed_equals_naive(spark):
     """Bin-join form == theta-join form on adversarial interval shapes:

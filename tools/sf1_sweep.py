@@ -1,118 +1,249 @@
-"""Build the sf1 scaling-sweep artifact (VERDICT r5 ask #2).
+"""Build a scaling-sweep artifact from N bench legs per scale factor.
 
-Reads two SAME-SESSION bench headline JSONs at any two SFs (cross-
-container numbers are not comparable, memory: container reboots per
-round) and writes a sweep artifact with per-query wall-clock ratios and
-scaling exponents. r7: generalized beyond the sf0.1->sf1 pair so the
-second-decade (sf1->sf3) exponents use the same tool; per-query keys are
-now base_sec/big_sec with base_sf/big_sf recorded at the top.
+r9 rewrite (VERDICT r8 ask #1 — the artifact-integrity fix): the r8
+sweeps were assembled by hand-feeding element-wise minima of separate
+legs into a tool that only read two files, with a method string that
+claimed a single same-session run and normalization anchors taken from
+a DIFFERENT leg than the times. This version makes the honest form the
+only form the tool can emit:
 
-exponent = log(t_big / t_base) / log(data_ratio): 1.0 = linear in data size,
-< 1 sublinear (fixed overhead amortizing — expected for sub-second
-queries at these scales), > 1 superlinear (the 100 TB red flag the sweep
-exists to catch).
+- it accepts N legs per side (``--base leg1 leg2 ... --big leg1 ...``)
+  and computes the per-query aggregate (min by default — wall-clock
+  noise is one-sided, times only inflate) ITSELF, from the committed
+  leg files, so every artifact value traces to a committed log;
+- normalized times are computed PER LEG with that leg's OWN anchor
+  (t/anchor), then aggregated — the anchor always matches the leg the
+  time came from;
+- an anchor-stability gate rejects a side whose legs' anchors spread
+  more than 15% (the legs are not comparable; re-run in a quiet
+  window) unless ``--allow-unstable`` records the override;
+- the per-query cross-leg spread (max/min) is emitted for both sides,
+  so run-to-run variance (the r8 kmeans story) is part of the artifact
+  instead of a forensic reconstruction;
+- the method string is GENERATED from the actual inputs (leg counts,
+  aggregator, file names) — it cannot claim a protocol that didn't run;
+- bench headlines carrying ``counts`` (SPARK_GRAFT_COUNTS=1, e.g.
+  minhash_lsh_candidate_pairs) are copied per side and their growth
+  ratio emitted — cardinalities are the noise-immune scaling signal.
 
-When both inputs carry the r7 calibration anchor (``anchor_sec``), the
-two legs' environment speeds are divided out before the exponent:
-ratio_norm = (t_big/anchor_big) / (t_base/anchor_base). Even same-boot
-legs have measured up to ~1.2× apart on the anchor (memory: ±15-30%
-drift between runs in one container); without normalization that drift
-reads as a phantom exponent shift of log(1.2)/log(3) ≈ 0.17 on a
-one-decade-third step. Raw numbers stay in the artifact alongside.
+exponent = log(t_big / t_base) / log(data_ratio): 1.0 = linear in data
+size, < 1 sublinear (fixed overhead amortizing), > 1 superlinear (the
+100 TB red flag the sweep exists to catch). Normalized variants divide
+out per-leg environment speed via the ``anchor_sec`` calibration shape
+first (memory: ±15-30% drift between runs in one container reads as a
+phantom exponent shift of ~0.17 on a one-third-decade step).
 
-Usage: python tools/sf1_sweep.py <sf0.1.json> <sf1.json> [out.json]
+Usage:
+  python tools/sf1_sweep.py --base b1.out [b2.out ...] \\
+      --big g1.out [g2.out ...] [-o out.json] [--agg min|median] \\
+      [--allow-unstable]
 Each input is a bench.py stdout capture; the LAST line is the headline.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import math
+import statistics
 import sys
 from pathlib import Path
+
+ANCHOR_SPREAD_LIMIT = 1.15
 
 
 def last_json(path: str) -> dict:
     return json.loads(Path(path).read_text().strip().splitlines()[-1])
 
 
-def main() -> None:
-    base = last_json(sys.argv[1])
-    big = last_json(sys.argv[2])
-    out_path = (
-        sys.argv[3]
-        if len(sys.argv) > 3
-        else str(
-            Path(__file__).resolve().parent.parent
-            / "BENCH_sweep.json"
-        )
-    )
-    if base["sf"] <= 0 or big["sf"] <= 0 or base["sf"] == big["sf"]:
+def _load_side(paths: list[str], label: str, allow_unstable: bool) -> dict:
+    legs = [last_json(p) for p in paths]
+    sfs = {leg["sf"] for leg in legs}
+    if len(sfs) != 1 or legs[0]["sf"] <= 0:
         raise SystemExit(
-            f"inputs must carry distinct, known sfs (got {base['sf']} and "
-            f"{big['sf']}; bench.py emits sf=-1.0 for unparseable SF dirs)"
+            f"{label}: all legs must share one known sf, got {sorted(sfs)}"
         )
+    anchors = [leg.get("anchor_sec") for leg in legs]
+    spread = None
+    if all(anchors):
+        spread = max(anchors) / min(anchors)
+        if spread > ANCHOR_SPREAD_LIMIT and not allow_unstable:
+            raise SystemExit(
+                f"{label}: anchor spread {spread:.3f} across legs exceeds "
+                f"{ANCHOR_SPREAD_LIMIT} — the legs ran in measurably "
+                "different environments and their times are not "
+                "comparable; re-run in one quiet window, or pass "
+                "--allow-unstable to record the override in the artifact"
+            )
+    return {
+        "paths": [Path(p).name for p in paths],
+        "legs": legs,
+        "sf": legs[0]["sf"],
+        "anchors": anchors,
+        "anchor_spread": round(spread, 3) if spread else None,
+    }
+
+
+def _agg(vals: list[float], how: str) -> float:
+    return min(vals) if how == "min" else statistics.median(vals)
+
+
+def _per_query(side: dict, how: str) -> dict[str, dict]:
+    """Per query: raw aggregate, leg-matched normalized aggregate, and
+    cross-leg spread. Only queries present in EVERY leg participate."""
+    legs = side["legs"]
+    names = set(legs[0]["queries"])
+    for leg in legs[1:]:
+        names &= set(leg["queries"])
+    out: dict[str, dict] = {}
+    for q in sorted(names):
+        raws = [leg["queries"][q] for leg in legs]
+        row = {
+            "sec": round(_agg(raws, how), 3),
+            "legs_sec": raws,
+            "spread": round(max(raws) / min(raws), 2) if min(raws) else None,
+        }
+        if all(side["anchors"]):
+            normed = [
+                t / a for t, a in zip(raws, side["anchors"], strict=True)
+            ]
+            row["sec_norm"] = round(_agg(normed, how), 4)
+        out[q] = row
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--base", nargs="+", required=True)
+    ap.add_argument("--big", nargs="+", required=True)
+    ap.add_argument("-o", "--out", default=None)
+    ap.add_argument("--agg", choices=("min", "median"), default="min")
+    ap.add_argument("--allow-unstable", action="store_true")
+    args = ap.parse_args()
+
+    base = _load_side(args.base, "base", args.allow_unstable)
+    big = _load_side(args.big, "big", args.allow_unstable)
+    if base["sf"] == big["sf"]:
+        raise SystemExit("base and big legs must be at distinct sfs")
     data_ratio = big["sf"] / base["sf"]
-    anchor_ratio = None
-    if base.get("anchor_sec") and big.get("anchor_sec"):
-        anchor_ratio = big["anchor_sec"] / base["anchor_sec"]
-    rows = {}
-    for q, t0 in base["queries"].items():
-        t1 = big["queries"].get(q)
-        if t1 is None:
+
+    bq = _per_query(base, args.agg)
+    gq = _per_query(big, args.agg)
+    rows: dict[str, dict] = {}
+    for q, b in bq.items():
+        g = gq.get(q)
+        if g is None:
             continue
-        ratio = t1 / t0
+        ratio = g["sec"] / b["sec"]
         rows[q] = {
-            "base_sec": t0,
-            "big_sec": t1,
+            "base_sec": b["sec"],
+            "big_sec": g["sec"],
+            "base_legs_sec": b["legs_sec"],
+            "big_legs_sec": g["legs_sec"],
+            "base_spread": b["spread"],
+            "big_spread": g["spread"],
             "ratio": round(ratio, 2),
             "exponent": round(math.log(ratio) / math.log(data_ratio), 2),
         }
-        if anchor_ratio:
-            rn = ratio / anchor_ratio
+        if "sec_norm" in b and "sec_norm" in g:
+            rn = g["sec_norm"] / b["sec_norm"]
             rows[q]["ratio_norm"] = round(rn, 2)
             rows[q]["exponent_norm"] = round(
                 math.log(rn) / math.log(data_ratio), 2
             )
-    key = "exponent_norm" if anchor_ratio else "exponent"
+    if not rows:
+        raise SystemExit("no common queries across all legs")
+
+    key = (
+        "exponent_norm"
+        if all("exponent_norm" in r for r in rows.values())
+        else "exponent"
+    )
     worst = max(rows.items(), key=lambda kv: kv[1][key])
+
+    def total(side: dict, queries: dict) -> float:
+        return round(sum(r["sec"] for r in queries.values()), 3)
+
+    counts = {}
+    for label, side in (("base", base), ("big", big)):
+        got = next(
+            (leg["counts"] for leg in side["legs"] if leg.get("counts")),
+            None,
+        )
+        if got:
+            counts[label] = got
+    count_growth = None
+    if {"base", "big"} <= counts.keys():
+        count_growth = {
+            k: round(counts["big"][k] / counts["base"][k], 3)
+            for k in counts["base"]
+            if k in counts["big"]
+            and isinstance(counts["base"][k], (int, float))
+            and counts["base"][k]
+        }
+
+    n_b, n_g = len(base["legs"]), len(big["legs"])
     art = {
         "base_sf": base["sf"],
         "big_sf": big["sf"],
-        "data_ratio": data_ratio,
-        "base_total_sec": base["value"],
-        "big_total_sec": big["value"],
-        "total_ratio": round(big["value"] / base["value"], 2),
-        "base_anchor_sec": base.get("anchor_sec"),
-        "big_anchor_sec": big.get("anchor_sec"),
-        "anchor_ratio": round(anchor_ratio, 3) if anchor_ratio else None,
-        "total_ratio_norm": round(
-            big["value"] / base["value"] / anchor_ratio, 2
-        )
-        if anchor_ratio
-        else None,
+        "data_ratio": round(data_ratio, 4),
+        "base_total_sec": total(base, bq),
+        "big_total_sec": total(big, gq),
+        "total_ratio": round(total(big, gq) / total(base, bq), 2),
+        "base_legs": base["paths"],
+        "big_legs": big["paths"],
+        "base_anchors_sec": base["anchors"],
+        "big_anchors_sec": big["anchors"],
+        "base_anchor_spread": base["anchor_spread"],
+        "big_anchor_spread": big["anchor_spread"],
+        "anchor_spread_limit": ANCHOR_SPREAD_LIMIT,
+        "anchor_unstable_override": bool(
+            args.allow_unstable
+            and any(
+                s and s > ANCHOR_SPREAD_LIMIT
+                for s in (base["anchor_spread"], big["anchor_spread"])
+            )
+        ),
         "worst_exponent_query": worst[0],
         "worst_exponent": worst[1][key],
         "worst_exponent_kind": key,
+        **({"counts": counts} if counts else {}),
+        **({"count_growth": count_growth} if count_growth else {}),
         "queries": rows,
         "method": (
-            "same-session A/B, local[32], noop sink, 2 warmups + "
-            "median-of-3 per query (bench.py), probes skipped; big lake "
-            "generated by tools/gen_sf1.py (n-replica, per-replica "
-            "key offsets, cipher-rotated text, coordinate-rotated "
-            "embeddings so duplicate/near-dup densities scale linearly)"
+            f"per-query {args.agg} over {n_b} base leg(s) "
+            f"{base['paths']} and {n_g} big leg(s) {big['paths']}; each "
+            "leg is a bench.py run (2 warmups + median-of-3 per query, "
+            "noop sink, local[32]); normalized values divide each leg's "
+            "times by that SAME leg's anchor_sec before aggregation; "
+            "per-leg raw times and cross-leg spreads are embedded; "
+            "anchor stability gated at "
+            f"{ANCHOR_SPREAD_LIMIT}; big lake generated by "
+            "tools/gen_sf1.py (n-replica, per-replica key offsets, "
+            "cipher-rotated text, coordinate-rotated embeddings so "
+            "duplicate/near-dup densities scale linearly)"
         ),
     }
+    out_path = args.out or str(
+        Path(__file__).resolve().parent.parent / "BENCH_sweep.json"
+    )
     Path(out_path).write_text(json.dumps(art, indent=1) + "\n")
-    print(json.dumps({k: v for k, v in art.items() if k != "queries"}))
+    print(
+        json.dumps(
+            {k: v for k, v in art.items() if k not in ("queries", "method")}
+        )
+    )
     for q, r in sorted(rows.items(), key=lambda kv: -kv[1][key]):
         norm = (
             f"  exp_norm={r['exponent_norm']:5.2f}"
             if "exponent_norm" in r
             else ""
         )
-        print(f"{q:28s} {r['base_sec']:7.3f} {r['big_sec']:8.3f}"
-              f"  x{r['ratio']:5.2f}  exp={r['exponent']:5.2f}{norm}")
+        print(
+            f"{q:28s} {r['base_sec']:7.3f} {r['big_sec']:8.3f}"
+            f"  x{r['ratio']:5.2f}  exp={r['exponent']:5.2f}{norm}"
+            f"  spread={r['base_spread']}/{r['big_spread']}"
+        )
 
 
 if __name__ == "__main__":
