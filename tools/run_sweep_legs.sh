@@ -22,10 +22,15 @@ mkdir -p "$LOGDIR"
 
 run_leg() { # sf_label sf_dir leg_idx
   local out="${LOGDIR}/bench_${TAG}_${1}_leg${3}.out"
+  # Settle before each leg: the previous leg's JVM deletes GBs of
+  # shuffle files on exit, and the resulting writeback burst landed
+  # squarely on the next leg's anchor phase (measured r9: a 2.0×
+  # anchor with NORMAL query times on the leg after a big-SF leg).
+  sync; sleep 45
   echo ">>> $(date -u +%H:%M:%S) leg ${3} @ ${1} -> ${out}"
   SPARK_GRAFT_SF_DIR="$2" SPARK_GRAFT_SKIP_PROBES=1 SPARK_GRAFT_COUNTS=1 \
     python bench.py 2>"${out}.err" | tr '\r' '\n' >"$out"
-  tail -1 "$out" | python -c 'import json,sys; d=json.loads(sys.stdin.read()); print(f"    total={d[\"value\"]}s anchor={d[\"anchor_sec\"]}")'
+  tail -1 "$out" | python -c 'import json,sys; d=json.loads(sys.stdin.read()); print("    total=%ss anchor=%s" % (d["value"], d["anchor_sec"]))'
 }
 
 for sf in sf1 sf3 sf10; do
