@@ -229,19 +229,45 @@ def main() -> None:
     # REPLICAS <= 2·dim; shifts for r < dim keep the original
     # step-stride formula so existing sf1/sf3 lakes regenerate
     # byte-identically.
-    assert REPLICAS <= 2 * dim, (
-        f"REPLICAS={REPLICAS} exceeds 2x embedding dim={dim}: "
+    # r9 (the 300-replica sf30 lake): past 2·dim replicas, the third
+    # family is a blockwise ±1 DIAGONAL — multiplying coordinate i by
+    # sign_i ∈ {±1} preserves norms and every intra-replica dot product
+    # EXACTLY in float (sign_i² x_i y_i = x_i y_i term-by-term, no
+    # reassociation), while a mixed-sign pattern scrambles cross-replica
+    # dot products into the same ~N(0, 1/√dim) noise. Family s ≥ 1 uses
+    # block width s (sign_i = −1 iff ⌊i/s⌋ even): patterns are pairwise
+    # distinct across s (they first differ at index min(s, s')), never
+    # all-plus (index 0 is −) and never all-minus (index s is +, s < dim)
+    # — so (sign pattern, shift) stays injective across ALL families and
+    # the r<2·dim lakes regenerate byte-identically. Mixed signs require
+    # s ≤ dim/2, capping REPLICAS at dim·(2 + dim/2).
+    assert REPLICAS <= dim * (2 + dim // 2), (
+        f"REPLICAS={REPLICAS} exceeds dim*(2+dim/2) for dim={dim}: "
         "(sign, shift) transforms would collide across replicas"
     )
     step = max(1, dim // REPLICAS) if REPLICAS <= dim else 1
 
     def emb_branch(r: int) -> str:
-        shift = (r * step) % dim if r < dim else (r - dim) % dim
+        if r < dim:
+            shift = (r * step) % dim
+        elif r < 2 * dim:
+            shift = (r - dim) % dim
+        else:
+            shift = r % dim
         rotated = (
             f"list_concat(embedding[{shift + 1}:], embedding[:{shift}])"
         )
-        if r >= dim:
+        if dim <= r < 2 * dim:
             rotated = f"list_transform({rotated}, x -> -x)"
+        elif r >= 2 * dim:
+            s = r // dim - 1
+            pat = [
+                "-1" if (i // s) % 2 == 0 else "1" for i in range(dim)
+            ]
+            rotated = (
+                f"list_transform(list_zip({rotated}, "
+                f"CAST([{', '.join(pat)}] AS FLOAT[])), p -> p[1] * p[2])"
+            )
         return f"""SELECT vec_id + {r * ve} AS vec_id,
                    CAST({rotated} AS FLOAT[]) AS embedding,
                    label

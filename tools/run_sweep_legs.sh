@@ -11,12 +11,16 @@
 # load reads as a phantom exponent). Logs land in bench_logs/r09/ and
 # are committed verbatim; every artifact value traces to them.
 #
-# Usage: bash tools/run_sweep_legs.sh [round_tag] [legs_per_sf]
+# Usage: bash tools/run_sweep_legs.sh [round_tag] [legs_per_sf] [sf_list]
+#   sf_list: space-separated, default "sf0.1 sf1 sf3 sf10"; artifacts are
+#   built for each adjacent pair in the list (e.g. "sf10 sf30" runs the
+#   fourth-decade legs and builds BENCH_<tag>_sf30_sweep.json only).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 TAG="${1:-r09}"
 LEGS="${2:-2}"
+SF_LIST="${3:-sf0.1 sf1 sf3 sf10}"
 LOGDIR="bench_logs/${TAG}"
 mkdir -p "$LOGDIR"
 
@@ -33,24 +37,26 @@ run_leg() { # sf_label sf_dir leg_idx
   tail -1 "$out" | python -c 'import json,sys; d=json.loads(sys.stdin.read()); print("    total=%ss anchor=%s" % (d["value"], d["anchor_sec"]))'
 }
 
-for sf in sf1 sf3 sf10; do
-  dir=".testdata/${sf}"
+for sf in $SF_LIST; do
+  dir=".testdata/${sf}"; [ "$sf" = "sf0.1" ] && dir="/root/testdata/sf0.1"
   [ -d "$dir" ] || { echo "missing $dir (tools/gen_sf1.py first)"; exit 1; }
 done
 
 # All legs of one SF back-to-back, SFs ascending — anchors within a side
 # come from maximally-adjacent environments.
-for sf in sf0.1 sf1 sf3 sf10; do
+for sf in $SF_LIST; do
   dir=".testdata/${sf}"; [ "$sf" = "sf0.1" ] && dir="/root/testdata/sf0.1"
   for leg in $(seq 1 "$LEGS"); do run_leg "${sf/./}" "$dir" "$leg"; done
 done
 
 legs_of() { ls "${LOGDIR}"/bench_"${TAG}"_"$1"_leg*.out; }
 
-python tools/sf1_sweep.py --base $(legs_of sf01) --big $(legs_of sf1) \
-  -o "BENCH_${TAG}_sf1_sweep.json"
-python tools/sf1_sweep.py --base $(legs_of sf1) --big $(legs_of sf3) \
-  -o "BENCH_${TAG}_sf3_sweep.json"
-python tools/sf1_sweep.py --base $(legs_of sf3) --big $(legs_of sf10) \
-  -o "BENCH_${TAG}_sf10_sweep.json"
+prev=""
+for sf in $SF_LIST; do
+  if [ -n "$prev" ]; then
+    python tools/sf1_sweep.py --base $(legs_of "${prev/./}") \
+      --big $(legs_of "${sf/./}") -o "BENCH_${TAG}_${sf/./}_sweep.json"
+  fi
+  prev="$sf"
+done
 echo "DONE: sweep artifacts written"
