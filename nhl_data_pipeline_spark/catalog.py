@@ -81,6 +81,94 @@ def shuffle_width_for(
 TEXT_BYTES_PER_PARTITION = 512 << 10
 ROW_BYTES_PER_PARTITION = 8 << 20
 
+_DEFAULT_MAX_SPLIT = 128 << 20  # spark.sql.files.maxPartitionBytes default
+_OPEN_COST = 4 << 20  # spark.sql.files.openCostInBytes default
+
+# Row-join spill gate (r9, fourth-decade find). The r9 first cut derived
+# an explicit width for EVERY big fact join from an 8 MiB/task budget —
+# calibrated on the shingle-exploding text plans (~30× in-memory
+# expansion), wildly conservative for plain row joins (~4×). At sf30
+# that planted a 698-way REPARTITION_BY_NUM whose 4.5 MiB tasks cost
+# more in scheduling + lost AQE coalescing than they saved: measured
+# join_chain_revenue 18.8 s explicit-698 vs 11.0 s at plain session
+# width + AQE (total executor CPU grows 2.3× at 3× data — the work is
+# sublinear; the explicit over-fragmentation is what read as exponent
+# 1.38). Policy now: stay on session width + AQE (the fast path) until
+# per-task compressed input at session width would actually break the
+# no-spill budget; only then pin an explicit whole-wave width sized to
+# ~64 MiB compressed per task (~250 MiB raw — the execution-memory
+# budget of a 12 GiB × 32-thread executor).
+SPILL_BYTES_PER_TASK = 128 << 20
+ROW_TARGET_BYTES_PER_TASK = 64 << 20
+
+
+def fact_shuffle_width(
+    spark: SparkSession, sf_dir: str, tables: str | tuple[str, ...]
+) -> int | None:
+    """Explicit shuffle width for a plain row-join, or ``None`` for the
+    session-width + AQE fast path (see SPILL_BYTES_PER_TASK above).
+
+    ``None`` until compressed input per session-width task exceeds the
+    spill gate; past it, the smallest whole-wave width that brings
+    per-task input back to ROW_TARGET_BYTES_PER_TASK — whole waves so a
+    fixed-size cluster never runs a mostly-idle tail wave, a target well
+    under the gate so the width has headroom to amortize further growth.
+    Driver-side getsize only; non-local paths stay on the fast path
+    (a real cluster gets these bytes from catalog statistics).
+    """
+    if isinstance(tables, str):
+        tables = (tables,)
+    total = 0
+    for t in tables:
+        try:
+            total += os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        except OSError:  # non-local path (cluster): fast path
+            return None
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if total // parts <= SPILL_BYTES_PER_TASK:
+        return None
+    par = spark.sparkContext.defaultParallelism
+    waves = -(-(total // ROW_TARGET_BYTES_PER_TASK) // par)
+    return waves * par
+
+
+def tune_scan_splits(spark: SparkSession, sf_dir: str, table: str) -> None:
+    """Size scan splits of the query's dominant fact table into WHOLE
+    waves of the session's parallelism (r9, found by the fourth-decade
+    sweep).
+
+    Spark's split formula is ``maxSplitBytes = min(maxPartitionBytes,
+    max(openCost, totalBytes / parallelism))``. While the lake is small
+    the ``totalBytes / parallelism`` term wins and every core gets one
+    equal split — scan wall-clock scales with data. Once bytes-per-core
+    crosses the 128 MiB cap, the cap wins: task count stops tracking the
+    lake (ceil(total/128 MiB) tasks of a FIXED size), so the tail wave
+    runs mostly-idle and per-wave work jumps. Measured at sf10→sf30
+    (1.4 GB → 4.7 GB lineitem, 32 cores): 32 even tasks → 37 ragged ones
+    and pricing_summary read exponent 1.21; splitting to 2 full waves of
+    74 MiB (64 tasks) brought it back to ~0.87.
+
+    Policy: waves = ceil(total / (128 MiB × parallelism)), split size =
+    ceil(total / (waves × parallelism)) — the largest split ≤128 MiB
+    whose task count is a whole multiple of the cores. Below the cap the
+    computed split equals Spark's own bytes-per-core result, so small-SF
+    behavior (and every pinned plan fingerprint — split sizing is
+    runtime, not plan shape) is unchanged. On a real cluster the same
+    policy holds with parallelism = total executor cores; non-local
+    paths leave the session conf alone (driver-side getsize only, no
+    Spark job — the lm.py gate lesson).
+    """
+    try:
+        total = os.path.getsize(os.path.join(sf_dir, f"{table}.parquet"))
+    except OSError:  # non-local path (cluster): keep session policy
+        return
+    par = spark.sparkContext.defaultParallelism
+    if total // par <= _OPEN_COST:
+        return  # tiny lake: openCost floor governs; default is already even
+    waves = -(-total // (_DEFAULT_MAX_SPLIT * par))
+    split = -(-total // (waves * par))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Column pruning + predicate pushdown reach the

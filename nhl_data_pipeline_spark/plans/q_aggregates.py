@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.catalog import load_table, tune_scan_splits
 from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum, dsum_expr
@@ -50,6 +50,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash gate); a production pipeline whose consumers tolerate float
     reduction-order wobble would use plain double sums and reclaim it.
     """
+    tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

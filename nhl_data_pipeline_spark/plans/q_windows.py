@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nhl_data_pipeline_spark.catalog import load_table
+from nhl_data_pipeline_spark.catalog import load_table, tune_scan_splits
 from nhl_data_pipeline_spark.functions.scalars import dec
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import dsum
@@ -305,6 +305,7 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — so no wide row ever shuffles. ~25% faster than the
     join-first form at sf0.1 and the gap widens with lineitem fan-out.
     """
+    tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

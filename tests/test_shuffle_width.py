@@ -100,27 +100,78 @@ def test_fact_joins_stay_ungated_at_test_sf(spark, qname):
 
 
 def test_join_chain_gate_fires_above_spill_regime(spark, tmp_path, monkeypatch):
-    """With a synthetic >8 MiB/partition lake the fact sides must carry
-    the explicit size-derived repartition on their join keys."""
+    """In the spill regime (fact_shuffle_width returns a width) the fact
+    sides must carry the explicit whole-wave repartition on their join
+    keys; below it (None) the plan stays plain declarative."""
+    import nhl_data_pipeline_spark.catalog as cat
     import nhl_data_pipeline_spark.plans.q_joins as qj
 
-    real_width = shuffle_width_for
-
-    def big_width(s, d, tables, budget):
-        return 4 * s.sparkContext.defaultParallelism
-
+    w = 4 * spark.sparkContext.defaultParallelism
     monkeypatch.setattr(qj, "load_table", lambda s, d, n: _tiny(s, n))
-    import nhl_data_pipeline_spark.catalog as cat
-
-    monkeypatch.setattr(cat, "shuffle_width_for", big_width)
+    monkeypatch.setattr(cat, "fact_shuffle_width", lambda s, d, t: w)
     df = qj.join_chain_revenue(spark, TEST_SF_DIR)
     p = df._jdf.queryExecution().toString()
     assert p.count("REPARTITION_BY_NUM") >= 3
-    assert str(4 * spark.sparkContext.defaultParallelism) in p
-    assert real_width is shuffle_width_for  # sanity: module fn untouched
+    assert str(w) in p
+
+
+def test_fact_shuffle_width_spill_gate(spark, monkeypatch):
+    """fact_shuffle_width: None (session-width + AQE fast path) until
+    per-task compressed input at session width exceeds the spill budget;
+    then the smallest whole-wave width targeting ~64 MiB/task."""
+    import nhl_data_pipeline_spark.catalog as cat
+
+    par = spark.sparkContext.defaultParallelism
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # every committed lake through sf30 stays on the fast path
+    assert cat.fact_shuffle_width(spark, TEST_SF_DIR, "lineitem") is None
+    # nonexistent path (cluster): fast path, never a driver error
+    assert cat.fact_shuffle_width(spark, "/nonexistent", "x") is None
+
+    total = parts * (256 << 20)  # 2x the 128 MiB/task spill gate
+    monkeypatch.setattr(cat.os.path, "getsize", lambda p: total)
+    w = cat.fact_shuffle_width(spark, TEST_SF_DIR, "lineitem")
+    assert w is not None and w % par == 0  # whole waves
+    assert total / w <= 128 << 20  # per-task input back under the gate
 
 
 def _tiny(spark, name):
     from nhl_data_pipeline_spark.catalog import load_table
 
     return load_table(spark, TEST_SF_DIR, name)
+
+
+def test_tune_scan_splits_whole_waves(spark, monkeypatch):
+    """Scan-split policy (r9, fourth-decade find): below the 128 MiB cap
+    the computed split equals Spark's own bytes-per-core result (no-op);
+    past it, the split shrinks so task count is a whole multiple of the
+    session cores — no ragged tail wave of a fixed-size-cap scan."""
+    import nhl_data_pipeline_spark.catalog as cat
+
+    par = spark.sparkContext.defaultParallelism
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        # tiny lake: openCost floor governs — conf untouched
+        cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
+        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
+
+        total = 4_956_911_616  # ~4.6 GiB, the sf30 lineitem regime
+        monkeypatch.setattr(cat.os.path, "getsize", lambda p: total)
+        cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
+        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        waves = -(-total // ((128 << 20) * par))
+        assert waves >= 2  # the cap-binding regime is what we fabricated
+        assert split == -(-total // (waves * par)) <= 128 << 20
+        tasks = -(-total // split)
+        assert (waves - 1) * par < tasks <= waves * par
+
+        # below the cap: computed split == bytes-per-core (default-equal)
+        small = par * (32 << 20)
+        monkeypatch.setattr(cat.os.path, "getsize", lambda p: small)
+        cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
+        assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == -(
+            -small // par
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
