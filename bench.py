@@ -38,6 +38,92 @@ from nhl_data_pipeline_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _git_commit() -> str:
+    """Engine commit of the running tree — embedded in every leg headline
+    so sweep artifacts are traceable to ONE engine version per leg (r10,
+    ADVICE: the r9 sf30 artifact silently mixed pre- and post-fix legs)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=Path(__file__).resolve().parent,
+            timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
+class _StageMeter:
+    """Per-query executor CPU / run time / shuffle-write totals from the
+    Spark UI REST API (stage-level StageData), r10 VERDICT ask #1: the
+    sf30 "wall-only, CPU is sublinear" defense existed only in prose —
+    this meter makes executor CPU a first-class per-leg measurement so
+    sweep artifacts can emit ``cpu_exponent`` beside ``exponent_norm``.
+
+    Mechanics: ``snap()`` returns the highest completed stageId after
+    draining the listener bus; ``since(mark)`` sums ``executorCpuTime``
+    (ns), ``executorRunTime`` (ms) and ``shuffleWriteBytes`` over the
+    completed stages that appeared after the mark. Marker-based deltas
+    (not cumulative totals) stay correct when the UI evicts OLD stages;
+    bench sessions also raise ``spark.ui.retainedStages`` so eviction
+    never bites mid-query. Disabled automatically when the UI is off
+    (``uiWebUrl`` is None) — every caller must tolerate None deltas.
+    """
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        url = spark.sparkContext.uiWebUrl
+        self.enabled = bool(url)
+        if self.enabled:
+            self._base = (
+                f"{url}/api/v1/applications/"
+                f"{spark.sparkContext.applicationId}"
+            )
+
+    def _drain(self) -> None:
+        # The status store is fed asynchronously by the listener bus;
+        # without a drain the just-finished stages may not be visible.
+        # listenerBus is private[spark] — bytecode-public, callable via
+        # py4j; fall back to a fixed sleep if the API moves.
+        try:
+            self._spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(
+                10_000
+            )
+        except Exception:  # noqa: BLE001
+            time.sleep(0.5)
+
+    def _stages(self) -> list[dict]:
+        import urllib.request
+
+        with urllib.request.urlopen(
+            self._base + "/stages?status=complete", timeout=30
+        ) as r:
+            return json.loads(r.read())
+
+    def snap(self) -> int:
+        if not self.enabled:
+            return -1
+        self._drain()
+        return max((s["stageId"] for s in self._stages()), default=-1)
+
+    def since(self, mark: int) -> dict | None:
+        if not self.enabled:
+            return None
+        self._drain()
+        new = [s for s in self._stages() if s["stageId"] > mark]
+        return {
+            "cpu_sec": sum(s.get("executorCpuTime", 0) for s in new) / 1e9,
+            "run_sec": sum(s.get("executorRunTime", 0) for s in new) / 1e3,
+            "shuffle_write_bytes": float(
+                sum(s.get("shuffleWriteBytes", 0) for s in new)
+            ),
+        }
+
+
 def _sf_from_dir(d: str) -> float:
     name = Path(d).name  # e.g. sf0.1
     try:
@@ -158,7 +244,25 @@ def _calibration_anchors(spark) -> dict[str, float]:
 
 
 def main() -> None:
-    spark = get_spark("bench")
+    # UI on for bench runs (off everywhere else, session.py): the REST
+    # status API is the source of the per-query executor-CPU totals that
+    # back every scale claim (VERDICT r9 ask #1). Launch-time conf —
+    # bench owns the first session in its process. Retention raised so
+    # marker-based deltas never lose an un-read stage; task rows capped
+    # (stage SUMMARIES carry the metrics this needs).
+    cpu_on = os.environ.get("SPARK_GRAFT_CPU", "1") == "1"
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "50000",
+            "spark.ui.retainedTasks": "100",
+        }
+        if cpu_on
+        else None,
+    )
+    meter = _StageMeter(spark)
     specs = {n: s for n, s in all_queries().items() if s.bench}
     # Targeted sweeps (e.g. the sf3 second-decade exponent runs) time a
     # subset without perturbing the full-headline artifact contract:
@@ -208,16 +312,38 @@ def main() -> None:
     # the kmeans-variance signal, and the sweep tool emits max/min per
     # query from these instead of anyone stitching legs by hand.
     reps: dict[str, list[float]] = {}
+    # Per-query executor CPU / run-time / shuffle-write (r10, VERDICT
+    # ask #1): CPU is the work signal wall-clock can't give on a fixed
+    # box — a wall exponent >1 with CPU exponent ≤1 is scheduling
+    # asymptote, not per-task state growth. min over the timed reps,
+    # same one-sided-noise estimator as the anchors (GC/JIT only ADD
+    # cpu). The meter reads OUTSIDE the timed window (snap before t0,
+    # since() after the clock stops), so wall numbers are unaffected.
+    cpu_min: dict[str, float] = {}
+    cpu_reps: dict[str, list[float]] = {}
+    run_min: dict[str, float] = {}
+    shuf_w: dict[str, float] = {}
+    from nhl_data_pipeline_spark.catalog import reset_scan_splits
+
     for name, spec in specs.items():
         runs: list[float] = []
+        deltas: list[dict] = []
+        # Execution-order independence (VERDICT r9 "what's wrong" #2):
+        # every query block starts from the default scan-split size, so
+        # an untuned query never inherits the previous query's tuning.
+        reset_scan_splits(spark)
         try:
             bench_fn = spec.bench_fn or spec.fn
             for i in range(5):
                 spark.catalog.clearCache()
+                mark = meter.snap() if i >= 2 else -1
                 t0 = time.perf_counter()
                 bench_fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 if i >= 2:
                     runs.append(time.perf_counter() - t0)
+                    d = meter.since(mark)
+                    if d is not None:
+                        deltas.append(d)
         except Exception as exc:  # noqa: BLE001
             # Surface it loudly AND penalize: a broken query must read as
             # SLOW in the summed headline (a negative marker would make
@@ -227,6 +353,11 @@ def main() -> None:
             continue
         reps[name] = [round(r, 3) for r in runs]
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        if deltas:
+            cpu_reps[name] = [round(d["cpu_sec"], 3) for d in deltas]
+            cpu_min[name] = min(cpu_reps[name])
+            run_min[name] = round(min(d["run_sec"] for d in deltas), 3)
+            shuf_w[name] = min(d["shuffle_write_bytes"] for d in deltas)
 
     # Deterministic scale counts (r9, VERDICT ask #3): candidate-pair
     # cardinalities are the noise-immune scaling signal (the r8 jaccard
@@ -234,7 +365,7 @@ def main() -> None:
     # them in the headline so sweep artifacts carry counts alongside
     # times. Off by default: the count jobs would perturb the driver's
     # timed environment for no benefit at sf0.1.
-    counts: dict[str, float] = {}
+    counts: dict[str, float | str] = {}
     if os.environ.get("SPARK_GRAFT_COUNTS") == "1":
         try:
             from nhl_data_pipeline_spark.plans.q_text import (
@@ -246,7 +377,27 @@ def main() -> None:
                 _minhash_lsh_pure(spark, SF_DIR).count()
             )
         except Exception as exc:  # noqa: BLE001
-            counts["error"] = repr(exc)[:200]  # type: ignore[assignment]
+            counts["error"] = repr(exc)[:200]
+
+    # CPU detail on its OWN penultimate-ish stdout line: the headline
+    # line must stay well under the driver's ~2,000-char tail window
+    # (the r5 truncation lesson), and sweep tooling reads full leg
+    # captures, so the per-query CPU block lives here and the sweep
+    # tool picks it up by its "probe" key.
+    if cpu_min:
+        print(
+            json.dumps(
+                {
+                    "probe": "cpu_detail",
+                    "cpu": cpu_min,
+                    "cpu_reps": cpu_reps,
+                    "run": run_min,
+                    "shuffle_write": shuf_w,
+                    "cpus": spark.sparkContext.defaultParallelism,
+                }
+            )
+        )
+        sys.stdout.flush()
 
     # Probes: each on its own EARLY stdout line + all collected into
     # BENCH_probes.json. A probe failure is recorded, never fatal — the
@@ -270,11 +421,18 @@ def main() -> None:
                 probes[pname] = {"error": repr(exc)[:400]}
             print(json.dumps({"probe": pname, **probes[pname]}))
             sys.stdout.flush()
-        probe_path = Path(__file__).resolve().parent / "BENCH_probes.json"
-        probe_path.write_text(
-            json.dumps({"sf": _sf_from_dir(SF_DIR), "probes": probes}, indent=1)
-            + "\n"
-        )
+        # File write only on explicit request (r10, VERDICT housekeeping):
+        # driver runs were rewriting this tracked file on every round,
+        # leaving the end-of-round tree dirty. The probe VALUES still hit
+        # stdout above either way.
+        if os.environ.get("SPARK_GRAFT_PROBES_OUT") == "1":
+            probe_path = Path(__file__).resolve().parent / "BENCH_probes.json"
+            probe_path.write_text(
+                json.dumps(
+                    {"sf": _sf_from_dir(SF_DIR), "probes": probes}, indent=1
+                )
+                + "\n"
+            )
 
     # Headline JSON: compact, LAST stdout line — the driver's artifact.
     print(
@@ -288,6 +446,8 @@ def main() -> None:
                 **({"counts": counts} if counts else {}),
                 "sf": _sf_from_dir(SF_DIR),
                 **anchors,
+                "engine_commit": _git_commit(),
+                "cpus": spark.sparkContext.defaultParallelism,
             }
         )
     )
@@ -917,24 +1077,62 @@ def _pipeline_scale_probe(spark) -> dict:
     # min of 2 reps per leg is the noise-robust estimator — the same
     # reasoning as the sweep tool's per-leg min — and both reps are
     # recorded so drift stays diagnosable.
+    #
+    # r10 (VERDICT r9 "what's wrong" #3): min-of-2 alone still read
+    # 0.921 on the driver vs 0.813 on builder legs — the environment
+    # drifts BETWEEN the x100 and x1000 measurement blocks, which a
+    # per-leg min cannot divide out. Apply the sweeps' leg-matched
+    # anchor recipe: a fixed data-independent micro-anchor measured
+    # immediately before each leg, each leg's time divided by ITS OWN
+    # anchor before the min, exponent computed from the normalized
+    # minima. Raw reps and anchors stay in the artifact.
+    def leg_anchor() -> float:
+        from pyspark.sql import functions as F
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 1 << 23, 1, 32)
+                .select(F.md5(F.col("id").cast("string")).alias("h"), "id")
+                .groupBy(F.substring("h", 1, 4).alias("k"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            return time.perf_counter() - t0
+
+        return min(once() for _ in range(3))
+
+    a100a = leg_anchor()
     c100, t100a = staged_at(100)
+    a100b = leg_anchor()
     _, t100b = staged_at(100)
+    a1000a = leg_anchor()
     c1000, t1000a = staged_at(1000)
+    a1000b = leg_anchor()
     _, t1000b = staged_at(1000)
     t100, t1000 = min(t100a, t100b), min(t1000a, t1000b)
+    t100n = min(t100a / a100a, t100b / a100b)
+    t1000n = min(t1000a / a1000a, t1000b / a1000b)
     assert c100 == tuple(100 * c for c in base), (base, c100)
     assert c1000 == tuple(1000 * c for c in base), (base, c1000)
     out["staging_cj_x100_sec"] = round(t100, 3)
     out["staging_cj_x1000_sec"] = round(t1000, 3)
     out["staging_cj_x100_reps"] = [round(t100a, 3), round(t100b, 3)]
     out["staging_cj_x1000_reps"] = [round(t1000a, 3), round(t1000b, 3)]
+    out["staging_cj_anchors"] = [
+        round(a, 3) for a in (a100a, a100b, a1000a, a1000b)
+    ]
     out["staging_x1000_rows"] = float(sum(c1000))
-    out["staging_exponent"] = round(math.log10(t1000 / t100), 3)
+    out["staging_exponent_raw"] = round(math.log10(t1000 / t100), 3)
+    out["staging_exponent"] = round(math.log10(t1000n / t100n), 3)
     # r8 (VERDICT ask #6): the second-decade staging exponent is a GATE,
     # not just a recording — a model change that makes staging
     # superlinear fails the bench run instead of drifting (r7 measured
     # 0.848; 0.95 leaves headroom for environment noise while still
-    # catching anything structurally worse than linear).
+    # catching anything structurally worse than linear). Gated on the
+    # anchor-normalized value since r10.
     assert out["staging_exponent"] <= 0.95, out["staging_exponent"]
 
     box100 = replicate(bronze["game_boxscore"], schemas.boxscore_payload(), 100)

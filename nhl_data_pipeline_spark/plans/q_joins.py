@@ -90,6 +90,7 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from nhl_data_pipeline_spark.catalog import fact_shuffle_width
 
+    tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
     w = fact_shuffle_width(spark, sf_dir, "lineitem")
     li = load_table(spark, sf_dir, "lineitem")
     if w:

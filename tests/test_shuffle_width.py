@@ -152,9 +152,13 @@ def test_tune_scan_splits_whole_waves(spark, monkeypatch):
     par = spark.sparkContext.defaultParallelism
     before = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
-        # tiny lake: openCost floor governs — conf untouched
+        # tiny lake: openCost floor governs — conf reset to the default
+        # (r10: deterministic always-set, not left-as-was)
         cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
-        assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
+        assert (
+            int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+            == 128 << 20
+        )
 
         total = 4_956_911_616  # ~4.6 GiB, the sf30 lineitem regime
         monkeypatch.setattr(cat.os.path, "getsize", lambda p: total)
@@ -172,6 +176,50 @@ def test_tune_scan_splits_whole_waves(spark, monkeypatch):
         cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
         assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) == -(
             -small // par
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+
+
+def test_tune_scan_splits_no_cross_query_leak(spark, monkeypatch):
+    """VERDICT r9 "what's wrong" #2 regression: a big-table query's tuned
+    split must NOT leak into a later small-table query on the same
+    session. tune_scan_splits is execution-time conf (Spark reads
+    maxPartitionBytes when the scan RDD is built, not at DataFrame
+    build), so the fix is deterministic always-set: the tiny-lake branch
+    restores the default, and reset_scan_splits covers untuned queries."""
+    import nhl_data_pipeline_spark.catalog as cat
+
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    par = spark.sparkContext.defaultParallelism
+    try:
+        # 1. big-lake query tunes: conf pinned under the default (size a
+        # hair past a whole wave so the computed split shrinks below cap)
+        big = 40 * par * (128 << 20) + (64 << 20)
+        monkeypatch.setattr(cat.os.path, "getsize", lambda p: big)
+        cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
+        tuned = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        assert tuned < 128 << 20
+
+        # 2a. the next SMALL-table query that tunes gets the default back
+        monkeypatch.undo()
+        cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
+        assert (
+            int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+            == 128 << 20
+        )
+
+        # 2b. an UNTUNED query after a big one: the shared-session runner
+        # protocol (reset between queries) restores the default split
+        monkeypatch.setattr(cat.os.path, "getsize", lambda p: big)
+        cat.tune_scan_splits(spark, TEST_SF_DIR, "lineitem")
+        assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")) < (
+            128 << 20
+        )
+        cat.reset_scan_splits(spark)
+        assert (
+            int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+            == 128 << 20
         )
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", before)

@@ -1,40 +1,59 @@
 #!/bin/bash
-# Quiet-window scaling-sweep protocol (r9, VERDICT r8 ask #1).
+# Quiet-window scaling-sweep protocol (r9, VERDICT r8 ask #1; r10 asks
+# #3/#8 + ADVICE).
 #
 # Runs N back-to-back bench legs per scale factor — each leg a fresh
 # bench.py process (fresh JVM, its own calibration anchors, per-rep
-# times in the headline) — then builds the sweep artifacts with
-# tools/sf1_sweep.py, which aggregates per-query minima WITH each leg's
-# own anchor and refuses legs whose anchors spread >15%.
+# times AND per-query executor-CPU totals in the capture) — then builds
+# the sweep artifacts with tools/sf1_sweep.py, which aggregates
+# per-query minima WITH each leg's own anchor, refuses legs whose
+# anchors spread >15%, refuses mixed engine commits within a side, and
+# emits cpu_exponent/occupancy beside the wall exponents.
 #
 # MUST run alone: no concurrent Spark/pytest/duckdb (memory: concurrent
-# load reads as a phantom exponent). Logs land in bench_logs/r09/ and
+# load reads as a phantom exponent). Logs land in bench_logs/${TAG}/ and
 # are committed verbatim; every artifact value traces to them.
 #
-# Usage: bash tools/run_sweep_legs.sh [round_tag] [legs_per_sf] [sf_list]
-#   sf_list: space-separated, default "sf0.1 sf1 sf3 sf10"; artifacts are
-#   built for each adjacent pair in the list (e.g. "sf10 sf30" runs the
-#   fourth-decade legs and builds BENCH_<tag>_sf30_sweep.json only).
+# r10 changes:
+# - the sweep is built from the EXACT leg files this run produced
+#   (TAG × sf × 1..LEGS), never a glob — a stale leg from an aborted
+#   earlier run with the same tag can no longer leak into an artifact;
+# - the settle between legs is WRITEBACK-DRAINING, not fixed-time: the
+#   prior JVM deletes GBs of shuffle files on exit and the r9 fixed
+#   45 s was calibrated on 2.2 GB lakes — at 6.5 GB (sf30) one leg
+#   still caught the transient (kmeans spread 2.04x). Now we sync and
+#   poll /proc/meminfo Dirty until the page cache has actually drained
+#   (< 64 MB) before starting the next leg, with a 300 s ceiling.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-TAG="${1:-r09}"
+TAG="${1:-r10}"
 LEGS="${2:-2}"
 SF_LIST="${3:-sf0.1 sf1 sf3 sf10}"
 LOGDIR="bench_logs/${TAG}"
 mkdir -p "$LOGDIR"
 
+settle() {
+  # Drain dirty pages until writeback is quiescent: a time-fixed sleep
+  # under-settles exactly when the previous leg was big (the r9 sf30
+  # kmeans outlier). Dirty < 64 MB or 300 s, whichever first; then a
+  # short fixed tail for the deleted-file flush that sync can't see.
+  sync
+  for _ in $(seq 1 60); do
+    dirty_kb=$(awk '/^Dirty:/ {print $2}' /proc/meminfo)
+    [ "${dirty_kb:-0}" -lt 65536 ] && break
+    sleep 5
+  done
+  sleep 15
+}
+
 run_leg() { # sf_label sf_dir leg_idx
   local out="${LOGDIR}/bench_${TAG}_${1}_leg${3}.out"
-  # Settle before each leg: the previous leg's JVM deletes GBs of
-  # shuffle files on exit, and the resulting writeback burst landed
-  # squarely on the next leg's anchor phase (measured r9: a 2.0×
-  # anchor with NORMAL query times on the leg after a big-SF leg).
-  sync; sleep 45
+  settle
   echo ">>> $(date -u +%H:%M:%S) leg ${3} @ ${1} -> ${out}"
   SPARK_GRAFT_SF_DIR="$2" SPARK_GRAFT_SKIP_PROBES=1 SPARK_GRAFT_COUNTS=1 \
     python bench.py 2>"${out}.err" | tr '\r' '\n' >"$out"
-  tail -1 "$out" | python -c 'import json,sys; d=json.loads(sys.stdin.read()); print("    total=%ss anchor=%s" % (d["value"], d["anchor_sec"]))'
+  tail -1 "$out" | python -c 'import json,sys; d=json.loads(sys.stdin.read()); print("    total=%ss anchor=%s commit=%s" % (d["value"], d["anchor_sec"], d.get("engine_commit")))'
 }
 
 for sf in $SF_LIST; do
@@ -49,7 +68,15 @@ for sf in $SF_LIST; do
   for leg in $(seq 1 "$LEGS"); do run_leg "${sf/./}" "$dir" "$leg"; done
 done
 
-legs_of() { ls "${LOGDIR}"/bench_"${TAG}"_"$1"_leg*.out; }
+# Build each adjacent-pair artifact from the EXACT filenames this run
+# wrote (no globs): TAG, sf label, legs 1..LEGS.
+legs_of() { # sf_label
+  local files=""
+  for leg in $(seq 1 "$LEGS"); do
+    files="$files ${LOGDIR}/bench_${TAG}_$1_leg${leg}.out"
+  done
+  echo "$files"
+}
 
 prev=""
 for sf in $SF_LIST; do

@@ -33,11 +33,32 @@ out per-leg environment speed via the ``anchor_sec`` calibration shape
 first (memory: ±15-30% drift between runs in one container reads as a
 phantom exponent shift of ~0.17 on a one-third-decade step).
 
+r10 additions (VERDICT r9 ask #1 + ADVICE):
+
+- per-query ``cpu_exponent`` from the legs' executor-CPU totals (the
+  ``cpu_detail`` line bench.py emits from the UI REST stage store):
+  on a fixed-core box a WALL exponent >1 with CPU exponent ≤1 is
+  scheduling asymptote (idle tail waves), not per-task state growth —
+  r9 could only argue this in prose; now every sweep artifact carries
+  the measurement. CPU is work, not environment, so it is aggregated
+  raw (min over legs — GC/JIT only ever ADD cpu) with no anchor
+  normalization. ``occupancy`` (= run_sec / (wall × cores), from the
+  same stage store) quantifies the idle tail directly.
+- each leg's ``engine_commit`` (bench.py headline) is embedded per
+  side, so an artifact can no longer silently mix engine versions the
+  way the r9 sf30 artifact mixed pre-/post-fix legs; mixed commits
+  within a side are refused without ``--allow-mixed-commits``.
+- under ``--agg min``, unequal leg counts per side are refused without
+  ``--allow-unequal-legs``: the min over more samples of one-sided
+  noise is systematically lower, biasing every ratio toward the side
+  with more legs.
+
 Usage:
   python tools/sf1_sweep.py --base b1.out [b2.out ...] \\
       --big g1.out [g2.out ...] [-o out.json] [--agg min|median] \\
-      [--allow-unstable]
-Each input is a bench.py stdout capture; the LAST line is the headline.
+      [--allow-unstable] [--allow-unequal-legs] [--allow-mixed-commits]
+Each input is a bench.py stdout capture; the LAST line is the headline,
+and an earlier {"probe": "cpu_detail", ...} line carries per-query CPU.
 """
 
 from __future__ import annotations
@@ -56,8 +77,28 @@ def last_json(path: str) -> dict:
     return json.loads(Path(path).read_text().strip().splitlines()[-1])
 
 
+def leg_of(path: str) -> dict:
+    """Headline dict of one leg, with the cpu_detail probe line (if the
+    leg has one) merged in under ``cpu`` / ``cpu_run`` / ``shuffle_write``."""
+    lines = Path(path).read_text().strip().splitlines()
+    leg = json.loads(lines[-1])
+    for ln in lines[:-1]:
+        ln = ln.strip()
+        if not ln.startswith('{"probe": "cpu_detail"'):
+            continue
+        try:
+            d = json.loads(ln)
+        except json.JSONDecodeError:
+            continue
+        leg["cpu"] = d.get("cpu", {})
+        leg["cpu_run"] = d.get("run", {})
+        leg["shuffle_write"] = d.get("shuffle_write", {})
+        leg["cpus"] = d.get("cpus")
+    return leg
+
+
 def _load_side(paths: list[str], label: str, allow_unstable: bool) -> dict:
-    legs = [last_json(p) for p in paths]
+    legs = [leg_of(p) for p in paths]
     sfs = {leg["sf"] for leg in legs}
     if len(sfs) != 1 or legs[0]["sf"] <= 0:
         raise SystemExit(
@@ -81,6 +122,7 @@ def _load_side(paths: list[str], label: str, allow_unstable: bool) -> dict:
         "sf": legs[0]["sf"],
         "anchors": anchors,
         "anchor_spread": round(spread, 3) if spread else None,
+        "commits": [leg.get("engine_commit") for leg in legs],
     }
 
 
@@ -119,12 +161,35 @@ def main() -> None:
     ap.add_argument("-o", "--out", default=None)
     ap.add_argument("--agg", choices=("min", "median"), default="min")
     ap.add_argument("--allow-unstable", action="store_true")
+    ap.add_argument("--allow-unequal-legs", action="store_true")
+    ap.add_argument("--allow-mixed-commits", action="store_true")
     args = ap.parse_args()
 
     base = _load_side(args.base, "base", args.allow_unstable)
     big = _load_side(args.big, "big", args.allow_unstable)
     if base["sf"] == big["sf"]:
         raise SystemExit("base and big legs must be at distinct sfs")
+    if (
+        args.agg == "min"
+        and len(args.base) != len(args.big)
+        and not args.allow_unequal_legs
+    ):
+        raise SystemExit(
+            f"unequal leg counts ({len(args.base)} base vs {len(args.big)} "
+            "big) under min aggregation: the min over more samples of "
+            "one-sided noise is systematically lower, biasing every ratio "
+            "toward the side with more legs — equalize the counts, or pass "
+            "--allow-unequal-legs to record the override"
+        )
+    for side, name in ((base, "base"), (big, "big")):
+        commits = {c for c in side["commits"] if c}
+        if len(commits) > 1 and not args.allow_mixed_commits:
+            raise SystemExit(
+                f"{name} legs span multiple engine commits {sorted(commits)} "
+                "— an artifact must trace to ONE engine version per side "
+                "(the r9 sf30 mixed-provenance defect); rebuild from "
+                "same-commit legs or pass --allow-mixed-commits"
+            )
     data_ratio = big["sf"] / base["sf"]
 
     bq = _per_query(base, args.agg)
@@ -151,6 +216,31 @@ def main() -> None:
             rows[q]["exponent_norm"] = round(
                 math.log(rn) / math.log(data_ratio), 2
             )
+        # Executor-CPU exponent + occupancy (r10, VERDICT ask #1): CPU is
+        # work, aggregated raw (min over legs — noise only adds CPU), no
+        # anchor normalization. occupancy = executor run-time / (wall ×
+        # cores): how busy the fixed box actually was — the direct
+        # idle-tail measurement behind any wall>1 / cpu≤1 reading.
+        for side_label, side, srow in (
+            ("base", base, b),
+            ("big", big, g),
+        ):
+            cpus = [leg.get("cpu", {}).get(q) for leg in side["legs"]]
+            runs_ = [leg.get("cpu_run", {}).get(q) for leg in side["legs"]]
+            ncpu = side["legs"][0].get("cpus")
+            if all(c is not None for c in cpus) and cpus:
+                rows[q][f"{side_label}_cpu_sec"] = round(min(cpus), 3)
+            if all(r is not None for r in runs_) and runs_ and ncpu:
+                rows[q][f"{side_label}_occupancy"] = round(
+                    min(runs_) / (srow["sec"] * ncpu), 3
+                )
+        if "base_cpu_sec" in rows[q] and "big_cpu_sec" in rows[q]:
+            bc, gc = rows[q]["base_cpu_sec"], rows[q]["big_cpu_sec"]
+            if bc > 0 and gc > 0:
+                rows[q]["cpu_ratio"] = round(gc / bc, 2)
+                rows[q]["cpu_exponent"] = round(
+                    math.log(gc / bc) / math.log(data_ratio), 2
+                )
     if not rows:
         raise SystemExit("no common queries across all legs")
 
@@ -160,6 +250,12 @@ def main() -> None:
         else "exponent"
     )
     worst = max(rows.items(), key=lambda kv: kv[1][key])
+    cpu_rows = {q: r for q, r in rows.items() if "cpu_exponent" in r}
+    worst_cpu = (
+        max(cpu_rows.items(), key=lambda kv: kv[1]["cpu_exponent"])
+        if cpu_rows
+        else None
+    )
 
     def total(side: dict, queries: dict) -> float:
         return round(sum(r["sec"] for r in queries.values()), 3)
@@ -196,7 +292,12 @@ def main() -> None:
         "big_anchors_sec": big["anchors"],
         "base_anchor_spread": base["anchor_spread"],
         "big_anchor_spread": big["anchor_spread"],
+        "base_engine_commits": base["commits"],
+        "big_engine_commits": big["commits"],
         "anchor_spread_limit": ANCHOR_SPREAD_LIMIT,
+        "unequal_legs_override": bool(
+            args.allow_unequal_legs and len(args.base) != len(args.big)
+        ),
         "anchor_unstable_override": bool(
             args.allow_unstable
             and any(
@@ -207,6 +308,14 @@ def main() -> None:
         "worst_exponent_query": worst[0],
         "worst_exponent": worst[1][key],
         "worst_exponent_kind": key,
+        **(
+            {
+                "worst_cpu_exponent_query": worst_cpu[0],
+                "worst_cpu_exponent": worst_cpu[1]["cpu_exponent"],
+            }
+            if worst_cpu
+            else {}
+        ),
         **({"counts": counts} if counts else {}),
         **({"count_growth": count_growth} if count_growth else {}),
         "queries": rows,
@@ -218,7 +327,11 @@ def main() -> None:
             "times by that SAME leg's anchor_sec before aggregation; "
             "per-leg raw times and cross-leg spreads are embedded; "
             "anchor stability gated at "
-            f"{ANCHOR_SPREAD_LIMIT}; big lake generated by "
+            f"{ANCHOR_SPREAD_LIMIT}; per-leg engine commits embedded, "
+            "one commit per side enforced; cpu_exponent from per-query "
+            "executor-CPU totals (Spark UI REST stage store, min over "
+            "legs, raw — CPU is work, not environment) and occupancy = "
+            "executor run-time / (wall x cores); big lake generated by "
             "tools/gen_sf1.py (n-replica, per-replica key offsets, "
             "cipher-rotated text, coordinate-rotated embeddings so "
             "duplicate/near-dup densities scale linearly)"
@@ -239,9 +352,16 @@ def main() -> None:
             if "exponent_norm" in r
             else ""
         )
+        cpu = (
+            f"  cpu_exp={r['cpu_exponent']:5.2f}"
+            f" occ={r.get('base_occupancy', 0):.2f}"
+            f"->{r.get('big_occupancy', 0):.2f}"
+            if "cpu_exponent" in r
+            else ""
+        )
         print(
             f"{q:28s} {r['base_sec']:7.3f} {r['big_sec']:8.3f}"
-            f"  x{r['ratio']:5.2f}  exp={r['exponent']:5.2f}{norm}"
+            f"  x{r['ratio']:5.2f}  exp={r['exponent']:5.2f}{norm}{cpu}"
             f"  spread={r['base_spread']}/{r['big_spread']}"
         )
 
