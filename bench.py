@@ -957,20 +957,16 @@ def _pipeline_e2e_probe(spark) -> dict:
     return out
 
 
-# The two statements expected to return zero rows over the ×100 model lake
-# (r8, VERDICT ask #4 — pinned so any OTHER statement going empty fails
-# loudly): team_8 filters `game_date >= CURRENT_DATE - INTERVAL '15 days'`
-# (team_shot_example_queries.sql:193) — wall-clock-relative, unsatisfiable
-# by the 2024-season fixtures; team_3 filters `team_id = 10 AND season =
-# 20242025` (:~160) — the committed bronze fixtures contain no team-10
-# (TOR) games, and the ×100 replication multiplies rows, never teams.
-# Measured, not derived: the first pin of this set guessed CURRENT_DATE
-# covered both and was wrong (no odds statement is date-relative).
-_WORKSHEET_EXPECTED_EMPTY = {"team_3", "team_8"}
-_WORKSHEET_EMPTY_CAUSE = (
-    "team_8: CURRENT_DATE-relative window vs 2024-season fixtures; "
-    "team_3: team_id=10 absent from bronze fixtures"
-)
+# Statements expected to return zero rows over the ×100 model lake —
+# pinned so any statement going empty fails loudly (r8, VERDICT ask #4).
+# EMPTY since r10 (VERDICT r9 ask #7): team_3's `team_id = 10` is covered
+# by the OTT/WPG fixture teams, and team_8's `CURRENT_DATE - INTERVAL
+# '15 days'` window is pinned to the injected as_of=2024-11-15 via
+# dialect.rewrite_current_date, so its window intersects the fixture
+# season — all 18 statements must now produce rows.
+_WORKSHEET_EXPECTED_EMPTY: set[str] = set()
+_WORKSHEET_EMPTY_CAUSE = "none expected empty since r10"
+_WORKSHEET_AS_OF = "2024-11-15"  # run_pipeline's injected as_of
 
 
 def _pipeline_scale_probe(spark) -> dict:
@@ -1086,24 +1082,20 @@ def _pipeline_scale_probe(spark) -> dict:
     # immediately before each leg, each leg's time divided by ITS OWN
     # anchor before the min, exponent computed from the normalized
     # minima. Raw reps and anchors stay in the artifact.
-    def leg_anchor() -> float:
-        from pyspark.sql import functions as F
+    # The leg anchor is the SAME shape/estimator as the headline
+    # calibration anchor (2^24-row md5 hash-agg, clearCache, min-of-5):
+    # a first cut used a lighter 2^23 min-of-3 shape and its own noise
+    # (1.48x spread across the probe) exceeded what it was normalizing.
+    # Measured here under interleaved heavy jobs: 1.09x spread, ≈0.04
+    # exponent noise on a one-decade step.
+    leg_anchor = lambda: _calibration_anchor(spark)  # noqa: E731
 
-        def once() -> float:
-            t0 = time.perf_counter()
-            (
-                spark.range(0, 1 << 23, 1, 32)
-                .select(F.md5(F.col("id").cast("string")).alias("h"), "id")
-                .groupBy(F.substring("h", 1, 4).alias("k"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-            return time.perf_counter() - t0
-
-        return min(once() for _ in range(3))
-
+    # Warm the anchor's OWN codegen to C2 steady state before the first
+    # measured use: without this the four anchor readings drift downward
+    # ~18% across the probe (the anchor JIT-ing, not the environment),
+    # which normalization would misread as the x1000 legs running in a
+    # faster environment — inflating the exponent it exists to stabilize.
+    leg_anchor()
     a100a = leg_anchor()
     c100, t100a = staged_at(100)
     a100b = leg_anchor()
@@ -1217,6 +1209,7 @@ def _pipeline_scale_probe(spark) -> dict:
                 s,
                 name_map={"nhl_analytics.silver.": ""},
                 date_columns=date_cols,
+                as_of=_WORKSHEET_AS_OF,
             ).count()
             executed += 1
             nonempty += 1 if n else 0

@@ -42,6 +42,11 @@ TEAMS = [
     (6, "CHI", "Chicago", "Blackhawks"),
     (7, "EDM", "Edmonton", "Oilers"),
     (8, "COL", "Colorado", "Avalanche"),
+    # r10 (VERDICT r9 ask #7): ids 9/10 join the league so the reference
+    # worksheet's `team_id = 10` statement (team_shot_example_queries.sql
+    # §4) selects rows over the fixture lake instead of an empty set.
+    (9, "OTT", "Ottawa", "Senators"),
+    (10, "WPG", "Winnipeg", "Jets"),
 ]
 
 # Roster names include the crosswalk's documented mismatch classes.
@@ -110,16 +115,22 @@ def _games() -> list[Game]:
     gid = 2024020100
     dates = [f"2024-11-{d:02d}" for d in range(1, 15)]
     # last two: a LIVE game and a FUT game, both involving BOS so the
-    # bruins_next_opponent model has a subject.
+    # bruins_next_opponent model has a subject. The four OTT/WPG games
+    # (r10) are OFF and reuse mid-season dates (a second game that day)
+    # so every completed game stays inside the as_of=2024-11-15 window.
     pairs = [(0, 1), (2, 3), (4, 5), (6, 7), (1, 2), (3, 0), (5, 7), (6, 4),
-             (0, 4), (1, 5), (2, 6), (3, 7), (7, 0), (2, 0)]
+             (0, 4), (1, 5), (2, 6), (3, 7),
+             (8, 9), (9, 8), (0, 8), (9, 3),
+             (7, 0), (2, 0)]
+    date_of = (dates[:12] + [dates[8], dates[9], dates[10], dates[11]]
+               + [dates[12], dates[13]])
     for i, (h, a) in enumerate(pairs):
         state = "OFF"
-        if i == 12:
+        if i == len(pairs) - 2:
             state = "LIVE"
-        if i == 13:
+        if i == len(pairs) - 1:
             state = "FUT"
-        games.append(Game(gid + i, dates[i], TEAMS[h], TEAMS[a], state))
+        games.append(Game(gid + i, date_of[i], TEAMS[h], TEAMS[a], state))
     return games
 
 

@@ -298,12 +298,32 @@ def rewrite_qualified_names(sql: str, name_map: dict[str, str]) -> str:
     return sql
 
 
+def rewrite_current_date(sql: str, as_of: str) -> str:
+    """Pin CURRENT_DATE / current_date() to an injected literal date.
+
+    The engine's policy is injected time, never wall-clock (SURVEY
+    §7.3.4 — dims get ``today``, `nhl/dims.py:22`), so analyst SQL that
+    says ``CURRENT_DATE - INTERVAL '15 days'``
+    (`team_shot_example_queries.sql:193`) becomes reproducible against a
+    fixed-season lake instead of silently empty once the fixture season
+    ages out of the wall-clock window (VERDICT r9 ask #7, team_8)."""
+    if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", as_of):
+        raise ValueError(f"as_of must be YYYY-MM-DD, got {as_of!r}")
+    return re.sub(
+        r"\bCURRENT_DATE\s*\(\s*\)|\bCURRENT_DATE\b",
+        f"DATE '{as_of}'",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def spark_sql_compat(
     spark: SparkSession,
     sql: str,
     *,
     name_map: dict[str, str] | None = None,
     date_columns: set[str] | list[str] | None = None,
+    as_of: str | None = None,
 ) -> DataFrame:
     """Run (possibly Snowflake-flavored) SQL on Spark: QUALIFY and IFF
     rewritten, qualified names mapped, helper column dropped from the
@@ -313,12 +333,15 @@ def spark_sql_compat(
     DATE like Snowflake. Everything else the reference's worksheets use
     (`::` casts, aliases in HAVING, tuple-IN subqueries, `INTERVAL '15
     days'`) parses natively in Spark 4 (probed,
-    tests/test_worksheet_verbatim.py)."""
+    tests/test_worksheet_verbatim.py). ``as_of`` pins CURRENT_DATE to an
+    injected date (see :func:`rewrite_current_date`)."""
     rewritten = rewrite_distinct_order_aliases(
         rewrite_quoted_datetime_units(rewrite_iff(rewrite_qualify(sql)))
     )
     if date_columns:
         rewritten = rewrite_dateadd_date(rewritten, date_columns)
+    if as_of:
+        rewritten = rewrite_current_date(rewritten, as_of)
     if name_map:
         rewritten = rewrite_qualified_names(rewritten, name_map)
     had_qualify = "__qualify" in rewritten

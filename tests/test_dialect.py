@@ -193,3 +193,43 @@ def test_dateadd_date_rewrite(spark):
     )
     assert df.schema["next_week"].dataType.simpleString() == "date"
     assert str(df.collect()[0]["next_week"]) == "2024-11-08"
+
+
+def test_current_date_rewrite(spark):
+    """rewrite_current_date pins CURRENT_DATE / current_date() to the
+    injected as_of literal (VERDICT r9 ask #7: the worksheet's 15-day
+    recent-form window must be reproducible against a fixed-season lake,
+    per the engine's injected-time policy)."""
+    import pytest as _pytest
+
+    from nhl_data_pipeline_spark.plans.dialect import rewrite_current_date
+
+    sql = (
+        "SELECT * FROM t WHERE game_date >= CURRENT_DATE - INTERVAL "
+        "'15 days' AND d2 < current_date() AND d3 = current_date"
+    )
+    got = rewrite_current_date(sql, "2024-11-15")
+    assert "CURRENT_DATE" not in got.upper().replace(
+        "DATE '2024-11-15'", ""
+    )
+    assert got.count("DATE '2024-11-15'") == 3
+    # a column named like a prefix is untouched
+    assert (
+        rewrite_current_date("SELECT current_date_col FROM t", "2024-11-15")
+        == "SELECT current_date_col FROM t"
+    )
+    with _pytest.raises(ValueError):
+        rewrite_current_date("SELECT 1", "not-a-date")
+
+    # end-to-end through the shim: the worksheet's window form evaluates
+    # against the injected date, independent of wall-clock
+    spark.sql(
+        "SELECT CAST('2024-11-10' AS DATE) AS game_date"
+    ).createOrReplaceTempView("cd_games")
+    df = spark_sql_compat(
+        spark,
+        "SELECT game_date FROM cd_games WHERE game_date >= "
+        "CURRENT_DATE - INTERVAL '15 days'",
+        as_of="2024-11-15",
+    )
+    assert df.count() == 1

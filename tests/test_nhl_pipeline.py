@@ -275,7 +275,7 @@ def test_full_analysis_corpus_runs(spark, models):
         "ml_features_recent", "crosswalk_quality", "unmatched_odds_names",
         "betting_performance", "top_line_beaters", "daily_over_trend",
     }
-    assert len(results["latest_team_game"]) == 8  # one row per team
+    assert len(results["latest_team_game"]) == 10  # one row per team
     assert len(results["home_vs_away"]) > 0
     assert [r["odds_player_name"] for r in results["unmatched_odds_names"]] == [
         "Nonexistent Player"
