@@ -6,11 +6,14 @@ readings are only meaningful if each replica preserves the base lake's
 intra-replica structure exactly (same near-dup topology, same cluster
 geometry → per-replica work identical) while being disjoint from every
 other replica (pair counts scale exactly ×REPLICAS, not ×REPLICAS²).
-This test runs the real generator at REPLICAS=130 — past 2·dim=128, so
-all three embedding transform families (shift, negated shift, blockwise
-±1 diagonal × shift) and all three letter-target families (rotation,
-reflection, affine) are exercised — and checks those invariants on the
-output parquet.
+This test runs the real generator at REPLICAS=320 — past 2·dim=128 AND
+past the 312 affine letter maps, so all three embedding transform
+families (shift, negated shift, blockwise ±1 diagonal × shift) and all
+FOUR letter-target families (rotation, reflection, affine, seeded
+permutation — the r10 family behind the 1000-replica sf100 lake) are
+exercised — and checks those invariants on the output parquet. The
+doc-side dup-density invariant (fingerprint surplus == REPLICAS x base)
+is asserted by the generator itself at build time.
 """
 
 from __future__ import annotations
@@ -25,14 +28,14 @@ import pytest
 
 REPO = Path(__file__).resolve().parent.parent
 SRC = "/root/testdata/sf0.001"
-REPLICAS = 130
+REPLICAS = 320
 
 
 @pytest.fixture(scope="module")
 def lake(tmp_path_factory):
     if not os.path.isdir(SRC):
         pytest.skip(f"{SRC} missing")
-    dst = tmp_path_factory.mktemp("sf_gen_130")
+    dst = tmp_path_factory.mktemp("sf_gen_320")
     env = dict(os.environ, SF1_REPLICAS=str(REPLICAS))
     # The generator asserts its own dup-density invariant (fingerprint
     # surplus == REPLICAS × base surplus) at build time — a non-zero

@@ -70,13 +70,34 @@ def test_anchor_stability_gate(tmp_path):
     b1 = _leg(tmp_path / "b1.out", 1.0, {"q": 2.0}, 1.0)
     b2 = _leg(tmp_path / "b2.out", 1.0, {"q": 2.0}, 1.3)  # 30% apart
     g1 = _leg(tmp_path / "g1.out", 10.0, {"q": 20.0}, 1.0)
+    g2 = _leg(tmp_path / "g2.out", 10.0, {"q": 20.0}, 1.0)
     with pytest.raises(SystemExit, match="anchor spread"):
-        _run(["--base", b1, b2, "--big", g1], tmp_path)
+        _run(["--base", b1, b2, "--big", g1, g2], tmp_path)
     art = _run(
-        ["--base", b1, b2, "--big", g1, "--allow-unstable"], tmp_path
+        ["--base", b1, b2, "--big", g1, g2, "--allow-unstable"], tmp_path
     )
     assert art["anchor_unstable_override"] is True
     assert art["base_anchor_spread"] == 1.3
+
+
+def test_unequal_leg_counts_refused_under_min(tmp_path):
+    """r10 (ADVICE): min over more samples of one-sided noise is
+    systematically lower — unequal per-side leg counts bias the ratio,
+    so the tool refuses them under --agg min without the override."""
+    b1 = _leg(tmp_path / "b1.out", 1.0, {"q": 2.0}, 1.0)
+    b2 = _leg(tmp_path / "b2.out", 1.0, {"q": 2.1}, 1.0)
+    g1 = _leg(tmp_path / "g1.out", 10.0, {"q": 20.0}, 1.0)
+    with pytest.raises(SystemExit, match="unequal leg counts"):
+        _run(["--base", b1, b2, "--big", g1], tmp_path)
+    art = _run(
+        ["--base", b1, b2, "--big", g1, "--allow-unequal-legs"], tmp_path
+    )
+    assert art["unequal_legs_override"] is True
+    # median aggregation is count-symmetric: no refusal
+    art = _run(
+        ["--base", b1, b2, "--big", g1, "--agg", "median"], tmp_path
+    )
+    assert art["unequal_legs_override"] is False
 
 
 def test_mixed_sf_rejected_and_counts_growth(tmp_path):
@@ -108,3 +129,78 @@ def test_median_agg(tmp_path):
     assert "median over" in art["method"].replace(
         "per-query median", "median"
     )
+
+
+def _leg_cpu(path: Path, sf, queries, anchor, cpu, run, commit="abc1234"):
+    head = {
+        "metric": "m",
+        "value": sum(queries.values()),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "anchor_sec": anchor,
+        "engine_commit": commit,
+    }
+    detail = {
+        "probe": "cpu_detail",
+        "cpu": cpu,
+        "cpu_reps": {k: [v] for k, v in cpu.items()},
+        "run": run,
+        "shuffle_write": {k: 0.0 for k in cpu},
+        "cpus": 32,
+    }
+    path.write_text(json.dumps(detail) + "\n" + json.dumps(head) + "\n")
+    return str(path)
+
+
+def test_cpu_exponent_and_occupancy(tmp_path):
+    """r10 (VERDICT r9 ask #1): per-query executor-CPU totals from the
+    legs' cpu_detail lines become cpu_exponent + occupancy in the
+    artifact — the committed form of the 'wall-only, CPU sublinear'
+    argument."""
+    # wall grows 4x at 2x data (exponent 2) but CPU only 2x (cpu_exp 1):
+    # the fixed-box idle-tail signature; occupancy halves.
+    b = _leg_cpu(
+        tmp_path / "b.out", 1.0, {"q": 2.0}, 1.0, {"q": 32.0}, {"q": 48.0}
+    )
+    g = _leg_cpu(
+        tmp_path / "g.out", 2.0, {"q": 8.0}, 1.0, {"q": 64.0}, {"q": 96.0}
+    )
+    art = _run(["--base", b, "--big", g], tmp_path)
+    row = art["queries"]["q"]
+    assert row["exponent"] == 2.0
+    assert row["base_cpu_sec"] == 32.0 and row["big_cpu_sec"] == 64.0
+    assert row["cpu_ratio"] == 2.0 and row["cpu_exponent"] == 1.0
+    # occupancy = run / (wall * 32): 48/(2*32)=0.75 -> 96/(8*32)=0.375
+    assert row["base_occupancy"] == 0.75
+    assert row["big_occupancy"] == 0.375
+    assert art["worst_cpu_exponent_query"] == "q"
+    assert art["worst_cpu_exponent"] == 1.0
+    assert art["base_engine_commits"] == ["abc1234"]
+    assert "cpu_exponent" in art["method"]
+
+
+def test_mixed_engine_commits_refused(tmp_path):
+    """r10 (ADVICE): an artifact side must trace to ONE engine version —
+    the r9 sf30 artifact silently mixed pre-/post-fix legs."""
+    b1 = _leg_cpu(
+        tmp_path / "b1.out", 1.0, {"q": 2.0}, 1.0, {"q": 1.0}, {"q": 1.0},
+        commit="aaa1111",
+    )
+    b2 = _leg_cpu(
+        tmp_path / "b2.out", 1.0, {"q": 2.0}, 1.0, {"q": 1.0}, {"q": 1.0},
+        commit="bbb2222",
+    )
+    g1 = _leg_cpu(
+        tmp_path / "g1.out", 10.0, {"q": 20.0}, 1.0, {"q": 10.0}, {"q": 10.0}
+    )
+    g2 = _leg_cpu(
+        tmp_path / "g2.out", 10.0, {"q": 20.0}, 1.0, {"q": 10.0}, {"q": 10.0}
+    )
+    with pytest.raises(SystemExit, match="multiple engine commits"):
+        _run(["--base", b1, b2, "--big", g1, g2], tmp_path)
+    art = _run(
+        ["--base", b1, b2, "--big", g1, g2, "--allow-mixed-commits"],
+        tmp_path,
+    )
+    assert sorted(art["base_engine_commits"]) == ["aaa1111", "bbb2222"]

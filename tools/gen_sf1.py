@@ -176,17 +176,36 @@ def main() -> None:
             upper[p] for p in perm
         )
 
-    if REPLICAS > 312:
-        raise SystemExit(
-            "letter targets are injective only for REPLICAS <= 312 "
-            "(12 affine units x 26 shifts); larger lakes need a fourth "
-            "shingle-preserving, case-insensitive-safe transform "
-            "dimension"
+    # Fourth transform family (r10, for the 1000-replica sf100 lake):
+    # past the 312 affine maps, ANY distinct letter permutation has the
+    # required properties — substitution ciphers preserve length /
+    # whitespace / shingle structure, and applying the same permutation
+    # to both cases in lockstep commutes with lower() (the r7-review
+    # property). Affine was elegance, not necessity. Family r >= 312
+    # uses a per-replica seeded Fisher-Yates shuffle; global
+    # injectivity across ALL families is asserted outright below
+    # (26!/(26-?)! collisions are astronomically unlikely but the
+    # fp-surplus build check would also catch one), so the guarantee is
+    # checked, never assumed.
+    def letter_target_any(r: int) -> str:
+        if r < 312:
+            return letter_target_affine(r)
+        import random as _random
+
+        perm = list(range(26))
+        _random.Random(f"sf_lake_perm_{r}").shuffle(perm)
+        return "".join(lower[p] for p in perm) + "".join(
+            upper[p] for p in perm
         )
+
+    targets = [letter_target_any(r) for r in range(REPLICAS)]
+    assert len(set(targets)) == REPLICAS, (
+        "letter-target collision across replica transform families"
+    )
     doc_branches = " UNION ALL ".join(
         f"""SELECT doc_id + {r * do} AS doc_id,
                    translate(text, '{lower + upper}',
-                             '{letter_target_affine(r)}') AS text,
+                             '{targets[r]}') AS text,
                    lang, source, n_chars
             FROM {rd('documents')}"""
         for r in range(REPLICAS)
