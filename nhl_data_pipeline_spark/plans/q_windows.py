@@ -304,11 +304,26 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, and the customer dim joins broadcast AFTER the per-customer
     aggregate — so no wide row ever shuffles. ~25% faster than the
     join-first form at sf0.1 and the gap widens with lineitem fan-out.
+
+    r10 scale policy: the per-order aggregate inherits the same
+    spill-gated whole-wave width as join_chain_revenue's fact side
+    (catalog.fact_shuffle_width) — at sf30 the session-width shuffle
+    puts ~145 MB compressed lineitem per task, past the measured spill
+    gate, and topk read wall exponent 1.14 at sf10→sf30 with no width
+    guard while every width-guarded peer stayed ≤1.0.
+    REPARTITION_BY_NUM on l_orderkey satisfies the aggregate's required
+    distribution, so no extra exchange is planted; below the gate the
+    plan is byte-identical to the plain form.
     """
+    from nhl_data_pipeline_spark.catalog import fact_shuffle_width
+
     tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
+    w_li = fact_shuffle_width(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    if w_li:
+        li = li.repartition(w_li, F.col("l_orderkey"))
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev_d"))
     return (
