@@ -58,6 +58,18 @@ def main() -> None:
     )
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # The documents/embeddings replica queries are REPLICAS-branch
+    # UNION ALLs; past ~1000 branches DuckDB's default parser depth cap
+    # trips (hit by the r10 sf100 build at the documents step).
+    con.execute("SET max_expression_depth TO 100000")
+    # Resume/subset knob: regenerate only the named tables (comma list),
+    # e.g. SF1_TABLES=documents,embeddings after a partial build failure
+    # — table outputs are independent, so per-table rebuilds are exact.
+    only = {
+        s.strip()
+        for s in os.environ.get("SF1_TABLES", "").split(",")
+        if s.strip()
+    }
 
     def rd(t: str) -> str:
         return f"read_parquet('{src}/{t}.parquet')"
@@ -74,6 +86,9 @@ def main() -> None:
     ve = stride("embeddings", "vec_id")
 
     def copy(table: str, select_sql: str) -> None:
+        if only and table not in only:
+            print(f"{table}: skipped (SF1_TABLES)")
+            return
         con.execute(
             f"COPY ({select_sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)"
         )
