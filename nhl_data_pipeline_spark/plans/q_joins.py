@@ -133,8 +133,9 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sweep): the fact-side shuffles stay at session width under AQE — the
     measured fast path (sf30: 11.0 s plain vs 18.8 s with the first-cut
     explicit 698-way repartition, whose 4.5 MiB tasks lost more to
-    scheduling and disabled AQE coalescing than they saved; total
-    executor CPU grows 2.3× at 3× data, so the WORK is sublinear).
+    scheduling and disabled AQE coalescing than they saved; the WORK is
+    sublinear — committed r10 measurement: cpu_exponent 0.91 at
+    sf10→sf30, BENCH_r10_sf30_sweep.json).
     catalog.fact_shuffle_width returns a width only once per-task
     compressed input at session width would break the no-spill budget
     (the r8 defect class this guard exists for); then each fact side is
