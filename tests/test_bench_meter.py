@@ -32,17 +32,29 @@ def test_stage_meter_disabled_without_ui(spark):
 
 
 def test_committed_legs_carry_consistent_cpu_detail():
-    """Every committed r10 leg's cpu_detail line is internally
-    consistent: cpu min equals min of its reps, and executor CPU never
-    exceeds run-time (run includes GC + fetch wait on top of CPU)."""
+    """Whatever bench legs are committed under bench_logs/*/ carry an
+    internally consistent cpu_detail line: the reported cpu min equals
+    the min of its own reps, and the CPU MIN never exceeds the RUN MIN
+    by more than the rounding slack.
+
+    r11 (ADVICE): validates every round's legs instead of hard-coding
+    bench_logs/r10 and a count — pruning or relocating old logs must not
+    fail the unit suite — and SKIPS (not fails) when no legs with CPU
+    detail exist at all. On the cpu<=run bound: both are mins taken
+    independently across reps, so this is min_i(cpu_i) <= min_j(run_j) *
+    1.05 — valid because cpu_i <= run_i per rep (executor CPU is a
+    component of run-time) implies min(cpu) <= min(run); the 1.05 covers
+    the two mins landing on different reps plus ms-vs-ns rounding.
+    """
     import json
 
+    import pytest
+
     legs = sorted(
-        (Path(__file__).resolve().parent.parent / "bench_logs" / "r10").glob(
-            "bench_r10_*_leg*.out"
+        (Path(__file__).resolve().parent.parent / "bench_logs").glob(
+            "r*/bench_*_leg*.out"
         )
     )
-    assert legs, "r10 legs missing"
     checked = 0
     for leg in legs:
         lines = leg.read_text().strip().splitlines()
@@ -54,4 +66,5 @@ def test_committed_legs_carry_consistent_cpu_detail():
             assert v == min(d["cpu_reps"][q]), (leg.name, q)
             assert 0 < v <= d["run"][q] * 1.05, (leg.name, q, v, d["run"][q])
         checked += 1
-    assert checked >= 10  # 3x sf10 + 3x sf30 + 4 subset legs minimum
+    if not checked:
+        pytest.skip("no committed bench legs with cpu_detail to validate")

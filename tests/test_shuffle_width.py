@@ -72,6 +72,93 @@ def test_budgets_are_sane():
     assert TEXT_BYTES_PER_PARTITION * 8 <= ROW_BYTES_PER_PARTITION
 
 
+def test_text_width_wave_quantizes_past_fragmentation_gate(spark, tmp_path):
+    """r11 (VERDICT r10 ask #1): past TEXT_QUANTIZE_WAVES whole waves the
+    width re-derives as whole waves at the 2× stretched budget — measured
+    at sf100 (bench_logs/r11): 576 = 18 waves × 1 MiB/task beats the
+    unquantized 1098 with zero spill, and the spill cliff only appears at
+    ~1.8 MiB/task. Below the gate the 512 KiB arithmetic is unchanged
+    (sf10/sf30 fingerprint + norm stability)."""
+    import nhl_data_pipeline_spark.catalog as cat
+
+    par = spark.sparkContext.defaultParallelism
+
+    # Below the gate: plain ceil arithmetic at the 512 KiB budget.
+    below = (cat.TEXT_QUANTIZE_WAVES * par - 1) * cat.TEXT_BYTES_PER_PARTITION
+    lake = _fake_lake(tmp_path, {"documents": below})
+    w = shuffle_width_for(spark, lake, "documents", TEXT_BYTES_PER_PARTITION)
+    assert w == below // cat.TEXT_BYTES_PER_PARTITION + 1
+    assert w <= cat.TEXT_QUANTIZE_WAVES * par
+
+    # Past the gate: whole waves, stretched budget, floored at the gate
+    # itself so the width is continuous (never DROPS below the gate width).
+    big = 40 * cat.TEXT_QUANTIZE_WAVES * par * cat.TEXT_BYTES_PER_PARTITION
+    (tmp_path / "documents.parquet").write_bytes(b"")  # reset
+    lake = _fake_lake(tmp_path, {"documents": big})
+    w = shuffle_width_for(spark, lake, "documents", TEXT_BYTES_PER_PARTITION)
+    assert w % par == 0  # whole waves
+    assert w == max(
+        cat.TEXT_QUANTIZE_WAVES,
+        -(-big // (cat.TEXT_STRETCH_BYTES_PER_TASK * par)),
+    ) * par
+    # sf100 regression: the committed lake size must quantize to 18 waves.
+    lake = _fake_lake(tmp_path, {"documents": 574_997_643})
+    if par == 32:
+        assert (
+            shuffle_width_for(
+                spark, lake, "documents", TEXT_BYTES_PER_PARTITION
+            )
+            == 576
+        )
+
+    # Just past the gate: floored at TEXT_QUANTIZE_WAVES waves, so the
+    # quantized width is never narrower than the gate it crossed.
+    edge = (cat.TEXT_QUANTIZE_WAVES * par + 2) * cat.TEXT_BYTES_PER_PARTITION
+    lake = _fake_lake(tmp_path, {"documents": edge})
+    w = shuffle_width_for(spark, lake, "documents", TEXT_BYTES_PER_PARTITION)
+    assert w == cat.TEXT_QUANTIZE_WAVES * par
+
+
+def test_jaccard_pair_agg_runs_at_text_width_above_gate(spark, monkeypatch):
+    """r11 (fifth-decade spill attribution): the pair-count aggregate must
+    inherit the text width when the gate fires — at sf100 the session-width
+    final agg held ~1.5 GB of hash state per task and spilled 48 GB memory
+    / 8.7 GB disk, half the query's CPU. REPARTITION_BY_NUM on (doc_a,
+    doc_b) ⊂ grouping keys satisfies the aggregate's ClusteredDistribution
+    (no extra exchange); below the gate the plan stays byte-identical."""
+    import nhl_data_pipeline_spark.catalog as cat
+    from nhl_data_pipeline_spark.plans.q_text import dedup_ngram_jaccard
+
+    par = spark.sparkContext.defaultParallelism
+
+    # Fixture SF: width == par — the standing side repartitions on `s`
+    # stay, and NOTHING is planted on the aggregate keys (the pre-r11
+    # benched shape, fingerprint-pinned).
+    p0 = (
+        dedup_ngram_jaccard(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RepartitionByExpression [doc_a" not in p0
+
+    # Forced above the gate: the pair-agg repartition appears, at width.
+    w = 4 * par
+    monkeypatch.setattr(cat, "shuffle_width_for", lambda *a, **k: w)
+    p = (
+        dedup_ngram_jaccard(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    agg_rep = [
+        ln
+        for ln in p.splitlines()
+        if "RepartitionByExpression [doc_a" in ln
+    ]
+    assert len(agg_rep) == 1 and f", {w}" in agg_rep[0]
+
+
 def test_minhash_band_join_takes_explicit_width(spark):
     """width=N must hash-partition BOTH self-join sides on the band keys
     at N — REPARTITION_BY_NUM satisfies the join distribution, so the

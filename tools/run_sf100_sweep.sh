@@ -1,9 +1,24 @@
 #!/bin/bash
 # Fifth-decade targeted sweep (r10, VERDICT r9 ask #6): sf30 → sf100
-# (~22 GB lineitem, 600M rows) for the five scale-critical queries only
+# (~22 GB lineitem, 600M rows) for the five scale-critical queries
 # — join_chain, topk, jaccard, minhash, kmeans×LSH — at N legs per side
-# with the standard protocol (fresh JVM per leg, writeback-draining
-# settle, leg-matched anchors, per-query executor-CPU totals).
+# with the standard protocol (fresh JVM per leg, cold-cache settle,
+# leg-matched anchors, per-query executor-CPU totals).
+#
+# r11 changes (VERDICT r10 asks #2/#3):
+# - the subset now INCLUDES the stateless CPU controls (text_profile +
+#   pricing_summary), so the memory-stall envelope that cpu_exponent
+#   readings are judged against is measured in the SAME artifact and
+#   the SAME memory regime it is applied to — r10 borrowed the sf30
+#   control for sf100 judgments;
+# - settle() now DROPS THE PAGE CACHE (echo 3 > drop_caches) before
+#   every leg on BOTH sides: r10's base/big anchors sat ~30% apart
+#   because the 22 GB lake displaced the cache during big legs while
+#   base legs ran warm — cold-for-cold makes the anchors measure one
+#   regime (the r10 artifact carried a ±0.08 exponent uncertainty from
+#   that gap). Every leg's warmup re-reads its lake from disk, which is
+#   also the honest 1000-executor posture: a real cluster scan is
+#   storage-cold.
 #
 # Both sides run the SAME SPARK_GRAFT_ONLY subset so leg counts and
 # query sets match exactly; the artifact is built from the exact
@@ -16,19 +31,21 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-TAG="${1:-r10}"
+TAG="${1:-r11}"
 LEGS="${2:-2}"
-ONLY="join_chain_revenue,topk_customers_by_revenue,dedup_ngram_jaccard,dedup_minhash_lsh,kmeans_semantic_dedup"
+ONLY="join_chain_revenue,topk_customers_by_revenue,dedup_ngram_jaccard,dedup_minhash_lsh,kmeans_semantic_dedup,text_profile,pricing_summary"
 LOGDIR="bench_logs/${TAG}"
 mkdir -p "$LOGDIR"
 
-settle() { # same dirty-draining settle as run_sweep_legs.sh
+settle() { # same cold-cache settle as run_sweep_legs.sh
   sync
   for _ in $(seq 1 60); do
     dirty_kb=$(awk '/^Dirty:/ {print $2}' /proc/meminfo)
     [ "${dirty_kb:-0}" -lt 65536 ] && break
     sleep 5
   done
+  echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || \
+    echo "WARN: drop_caches unavailable — legs run cache-warm (anchor gap risk)"
   sleep 15
 }
 

@@ -38,12 +38,22 @@ settle() {
   # under-settles exactly when the previous leg was big (the r9 sf30
   # kmeans outlier). Dirty < 64 MB or 300 s, whichever first; then a
   # short fixed tail for the deleted-file flush that sync can't see.
+  #
+  # r11 (VERDICT r10 ask #3): then DROP THE PAGE CACHE so every leg —
+  # small-sf and big-sf alike — starts in the same cold-cache regime.
+  # r10's sf100 artifact measured a ~30% cross-side anchor gap (base
+  # legs ran with the cache warm, big legs with 22 GB of lake displacing
+  # it), which left ±0.08 of exponent uncertainty after leg-matched
+  # normalization. Cold-for-cold removes the regime variable; each
+  # leg's own warmup re-reads its lake (the cluster-honest posture).
   sync
   for _ in $(seq 1 60); do
     dirty_kb=$(awk '/^Dirty:/ {print $2}' /proc/meminfo)
     [ "${dirty_kb:-0}" -lt 65536 ] && break
     sleep 5
   done
+  echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || \
+    echo "WARN: drop_caches unavailable — legs run cache-warm (anchor gap risk)"
   sleep 15
 }
 

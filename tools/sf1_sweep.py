@@ -182,7 +182,11 @@ def main() -> None:
             "--allow-unequal-legs to record the override"
         )
     for side, name in ((base, "base"), (big, "big")):
-        commits = {c for c in side["commits"] if c}
+        # r11 (ADVICE): a missing engine_commit is its own sentinel, not
+        # filtered out — a side mixing traced legs with pre-r10 (or
+        # corrupted) untraced legs is exactly the mixed-provenance case
+        # this gate exists for and must be refused, not silently passed.
+        commits = {c or "unknown" for c in side["commits"]}
         if len(commits) > 1 and not args.allow_mixed_commits:
             raise SystemExit(
                 f"{name} legs span multiple engine commits {sorted(commits)} "
@@ -227,13 +231,30 @@ def main() -> None:
         ):
             cpus = [leg.get("cpu", {}).get(q) for leg in side["legs"]]
             runs_ = [leg.get("cpu_run", {}).get(q) for leg in side["legs"]]
-            ncpu = side["legs"][0].get("cpus")
             if all(c is not None for c in cpus) and cpus:
                 rows[q][f"{side_label}_cpu_sec"] = round(min(cpus), 3)
-            if all(r is not None for r in runs_) and runs_ and ncpu:
-                rows[q][f"{side_label}_occupancy"] = round(
-                    min(runs_) / (srow["sec"] * ncpu), 3
-                )
+            # r11 (ADVICE): occupancy is PER LEG — run_i / (wall_i ×
+            # cores_i) with every factor from the SAME leg (the r10 form
+            # divided a min-over-legs run by the aggregated wall and took
+            # cores from leg 0 only, mixing estimators). The scalar is
+            # the occupancy of the leg whose wall the aggregate selected
+            # (argmin under min; the median element under median), so the
+            # reported time and its busy-fraction describe one real run;
+            # the full per-leg list is embedded beside it.
+            walls = srow["legs_sec"]
+            ncpus = [leg.get("cpus") for leg in side["legs"]]
+            if all(r is not None for r in runs_) and all(ncpus) and runs_:
+                occs = [
+                    round(r_ / (w * n), 3)
+                    for r_, w, n in zip(runs_, walls, ncpus, strict=True)
+                ]
+                if args.agg == "min":
+                    pick = min(range(len(walls)), key=walls.__getitem__)
+                else:
+                    order = sorted(range(len(walls)), key=walls.__getitem__)
+                    pick = order[(len(order) - 1) // 2]
+                rows[q][f"{side_label}_occupancy"] = occs[pick]
+                rows[q][f"{side_label}_occupancy_legs"] = occs
         if "base_cpu_sec" in rows[q] and "big_cpu_sec" in rows[q]:
             bc, gc = rows[q]["base_cpu_sec"], rows[q]["big_cpu_sec"]
             if bc > 0 and gc > 0:
@@ -241,6 +262,26 @@ def main() -> None:
                 rows[q]["cpu_exponent"] = round(
                     math.log(gc / bc) / math.log(data_ratio), 2
                 )
+                # r11 (VERDICT r10 ask #7): the tiny-base caveat lives in
+                # the ARTIFACT, not just the README — when either side's
+                # occupancy is under 5% the query's executor work is
+                # sub-core-second on a 32-thread box, fixed JVM cost
+                # dominates, and a cpu_exponent computed from it (e.g.
+                # join_chain's 1.73 at sf0.1→sf1) measures overhead, not
+                # work growth.
+                occ_b = rows[q].get("base_occupancy")
+                occ_g = rows[q].get("big_occupancy")
+                tiny = [
+                    s
+                    for s, o in (("base", occ_b), ("big", occ_g))
+                    if o is not None and o < 0.05
+                ]
+                if tiny:
+                    rows[q]["cpu_exponent_caveat"] = (
+                        f"tiny-base: occupancy < 0.05 on {'+'.join(tiny)} "
+                        "side(s) — fixed JVM overhead dominates executor "
+                        "time; exponent reflects overhead, not work growth"
+                    )
     if not rows:
         raise SystemExit("no common queries across all legs")
 
