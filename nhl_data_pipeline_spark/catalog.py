@@ -80,14 +80,19 @@ def shuffle_width_for(
     # thousands of ~200 ms tasks and the box pays pure scheduling tax.
     # Past TEXT_QUANTIZE_WAVES whole waves of the session parallelism,
     # the width is re-derived as WHOLE WAVES at a 2× stretched per-task
-    # budget (TEXT_STRETCH_BYTES_PER_TASK) — measured optimal at sf100
-    # (bench_logs/r11/probe_text_width*: 576 = 18 waves × 1 MiB/task
-    # reads 89.1 s vs 95.4 s at the unquantized 1098, both zero-spill;
-    # the spill cliff sits at ~1.8 MiB/task where wall jumps to 116 s
-    # with 24 GB of disk spill, so the stretch keeps ~1.8× headroom).
-    # The max() keeps the stretched width continuous at the gate and
-    # state-bounded beyond it: a 10× bigger lake gets 10× the waves,
-    # never 10× the per-task state.
+    # budget (TEXT_STRETCH_BYTES_PER_TASK). Measured at sf100
+    # (bench_logs/r11/probe_text_width_{prefix,postfix}.out): 576 = 18
+    # waves × 1 MiB/task and the unquantized 1098 are within single-run
+    # noise of each other (89.1 vs 95.4 s one run, 106.6 vs 95.6 the
+    # next — probes, no settle protocol), BOTH zero-spill; the spill
+    # cliff sits at ~1.8 MiB/task (320-wide: wall 116 s, 24 GB disk
+    # spill), so the 1 MiB stretch keeps ~1.8× headroom while HALVING
+    # the task count — strictly less scheduling tax at equal spill
+    # safety, which is the property that compounds at 100 TB where the
+    # unquantized width would be ~100K tasks. The max() keeps the
+    # stretched width continuous at the gate and state-bounded beyond
+    # it: a 10× bigger lake gets 10× the waves, never 10× the per-task
+    # state.
     if derived > TEXT_QUANTIZE_WAVES * par:
         waves = max(
             TEXT_QUANTIZE_WAVES,
@@ -108,9 +113,10 @@ ROW_BYTES_PER_PARTITION = 8 << 20
 # parallelism, scheduling tax outgrows spill risk and the width is
 # re-derived as whole waves at the 2× stretched budget below. 16 waves
 # leaves every measured decade through sf30 untouched (sf30 documents →
-# 330 tasks ≈ 10 waves) and quantizes sf100's 1098 → 576 (measured 7%
-# faster even before the pair-agg fix, both zero-spill; the spill cliff
-# is at ~1.8 MiB/task, so the 1 MiB stretch keeps ~1.8× headroom).
+# 330 tasks ≈ 10 waves) and quantizes sf100's 1098 → 576 (wall within
+# single-run noise of the unquantized width, both zero-spill, at HALF
+# the task count; the spill cliff is at ~1.8 MiB/task, so the 1 MiB
+# stretch keeps ~1.8× headroom — see shuffle_width_for's note).
 TEXT_QUANTIZE_WAVES = 16
 TEXT_STRETCH_BYTES_PER_TASK = 1 << 20
 

@@ -59,11 +59,14 @@ run_leg() { # sf_label sf_dir leg_idx
   tail -1 "$out" | python -c 'import json,sys; d=json.loads(sys.stdin.read()); print("    total=%ss anchor=%s commit=%s" % (d["value"], d["anchor_sec"], d.get("engine_commit")))'
 }
 
-for sf in sf30 sf100; do
+# r11: sf10 joins the subset campaign so the "sf10→sf30 norms unchanged"
+# check (VERDICT ask #1 acceptance) is measured by the same protocol and
+# engine commit as the fifth decade, in one quiet window.
+for sf in sf10 sf30 sf100; do
   [ -d ".testdata/${sf}" ] || { echo "missing .testdata/${sf}"; exit 1; }
 done
 
-for sf in sf30 sf100; do
+for sf in sf10 sf30 sf100; do
   for leg in $(seq 1 "$LEGS"); do run_leg "$sf" ".testdata/${sf}" "$leg"; done
 done
 
@@ -75,6 +78,8 @@ legs_of() {
   echo "$files"
 }
 
+python tools/sf1_sweep.py --base $(legs_of sf10) --big $(legs_of sf30) \
+  -o "BENCH_${TAG}_sf30_sweep.json"
 python tools/sf1_sweep.py --base $(legs_of sf30) --big $(legs_of sf100) \
   -o "BENCH_${TAG}_sf100_sweep.json"
-echo "DONE: BENCH_${TAG}_sf100_sweep.json"
+echo "DONE: BENCH_${TAG}_sf30_sweep.json BENCH_${TAG}_sf100_sweep.json"
