@@ -474,8 +474,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the self-join runs at `width`, but the pair COUNT aggregate that
     # consumes it shuffled at the session width — at sf100 its final
     # stage read 8.25 GB of pair rows in 32 tasks, held ~1.5 GB of hash
-    # state each, and spilled 48 GB memory / 8.7 GB disk, costing HALF
-    # the query's executor CPU (1078 of 2265 s). REPARTITION_BY_NUM on
+    # state each, and spilled 48 GB memory / 8.7 GB disk: 1078 of the
+    # run's 3163 executor-CPU seconds, as much as the self-join stage
+    # itself. Post-fix the same stage reads 530 CPU-s with zero spill
+    # (probe_stage_detail_postfix.out). REPARTITION_BY_NUM on
     # (doc_a, doc_b) — a subset of the grouping keys, so it satisfies
     # the aggregate's ClusteredDistribution and no extra exchange is
     # planted — runs the aggregate at `width` too, holding per-task agg

@@ -123,7 +123,7 @@ def test_jaccard_pair_agg_runs_at_text_width_above_gate(spark, monkeypatch):
     """r11 (fifth-decade spill attribution): the pair-count aggregate must
     inherit the text width when the gate fires — at sf100 the session-width
     final agg held ~1.5 GB of hash state per task and spilled 48 GB memory
-    / 8.7 GB disk, half the query's CPU. REPARTITION_BY_NUM on (doc_a,
+    / 8.7 GB disk (1078 of 3163 CPU-s). REPARTITION_BY_NUM on (doc_a,
     doc_b) ⊂ grouping keys satisfies the aggregate's ClusteredDistribution
     (no extra exchange); below the gate the plan stays byte-identical."""
     import nhl_data_pipeline_spark.catalog as cat

@@ -25,7 +25,7 @@ from nhl_data_pipeline_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", required=True)
-    ap.add_argument("--query", default="jaccard")
+    ap.add_argument("--query", default="jaccard")  # jaccard|minhash|any bench name
     ap.add_argument("--width", type=int, default=None)
     args = ap.parse_args()
 
@@ -45,10 +45,15 @@ def main() -> None:
     if args.width:
         catalog.shuffle_width_for = lambda *a, **k: args.width
 
-    fn = {
-        "jaccard": q_text.dedup_ngram_jaccard,
-        "minhash": q_text._minhash_lsh_pure,
-    }[args.query]
+    if args.query == "jaccard":
+        fn = q_text.dedup_ngram_jaccard
+    elif args.query == "minhash":
+        fn = q_text._minhash_lsh_pure
+    else:  # any registered bench query, by name
+        from nhl_data_pipeline_spark.plans.registry import all_queries
+
+        spec = all_queries()[args.query]
+        fn = spec.bench_fn or spec.fn
 
     t0 = time.perf_counter()
     fn(spark, args.sf_dir).write.format("noop").mode("overwrite").save()
