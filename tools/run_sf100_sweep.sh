@@ -78,8 +78,9 @@ legs_of() {
   echo "$files"
 }
 
+NOTE="cold-for-cold protocol: page cache dropped (echo 3 > drop_caches) after Dirty-drain settle before EVERY leg on both sides, so anchors and queries measure one memory regime"
 python tools/sf1_sweep.py --base $(legs_of sf10) --big $(legs_of sf30) \
-  -o "BENCH_${TAG}_sf30_sweep.json"
+  --protocol-note "$NOTE" -o "BENCH_${TAG}_sf30_sweep.json"
 python tools/sf1_sweep.py --base $(legs_of sf30) --big $(legs_of sf100) \
-  -o "BENCH_${TAG}_sf100_sweep.json"
+  --protocol-note "$NOTE" -o "BENCH_${TAG}_sf100_sweep.json"
 echo "DONE: BENCH_${TAG}_sf30_sweep.json BENCH_${TAG}_sf100_sweep.json"

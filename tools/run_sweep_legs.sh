@@ -88,11 +88,13 @@ legs_of() { # sf_label
   echo "$files"
 }
 
+NOTE="cold-for-cold protocol: page cache dropped (echo 3 > drop_caches) after Dirty-drain settle before EVERY leg on both sides, so anchors and queries measure one memory regime"
 prev=""
 for sf in $SF_LIST; do
   if [ -n "$prev" ]; then
     python tools/sf1_sweep.py --base $(legs_of "${prev/./}") \
-      --big $(legs_of "${sf/./}") -o "BENCH_${TAG}_${sf/./}_sweep.json"
+      --big $(legs_of "${sf/./}") --protocol-note "$NOTE" \
+      -o "BENCH_${TAG}_${sf/./}_sweep.json"
   fi
   prev="$sf"
 done

@@ -163,6 +163,13 @@ def main() -> None:
     ap.add_argument("--allow-unstable", action="store_true")
     ap.add_argument("--allow-unequal-legs", action="store_true")
     ap.add_argument("--allow-mixed-commits", action="store_true")
+    ap.add_argument(
+        "--protocol-note",
+        default=None,
+        help="runner-supplied sentence appended to the method string "
+        "(e.g. the cold-cache settle protocol) so the artifact "
+        "describes the protocol that actually produced its legs",
+    )
     args = ap.parse_args()
 
     base = _load_side(args.base, "base", args.allow_unstable)
@@ -371,11 +378,14 @@ def main() -> None:
             f"{ANCHOR_SPREAD_LIMIT}; per-leg engine commits embedded, "
             "one commit per side enforced; cpu_exponent from per-query "
             "executor-CPU totals (Spark UI REST stage store, min over "
-            "legs, raw — CPU is work, not environment) and occupancy = "
-            "executor run-time / (wall x cores); big lake generated by "
+            "legs, raw — CPU is work, not environment) and occupancy "
+            "computed PER LEG as run_i / (wall_i x cores_i), scalar = "
+            "the leg the wall aggregate selected, per-leg list "
+            "embedded; big lake generated by "
             "tools/gen_sf1.py (n-replica, per-replica key offsets, "
             "cipher-rotated text, coordinate-rotated embeddings so "
             "duplicate/near-dup densities scale linearly)"
+            + (f"; {args.protocol_note}" if args.protocol_note else "")
         ),
     }
     out_path = args.out or str(
