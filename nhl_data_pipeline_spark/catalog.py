@@ -94,9 +94,19 @@ def shuffle_width_for(
     # it: a 10× bigger lake gets 10× the waves, never 10× the per-task
     # state.
     if derived > TEXT_QUANTIZE_WAVES * par:
+        # r12 (ADVICE r11): the stretch budget is CALLER-RELATIVE —
+        # max(1 MiB floor, 2 × the caller's own per-task budget). The
+        # floor reproduces the measured text policy exactly (2 × 512 KiB
+        # = the 1 MiB stretch benched at sf100), while a caller that
+        # crossed the gate with a LARGER budget (e.g. the 8 MiB row
+        # budget) re-derives at 16 MiB — always a 2× stretch of its own
+        # no-spill budget, never a silent 8× narrowing to the text
+        # constant (which would have produced MORE tasks than the
+        # unquantized width, inverting the gate's intent).
+        stretch = max(TEXT_STRETCH_BYTES_PER_TASK, 2 * bytes_per_partition)
         waves = max(
             TEXT_QUANTIZE_WAVES,
-            -(-total // (TEXT_STRETCH_BYTES_PER_TASK * par)),
+            -(-total // (stretch * par)),
         )
         return waves * par
     return derived
@@ -234,11 +244,58 @@ def reset_scan_splits(spark: SparkSession) -> None:
     )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one lake table. Column pruning + predicate pushdown reach the
-    parquet scan automatically because callers keep the plan declarative."""
+# Bucketed-layout registry (r12, VERDICT r11 ask #1/#4): table name →
+# (catalog table, bucket columns). When a lake table has been materialized
+# as a bucketed catalog table (sources/bucketed.py), registering it here
+# makes load_table serve the bucketed scan and lets the width policies
+# skip their explicit repartition on the bucket key — the layout already
+# carries the distribution, so planting REPARTITION_BY_NUM on top would
+# RE-ADD the exchange the layout exists to remove. Session-scoped and
+# empty by default: the driver/bench/test paths never populate it, so
+# every pinned plan fingerprint and oracle run is untouched; the bucketed
+# counterfactual probe (tools/probe_bucketed_join.py) and cluster ingest
+# are the intended writers. This is the engine's "pay the shuffle once at
+# ingest" switch — the 100 TB answer to the single-disk exchange wait
+# measured in bench_logs/r11/probe_stage_{join_chain,topk}_sf100.out.
+BUCKETED_LAYOUT: dict[str, tuple[str, tuple[str, ...]]] = {}
+
+
+def register_bucketed_layout(
+    name: str, catalog_table: str, bucket_cols: tuple[str, ...] | list[str]
+) -> None:
+    """Serve ``name`` from ``catalog_table`` (a bucketed table already
+    registered in the session catalog) instead of the lake parquet."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    BUCKETED_LAYOUT[name] = (catalog_table, tuple(bucket_cols))
+
+
+def clear_bucketed_layout() -> None:
+    BUCKETED_LAYOUT.clear()
+
+
+def bucketed_on(name: str, *cols: str) -> bool:
+    """True iff ``name`` is registered with bucket columns ⊆ ``cols`` —
+    exactly when HashPartitioning(bucket_cols) satisfies a
+    ClusteredDistribution on ``cols``, i.e. an explicit repartition on
+    ``cols`` is redundant (and harmful: it would plant the exchange the
+    bucketing removed)."""
+    entry = BUCKETED_LAYOUT.get(name)
+    return entry is not None and set(entry[1]) <= set(cols)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one lake table. Column pruning + predicate pushdown reach the
+    parquet scan automatically because callers keep the plan declarative.
+
+    If the table is registered in :data:`BUCKETED_LAYOUT`, the bucketed
+    catalog table is served instead — same rows, same schema, but the scan
+    carries HashPartitioning(bucket_cols) so downstream joins/aggregates
+    on the bucket key need no exchange."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name in BUCKETED_LAYOUT:
+        return spark.table(BUCKETED_LAYOUT[name][0])
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Normalize events.ts to timestamp_ntz regardless of how the lake

@@ -27,12 +27,20 @@ _TAIL_RE = re.compile(r"\b(order\s+by|limit)\b", re.IGNORECASE)
 
 
 def _char_depths(sql: str) -> list[int]:
-    """Per-character paren depth; -1 for characters inside string literals.
+    """Per-character paren depth; -1 for characters inside string literals
+    or SQL comments.
 
     Handles the SQL doubled-quote escape: inside 'it''s', the '' pair is a
     literal quote, not a close-then-open — without the peek-ahead the
     tracker would desync and a later QUALIFY/ORDER BY/LIMIT inside a string
     could be treated as depth-0 SQL.
+
+    r12 (VERDICT r11 ask #6): ``--`` line comments and ``/* */`` block
+    comments are marked -1 too, so every rewriter sharing this tracker is
+    comment-blind as well as literal-blind — a ``-- CURRENT_DATE`` note or
+    a QUALIFY mentioned in a comment is no longer treated as live SQL. A
+    ``--`` or ``/*`` INSIDE a string stays part of the string (strings are
+    consumed first).
     """
     depths = []
     depth = 0
@@ -55,6 +63,17 @@ def _char_depths(sql: str) -> list[int]:
             depths.append(-1)
             i += 1
             continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":  # -- line comment
+            while i < n and sql[i] != "\n":
+                depths.append(-1)
+                i += 1
+            continue
+        if ch == "/" and i + 1 < n and sql[i + 1] == "*":  # /* block */
+            end = sql.find("*/", i + 2)
+            end = n if end == -1 else end + 2  # unterminated: rest is comment
+            depths.extend([-1] * (end - i))
+            i = end
+            continue
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -62,6 +81,26 @@ def _char_depths(sql: str) -> list[int]:
         depths.append(depth)
         i += 1
     return depths
+
+
+def _sub_outside_literals(pattern: re.Pattern, repl, sql: str) -> str:
+    """``pattern.sub`` restricted to matches that start OUTSIDE string
+    literals and comments — the shared quote-aware substitution the
+    IFF/DATEADD/name-map/CURRENT_DATE rewriters run through (r12, VERDICT
+    r11 ask #6: a poisoned literal like ``'docs: CURRENT_DATE policy'``
+    must survive every rewriter verbatim). ``repl`` is a template string
+    or a callable, exactly like ``re.sub``."""
+    depths = _char_depths(sql)
+    out: list[str] = []
+    pos = 0
+    for m in pattern.finditer(sql):
+        if depths[m.start()] == -1:
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        pos = m.end()
+    out.append(sql[pos:])
+    return "".join(out)
 
 
 def _depth0_spans(sql: str, pattern: re.Pattern) -> list[re.Match]:
@@ -106,10 +145,11 @@ _IFF_RE = re.compile(r"\biff\s*\(", re.IGNORECASE)
 
 
 def rewrite_iff(sql: str) -> str:
-    """``IFF(c, a, b)`` → ``if(c, a, b)`` (same arity/semantics)."""
+    """``IFF(c, a, b)`` → ``if(c, a, b)`` (same arity/semantics); literal-
+    and comment-blind via :func:`_sub_outside_literals` (r12)."""
     if not _IFF_RE.search(sql):
         return sql
-    return _IFF_RE.sub("if(", sql)
+    return _sub_outside_literals(_IFF_RE, "if(", sql)
 
 
 _DATEADD_RE = re.compile(
@@ -136,7 +176,9 @@ def rewrite_quoted_datetime_units(sql: str) -> str:
     third argument's type is unknown at rewrite time and casting a genuine
     timestamp result would truncate); callers that KNOW the schema use the
     opt-in :func:`rewrite_dateadd_date` below."""
-    return _DATEADD_RE.sub(lambda m: f"{m.group(1)}({m.group(2)}", sql)
+    return _sub_outside_literals(
+        _DATEADD_RE, lambda m: f"{m.group(1)}({m.group(2)}", sql
+    )
 
 
 _DATEADD_CALL_RE = re.compile(r"\bdateadd\s*\(", re.IGNORECASE)
@@ -286,14 +328,17 @@ def rewrite_qualified_names(sql: str, name_map: dict[str, str]) -> str:
     catalog resolves two-part names at most, so the shim maps each
     `db.schema.` prefix (case-insensitive, word-boundary-anchored) to a
     caller-chosen view prefix — '' to mount the schema at the root, or
-    e.g. 'ref_' to mount it beside an existing namespace.
+    e.g. 'ref_' to mount it beside an existing namespace. Literal- and
+    comment-blind (r12): a qualified name quoted in TEXT — e.g. a label
+    column ``'nhl_analytics.silver.x'`` — keeps its exact bytes.
     """
     for prefix, repl in name_map.items():
-        sql = re.sub(
-            r"(?<![A-Za-z0-9_.])" + re.escape(prefix),
-            repl,
+        sql = _sub_outside_literals(
+            re.compile(
+                r"(?<![A-Za-z0-9_.])" + re.escape(prefix), re.IGNORECASE
+            ),
+            lambda m, r=repl: r,  # plain text, no template expansion
             sql,
-            flags=re.IGNORECASE,
         )
     return sql
 
@@ -308,25 +353,22 @@ def rewrite_current_date(sql: str, as_of: str) -> str:
     fixed-season lake instead of silently empty once the fixture season
     ages out of the wall-clock window (VERDICT r9 ask #7, team_8).
 
-    Known limitation (r11, ADVICE — shared by every rewriter in this
-    module): the substitution is a plain regex over the raw SQL, with no
-    quote awareness, so a literal ``'...CURRENT_DATE...'`` inside a
-    string constant or a ``-- CURRENT_DATE`` comment is rewritten too.
-    Harmless for the 18-statement worksheet corpus (grep-verified: the
-    token appears only as the date function), and the replacement is a
-    valid DATE literal, so even a false hit keeps the SQL parseable —
-    but analyst SQL that embeds the token in TEXT would change meaning
-    silently. The honest fix is a shared quote-aware splitter for all
-    the rewriters here (QUALIFY/IFF/name_map share the tokenizer-free
-    approach); adopt it the first time a worksheet actually carries the
-    token inside a literal."""
+    r12 (VERDICT r11 ask #6 — the r11 "known limitation" is closed):
+    the substitution runs through :func:`_sub_outside_literals`, the
+    shared quote- and comment-aware splitter every rewriter in this
+    module now uses, so ``'...CURRENT_DATE...'`` inside a string
+    constant and ``-- CURRENT_DATE`` in a comment keep their exact
+    bytes. (resolve_dbt_refs deliberately stays template-blind: dbt's
+    Jinja expands ``{{ ref(...) }}`` everywhere, including inside
+    literals — matching dbt's own semantics.)"""
     if not re.fullmatch(r"\d{4}-\d{2}-\d{2}", as_of):
         raise ValueError(f"as_of must be YYYY-MM-DD, got {as_of!r}")
-    return re.sub(
-        r"\bCURRENT_DATE\s*\(\s*\)|\bCURRENT_DATE\b",
-        f"DATE '{as_of}'",
+    return _sub_outside_literals(
+        re.compile(
+            r"\bCURRENT_DATE\s*\(\s*\)|\bCURRENT_DATE\b", re.IGNORECASE
+        ),
+        lambda m: f"DATE '{as_of}'",
         sql,
-        flags=re.IGNORECASE,
     )
 
 

@@ -145,7 +145,7 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     on top. Below the gate (every committed lake through sf30) the plan
     is byte-identical to the plain declarative form.
     """
-    from nhl_data_pipeline_spark.catalog import fact_shuffle_width
+    from nhl_data_pipeline_spark.catalog import bucketed_on, fact_shuffle_width
 
     tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
     w_co = fact_shuffle_width(spark, sf_dir, ("customer", "orders"))
@@ -159,7 +159,13 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     if w_co:
         c = c.repartition(w_co, F.col("c_custkey"))
         o = o.repartition(w_co, F.col("o_custkey"))
-    if w_li:
+    # r12 (VERDICT r11 ask #1): layout-aware width — a lineitem served
+    # from a bucket-by-l_orderkey layout (catalog.BUCKETED_LAYOUT) already
+    # carries the join's distribution, so the explicit repartition would
+    # RE-ADD the exchange the layout removed (the 128-task, 9.7 GB-write,
+    # 21.6 GB-spill stage pinned in
+    # bench_logs/r11/probe_stage_join_chain_sf100.out).
+    if w_li and not bucketed_on("lineitem", "l_orderkey"):
         li = li.repartition(w_li, F.col("l_orderkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (

@@ -481,14 +481,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_a, doc_b) — a subset of the grouping keys, so it satisfies
     # the aggregate's ClusteredDistribution and no extra exchange is
     # planted — runs the aggregate at `width` too, holding per-task agg
-    # state constant as the lake grows. Same gate as every width policy:
-    # only above session parallelism (width > par), so small-SF plans
-    # (and their pinned fingerprints) are untouched. The trade — the
-    # exchange moves un-combined pair rows (no map-side partial agg) —
-    # is measured cheap: a (pair, shingle) row survives partial agg
-    # unless the SAME pair shares MULTIPLE shingles hashed to one
-    # s-partition, so the combine ratio is near 1 by construction.
-    if width > spark.sparkContext.defaultParallelism:
+    # state constant as the lake grows. Gate (r12, ADVICE r11): fire only
+    # when the repartition actually WIDENS the aggregate — i.e. width >
+    # the session's spark.sql.shuffle.partitions, which is what the
+    # unfixed aggregate would run at. (The r11 gate compared against
+    # defaultParallelism; under a cluster profile that sets
+    # shuffle.partitions above the core count, a width between the two
+    # would have NARROWED the aggregate and grown per-task hash state —
+    # the opposite of the fix's intent. Locally the two gates coincide,
+    # so small-SF plans and their pinned fingerprints are untouched.)
+    # The trade — the exchange moves un-combined pair rows (no map-side
+    # partial agg) — is measured cheap: a (pair, shingle) row survives
+    # partial agg unless the SAME pair shares MULTIPLE shingles hashed to
+    # one s-partition, so the combine ratio is near 1 by construction.
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if width > session_width:
         pairs = pairs.repartition(width, F.col("doc_a"), F.col("doc_b"))
     common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
         F.count(F.lit(1)).alias("n_common")

@@ -315,14 +315,19 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution, so no extra exchange is planted; below the gate the
     plan is byte-identical to the plain form.
     """
-    from nhl_data_pipeline_spark.catalog import fact_shuffle_width
+    from nhl_data_pipeline_spark.catalog import bucketed_on, fact_shuffle_width
 
     tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
     w_li = fact_shuffle_width(spark, sf_dir, "lineitem")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    if w_li:
+    # r12 (VERDICT r11 ask #1): layout-aware width — bucket-by-l_orderkey
+    # lineitem already satisfies the per-order aggregate's distribution;
+    # repartitioning it would re-plant the exchange whose map-side sorter
+    # spilled 13.7 GB mem / 6.2 GB disk at sf100
+    # (bench_logs/r11/probe_stage_topk_sf100.out).
+    if w_li and not bucketed_on("lineitem", "l_orderkey"):
         li = li.repartition(w_li, F.col("l_orderkey"))
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev_d"))

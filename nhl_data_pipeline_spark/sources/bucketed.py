@@ -13,6 +13,8 @@ do this.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -22,12 +24,86 @@ def write_bucketed(
     bucket_cols: list[str],
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
+    path: str | None = None,
 ) -> None:
-    """Materialize df as a bucketed (and optionally sorted) catalog table."""
+    """Materialize df as a bucketed (and optionally sorted) catalog table.
+
+    With ``path`` the table is EXTERNAL: the parquet (with bucket ids
+    encoded in the file names, Spark's ``part-*_NNNNN`` convention)
+    outlives the session, and :func:`register_bucketed_table` can re-attach
+    it to a fresh session's catalog — the in-memory catalog holds the
+    bucketing METADATA, so without re-registration a new JVM would see
+    plain parquet and re-shuffle (the layout's whole point lost)."""
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", os.path.abspath(path))
     w.saveAsTable(table)
+
+
+def register_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Re-attach an existing bucketed-parquet directory to this session's
+    catalog (CREATE TABLE ... CLUSTERED BY ... LOCATION). Spark recovers
+    each file's bucket id from the ``part-*_NNNNN`` name, so the scan
+    carries HashPartitioning(bucket_cols, n_buckets) exactly as it did in
+    the writing session. Schema is inferred from the parquet footers —
+    no drift risk, it IS the data's schema."""
+    path = os.path.abspath(path)
+    ddl = spark.read.parquet(path)._jdf.schema().toDDL()
+    sorted_by = (
+        f" SORTED BY ({', '.join(sort_cols)})" if sort_cols else ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}){sorted_by} "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
+def ensure_bucketed_lake(
+    spark: SparkSession,
+    sf_dir: str,
+    base_dir: str,
+    specs: list[tuple[str, list[str], int, list[str] | None]],
+) -> dict[str, str]:
+    """Idempotent ingest-time layout: for each (lake_table, bucket_cols,
+    n_buckets, sort_cols) spec, materialize ``{base_dir}/{table}_bkt``
+    once (the pay-the-shuffle-once step) and (re-)register it in this
+    session's catalog as ``{table}_bkt``. Returns lake name → catalog
+    table name, ready for catalog.register_bucketed_layout."""
+    from nhl_data_pipeline_spark.catalog import load_table
+
+    out: dict[str, str] = {}
+    for name, bucket_cols, n_buckets, sort_cols in specs:
+        tbl = f"{name}_bkt"
+        path = os.path.join(base_dir, tbl)
+        if not (
+            os.path.isdir(path)
+            and any(f.startswith("part-") for f in os.listdir(path))
+        ):
+            write_bucketed(
+                load_table(spark, sf_dir, name),
+                tbl,
+                bucket_cols,
+                n_buckets,
+                sort_cols=sort_cols,
+                path=path,
+            )
+        else:
+            register_bucketed_table(
+                spark, tbl, path, bucket_cols, n_buckets, sort_cols
+            )
+        out[name] = tbl
+    return out
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -53,3 +53,147 @@ def test_bucketed_aggregation_reuses_partitioning(spark, bucketed_tables):
     lt, _ = bucketed_tables
     agg = spark.table(lt).groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
     assert exchange_count(agg) == 0, "groupBy on the bucket key must not shuffle"
+
+
+def test_register_bucketed_table_survives_catalog_loss(spark, tmp_path):
+    """r12 (VERDICT r11 ask #1): the bucketing METADATA lives in the
+    session catalog, so a fresh JVM reading the same parquet would
+    re-shuffle. register_bucketed_table re-attaches the directory (bucket
+    ids recovered from the part-*_NNNNN file names) and the exchange-free
+    property must survive the round-trip — this is what lets the sf100
+    counterfactual build once and measure in later cold sessions."""
+    from nhl_data_pipeline_spark.sources.bucketed import register_bucketed_table
+
+    path = str(tmp_path / "li_bkt")
+    li = load_table(spark, TEST_SF_DIR, "lineitem")
+    write_bucketed(
+        li, "li_rt", ["l_orderkey"], 4, sort_cols=["l_orderkey"], path=path
+    )
+    try:
+        # Simulate the fresh session: drop the catalog entry (external
+        # table — data stays), then re-register from the directory alone.
+        spark.sql("DROP TABLE li_rt")
+        register_bucketed_table(
+            spark, "li_rt", path, ["l_orderkey"], 4, ["l_orderkey"]
+        )
+        t = spark.table("li_rt")
+        assert t.count() == li.count()
+        agg = t.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        assert exchange_count(agg) == 0, (
+            "re-registered table lost its bucketing — filename bucket-id "
+            "recovery failed"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_rt")
+
+
+@pytest.fixture()
+def bucketed_layout(spark, tmp_path):
+    """lineitem/orders served from a bucket-by-orderkey layout via
+    catalog.BUCKETED_LAYOUT (the r12 engine switch the sf100
+    counterfactual probe flips)."""
+    import nhl_data_pipeline_spark.catalog as catalog
+    from nhl_data_pipeline_spark.sources.bucketed import ensure_bucketed_lake
+
+    mapping = ensure_bucketed_lake(
+        spark,
+        TEST_SF_DIR,
+        str(tmp_path),
+        [
+            ("lineitem", ["l_orderkey"], 4, ["l_orderkey"]),
+            ("orders", ["o_orderkey"], 4, ["o_orderkey"]),
+        ],
+    )
+    catalog.register_bucketed_layout(
+        "lineitem", mapping["lineitem"], ["l_orderkey"]
+    )
+    catalog.register_bucketed_layout("orders", mapping["orders"], ["o_orderkey"])
+    yield mapping
+    catalog.clear_bucketed_layout()
+    for tbl in mapping.values():
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_layout_aware_plans_drop_lineitem_exchange(spark, bucketed_layout):
+    """The registered join_chain/topk plans themselves (not copies) must
+    lose every hashpartitioning exchange on the bucket keys when lineitem/
+    orders come from the bucketed layout — the plan-level form of the
+    sf100 counterfactual (the lake plans' lineitem exchange wrote 9.7 GB
+    and spilled 21.6 GB at sf100, bench_logs/r11). Broadcast is disabled
+    so tiny-SF broadcast joins can't mask the comparison."""
+    from nhl_data_pipeline_spark.plans.q_joins import join_chain_revenue
+    from nhl_data_pipeline_spark.plans.q_windows import (
+        topk_customers_by_revenue,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (topk_customers_by_revenue, join_chain_revenue):
+            plan = (
+                fn(spark, TEST_SF_DIR)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "hashpartitioning(l_orderkey" not in plan, fn.__name__
+            # topk's per-order agg + orders join are BOTH exchange-free;
+            # join_chain's (c⋈o) side legitimately re-shuffles onto
+            # o_orderkey to meet lineitem's bucketing, so only topk pins
+            # the o_orderkey side too.
+            if fn is topk_customers_by_revenue:
+                assert "hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760"
+        )
+        # plan-shape assertions only; layout cleanup is the fixture's
+
+
+def test_layout_aware_plans_results_unchanged(spark, bucketed_layout):
+    """Same rows either way — the aggregates are decimal-exact, so the
+    equality is bitwise, not approximate."""
+    import nhl_data_pipeline_spark.catalog as catalog
+    from nhl_data_pipeline_spark.plans.q_windows import (
+        topk_customers_by_revenue,
+    )
+
+    got = sorted(
+        map(tuple, topk_customers_by_revenue(spark, TEST_SF_DIR).collect())
+    )
+    catalog.clear_bucketed_layout()
+    want = sorted(
+        map(tuple, topk_customers_by_revenue(spark, TEST_SF_DIR).collect())
+    )
+    assert got == want
+
+
+def test_layout_skips_explicit_width_repartition(spark, bucketed_layout, monkeypatch):
+    """Above the spill gate the plans plant REPARTITION_BY_NUM on
+    l_orderkey (r9 policy) — but a bucketed lineitem already carries that
+    distribution, so the width guard must SKIP it (planting it would
+    re-add the exchange the layout removed)."""
+    import nhl_data_pipeline_spark.catalog as cat
+    from nhl_data_pipeline_spark.plans.q_windows import (
+        topk_customers_by_revenue,
+    )
+
+    w = 4 * spark.sparkContext.defaultParallelism
+    monkeypatch.setattr(cat, "fact_shuffle_width", lambda *a, **k: w)
+    plan = (
+        topk_customers_by_revenue(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" not in plan
+
+    # …and without the layout the same forced width DOES plant it
+    # (the pre-r12 behavior, still correct for plain lake scans).
+    cat.clear_bucketed_layout()
+    plan = (
+        topk_customers_by_revenue(spark, TEST_SF_DIR)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "REPARTITION_BY_NUM" in plan

@@ -233,3 +233,81 @@ def test_current_date_rewrite(spark):
         as_of="2024-11-15",
     )
     assert df.count() == 1
+
+
+def test_rewriters_are_literal_and_comment_blind(spark):
+    """r12 (VERDICT r11 ask #6): the shared quote-aware splitter — every
+    token-substituting rewriter must leave string literals and SQL
+    comments byte-identical. Each case poisons a literal AND a comment
+    with the rewriter's own trigger token."""
+    from nhl_data_pipeline_spark.plans.dialect import (
+        rewrite_current_date,
+        rewrite_iff,
+        rewrite_qualified_names,
+        rewrite_quoted_datetime_units,
+    )
+
+    # CURRENT_DATE inside a literal / line comment / block comment
+    sql = (
+        "SELECT 'policy: CURRENT_DATE is injected', d  -- CURRENT_DATE note\n"
+        "/* CURRENT_DATE block */ FROM t WHERE d >= CURRENT_DATE"
+    )
+    got = rewrite_current_date(sql, "2024-11-15")
+    assert "'policy: CURRENT_DATE is injected'" in got
+    assert "-- CURRENT_DATE note" in got
+    assert "/* CURRENT_DATE block */" in got
+    assert got.count("DATE '2024-11-15'") == 1  # only the live token
+
+    # IFF( inside a literal stays text; the live call is rewritten
+    sql = "SELECT 'uses IFF(x)', IFF(a > 0, 1, 0) FROM t"
+    got = rewrite_iff(sql)
+    assert "'uses IFF(x)'" in got and "if(a > 0" in got
+
+    # DATEADD('day', …) quoted-unit strip skips literals/comments
+    sql = (
+        "SELECT 'dateadd(''day'', doc)' AS label, "
+        "DATEADD('day', -1, d) FROM t -- dateadd('day', …) docs"
+    )
+    got = rewrite_quoted_datetime_units(sql)
+    assert "'dateadd(''day'', doc)'" in got
+    assert "-- dateadd('day', …) docs" in got
+    assert "DATEADD(day, -1, d)" in got
+
+    # qualified-name mapping skips a name quoted as TEXT
+    sql = (
+        "SELECT 'nhl_analytics.silver.x' AS src "
+        "FROM nhl_analytics.silver.fact_games"
+    )
+    got = rewrite_qualified_names(sql, {"nhl_analytics.silver.": ""})
+    assert "'nhl_analytics.silver.x'" in got
+    assert "FROM fact_games" in got
+
+    # end-to-end: a poisoned literal survives the full compat shim and
+    # the live CURRENT_DATE still evaluates against the injected date
+    spark.sql(
+        "SELECT CAST('2024-11-10' AS DATE) AS game_date"
+    ).createOrReplaceTempView("cd_games2")
+    df = spark_sql_compat(
+        spark,
+        "SELECT 'see CURRENT_DATE docs' AS note, game_date FROM cd_games2 "
+        "WHERE game_date >= CURRENT_DATE - INTERVAL '15 days'",
+        as_of="2024-11-15",
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].note == "see CURRENT_DATE docs"
+
+
+def test_comment_aware_qualify(spark):
+    """A QUALIFY mentioned only in a comment must not trigger the
+    subquery rewrite; a real QUALIFY below a comment still does."""
+    from nhl_data_pipeline_spark.plans.dialect import rewrite_qualify
+
+    sql = "SELECT a FROM t -- QUALIFY would go here\nWHERE a > 0"
+    assert rewrite_qualify(sql) == sql
+    sql2 = (
+        "SELECT a, b FROM t -- QUALIFY in a note\n"
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1"
+    )
+    out = rewrite_qualify(sql2)
+    assert out != sql2 and "__qualify" in out
+    assert "-- QUALIFY in a note" in out

@@ -119,6 +119,37 @@ def test_text_width_wave_quantizes_past_fragmentation_gate(spark, tmp_path):
     assert w == cat.TEXT_QUANTIZE_WAVES * par
 
 
+def test_quantize_stretch_is_caller_relative(spark, tmp_path):
+    """r12 (ADVICE r11): a caller crossing the 16-wave gate with a budget
+    LARGER than the text budget must re-derive at 2× its OWN budget, not
+    at the 1 MiB text constant — the text constant would hand an 8 MiB-
+    budget caller up to 8× MORE tasks than its unquantized width,
+    inverting the quantization's intent. For the text budget itself the
+    stretch is exactly the benched 1 MiB (2 × 512 KiB), so every r11
+    measurement and fingerprint is untouched."""
+    import nhl_data_pipeline_spark.catalog as cat
+
+    par = spark.sparkContext.defaultParallelism
+    budget = ROW_BYTES_PER_PARTITION  # 8 MiB
+    big = 40 * cat.TEXT_QUANTIZE_WAVES * par * budget
+    # sparse file: tens of GB of *apparent* size, zero blocks on disk
+    p = tmp_path / "lineitem.parquet"
+    p.touch()
+    os.truncate(p, big)
+    w = shuffle_width_for(spark, str(tmp_path), "lineitem", budget)
+    unquantized = big // budget + 1
+    assert w % par == 0
+    assert w <= unquantized, "quantization must never ADD tasks"
+    # 2× the caller's own budget, floored at the gate width
+    assert w == max(
+        cat.TEXT_QUANTIZE_WAVES, -(-big // (2 * budget * par))
+    ) * par
+    # text callers: stretch floor == the benched 1 MiB constant
+    assert max(
+        cat.TEXT_STRETCH_BYTES_PER_TASK, 2 * TEXT_BYTES_PER_PARTITION
+    ) == cat.TEXT_STRETCH_BYTES_PER_TASK
+
+
 def test_jaccard_pair_agg_runs_at_text_width_above_gate(spark, monkeypatch):
     """r11 (fifth-decade spill attribution): the pair-count aggregate must
     inherit the text width when the gate fires — at sf100 the session-width

@@ -6,7 +6,10 @@ total can be pinned to the stage that produced it. Probe only.
 
 Usage:
   python tools/probe_stage_detail.py --sf-dir .testdata/sf100 \
-      [--query jaccard] [--width 576] [--fix-agg-width]
+      [--query jaccard] [--width 576]
+
+(r12, ADVICE r11: the old --fix-agg-width flag is gone — the pair-agg
+width fix is default engine behavior since r11, plans/q_text.py.)
 """
 
 from __future__ import annotations

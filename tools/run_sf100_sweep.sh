@@ -44,9 +44,22 @@ settle() { # same cold-cache settle as run_sweep_legs.sh
     [ "${dirty_kb:-0}" -lt 65536 ] && break
     sleep 5
   done
-  echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || \
-    echo "WARN: drop_caches unavailable — legs run cache-warm (anchor gap risk)"
+  # r12 (ADVICE r11): hard failure — a cache-warm leg under a method
+  # string claiming cold-for-cold is a protocol lie; see run_sweep_legs.sh.
+  echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || {
+    echo "ERROR: drop_caches unavailable mid-run — aborting"
+    exit 1
+  }
   sleep 15
+}
+
+# Probe drop_caches up front (r12, ADVICE r11): refuse to run the campaign
+# at all if the cold protocol is impossible in this container.
+echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || {
+  echo "ERROR: echo 3 > /proc/sys/vm/drop_caches failed (unprivileged?)."
+  echo "Cold-for-cold cannot run here; refusing to emit legs whose method"
+  echo "string would claim a cache drop that never happened."
+  exit 1
 }
 
 run_leg() { # sf_label sf_dir leg_idx

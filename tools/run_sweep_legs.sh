@@ -52,9 +52,26 @@ settle() {
     [ "${dirty_kb:-0}" -lt 65536 ] && break
     sleep 5
   done
-  echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || \
-    echo "WARN: drop_caches unavailable — legs run cache-warm (anchor gap risk)"
+  # r12 (ADVICE r11): HARD failure, not a WARN — the artifact's method
+  # string claims "page cache dropped before EVERY leg", so a leg that
+  # ran cache-warm would make the method string lie (the exact defect
+  # class sf1_sweep's r9 rewrite exists to prevent).
+  echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || {
+    echo "ERROR: drop_caches unavailable mid-run — aborting (the"
+    echo "cold-for-cold method string must not outlive the protocol)"
+    exit 1
+  }
   sleep 15
+}
+
+# Probe drop_caches ONCE up front (r12, ADVICE r11): in an unprivileged
+# container the cold-cache protocol is impossible — fail before burning
+# hours of legs whose artifact would carry a false method string.
+echo 3 > /proc/sys/vm/drop_caches 2>/dev/null || {
+  echo "ERROR: echo 3 > /proc/sys/vm/drop_caches failed (unprivileged?)."
+  echo "The cold-for-cold protocol cannot run here; refusing to produce"
+  echo "legs whose method string would claim a cache drop that never ran."
+  exit 1
 }
 
 run_leg() { # sf_label sf_dir leg_idx

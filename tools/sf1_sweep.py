@@ -127,7 +127,12 @@ def _load_side(paths: list[str], label: str, allow_unstable: bool) -> dict:
 
 
 def _agg(vals: list[float], how: str) -> float:
-    return min(vals) if how == "min" else statistics.median(vals)
+    # median_low, not median (r12, ADVICE r11): with an even leg count an
+    # interpolated median is a wall no leg actually ran, but the occupancy
+    # scalar picks the single leg at order[(len-1)//2] — median_low makes
+    # the aggregated wall and the occupancy describe the SAME real leg,
+    # as the method string claims. Odd counts are unchanged.
+    return min(vals) if how == "min" else statistics.median_low(vals)
 
 
 def _per_query(side: dict, how: str) -> dict[str, dict]:
