@@ -168,9 +168,21 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     if w_li and not bucketed_on("lineitem", "l_orderkey"):
         li = li.repartition(w_li, F.col("l_orderkey"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    co = c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+    if bucketed_on("lineitem", "l_orderkey"):
+        # Layout-aware JOIN STRATEGY, not just layout-aware width (r12
+        # probe, bench_logs/r12/probe_bucketed_join_sf100.out): with a
+        # multi-file-bucket lineitem the default sort-merge join re-sorts
+        # every bucket locally — 25 GB mem / 9.3 GB disk sorter spill at
+        # sf100, the exact disk-bound pathology the layout was built to
+        # remove, just moved from the exchange into the join. SHUFFLE_HASH
+        # on the (customer⋈orders) side builds the hash from the SMALL,
+        # date-filtered side (~13 MB/task at sf100/128 buckets) and
+        # STREAMS lineitem bucket-by-bucket: no lineitem shuffle AND no
+        # lineitem sort.
+        co = co.hint("shuffle_hash")
     return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        co.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(s),
             (F.col("l_suppkey") == s.s_suppkey)

@@ -331,6 +331,17 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = li.repartition(w_li, F.col("l_orderkey"))
     rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev_d"))
+    # Layout note (r12 probes): under the bucketed layout this join runs
+    # with NO exchange on either side (per_order inherits lineitem's
+    # bucketing through the aggregate; orders is bucketed on o_orderkey)
+    # and the join sorts are small (1.2M narrow rows per task). A
+    # SHUFFLE_HASH hint here was tried and REJECTED: the fused bucket
+    # task (scan → 1.2M-key hash agg → join build) left too little task
+    # memory for the build, and an SHJ build cannot spill — fatal
+    # "Can't acquire 67108864 bytes to build hash relation" at sf100/128
+    # buckets (bench_logs/r12/probe_bucketed_shj_topk_sf100.out.err).
+    # SMJ degrades to disk instead of dying; the per-task memory knob is
+    # the BUCKET COUNT (see tools/probe_bucketed_join.py).
     return (
         per_order.join(
             o.select("o_orderkey", "o_custkey"),
