@@ -25,6 +25,7 @@ def write_bucketed(
     n_buckets: int = 8,
     sort_cols: list[str] | None = None,
     path: str | None = None,
+    single_file: bool = False,
 ) -> None:
     """Materialize df as a bucketed (and optionally sorted) catalog table.
 
@@ -33,13 +34,57 @@ def write_bucketed(
     outlives the session, and :func:`register_bucketed_table` can re-attach
     it to a fresh session's catalog — the in-memory catalog holds the
     bucketing METADATA, so without re-registration a new JVM would see
-    plain parquet and re-shuffle (the layout's whole point lost)."""
+    plain parquet and re-shuffle (the layout's whole point lost).
+
+    ``single_file`` (r12, measured at sf100 — bench_logs/r12/): a plain
+    bucketed write emits one file per (input task × bucket), i.e.
+    scan_tasks × n_buckets fragments — 16K files at sf100/128 buckets,
+    32K at 256 — and the cold scan goes seek-bound (join_chain 143.7 →
+    166.6 s, topk 157 → 215 s moving 128 → 256 buckets, both with LESS
+    spill). Pre-repartitioning by the bucket columns at n_buckets uses
+    the same Murmur3-pmod hash as the bucket-id assignment, so every
+    bucket lands in exactly one task → exactly one file: sequential
+    reads AND write-time sortedness Spark can trust (single-file sorted
+    buckets let SMJ skip its local sort). Costs one extra shuffle at
+    ingest — the shuffle this layout exists to pay ONCE."""
+    if single_file:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path:
         w = w.option("path", os.path.abspath(path))
     w.saveAsTable(table)
+
+
+def recommended_buckets(table_bytes: int, total_cores: int) -> int:
+    """Bucket-count sizing rule for a fact table, as measured at sf100
+    (r12 probe matrix, bench_logs/r12/):
+
+    - **Floor: one 128 MiB-compressed bucket per scan task** —
+      ``ceil(table_bytes / 128 MiB)`` rounded UP to whole waves of the
+      cluster cores, so a bucketed scan (which runs one task per bucket
+      and cannot split files) keeps every core busy with the same
+      per-task input budget the plain scan policy uses
+      (``catalog.tune_scan_splits``). At sf100/32 cores this yields 128
+      for the 16.5 GB lineitem — the probed configuration where the
+      layout-aware SHUFFLE_HASH join ran spill-free.
+    - **Per-task aggregate state is bounded by the same knob**: group-by
+      state per task = distinct keys / buckets. 128 → 256 buckets halved
+      topk's fused-task spill 59.7 → 9.1 GB — but raising the count only
+      pays if the write used ``single_file=True``; multi-file buckets
+      fragment into scan_tasks × buckets files and the cold scan goes
+      seek-bound (measured: +37% wall at 256 multi-file buckets).
+    - Whole waves, never a bare power of two: a ragged tail wave idles
+      the fixed-size cluster exactly like the scan-split cap did
+      (catalog.tune_scan_splits' r9 finding).
+    """
+    if table_bytes <= 0 or total_cores <= 0:
+        raise ValueError("table_bytes and total_cores must be positive")
+    waves = max(1, -(-table_bytes // ((128 << 20) * total_cores)))
+    return waves * total_cores
 
 
 def register_bucketed_table(
@@ -74,6 +119,7 @@ def ensure_bucketed_lake(
     sf_dir: str,
     base_dir: str,
     specs: list[tuple[str, list[str], int, list[str] | None]],
+    single_file: bool = False,
 ) -> dict[str, str]:
     """Idempotent ingest-time layout: for each (lake_table, bucket_cols,
     n_buckets, sort_cols) spec, materialize ``{base_dir}/{table}_bkt``
@@ -97,6 +143,7 @@ def ensure_bucketed_lake(
                 n_buckets,
                 sort_cols=sort_cols,
                 path=path,
+                single_file=single_file,
             )
         else:
             register_bucketed_table(

@@ -197,3 +197,56 @@ def test_layout_skips_explicit_width_repartition(spark, bucketed_layout, monkeyp
         .toString()
     )
     assert "REPARTITION_BY_NUM" in plan
+
+
+def test_recommended_buckets_rule():
+    """r12 sizing rule: ceil(bytes / 128 MiB) rounded up to whole waves —
+    the sf100 probe configuration (16.5 GB, 32 cores → 128) must fall out
+    of the rule, and the count is always a wave multiple."""
+    from nhl_data_pipeline_spark.sources.bucketed import recommended_buckets
+
+    assert recommended_buckets(16_521_212_696, 32) == 128  # probed sf100
+    assert recommended_buckets(1, 32) == 32  # floor: one whole wave
+    assert recommended_buckets(100 << 30, 32) % 32 == 0
+    # monotone in bytes, never narrower than a wave
+    prev = 0
+    for gb in (1, 4, 16, 64, 256):
+        w = recommended_buckets(gb << 30, 32)
+        assert w >= max(prev, 32)
+        prev = w
+    with pytest.raises(ValueError):
+        recommended_buckets(0, 32)
+
+
+def test_single_file_bucketed_write(spark, tmp_path):
+    """single_file=True pre-repartitions by the bucket hash, so each
+    bucket is exactly ONE file (sequential cold reads; trustable
+    write-time sort order) — the multi-file fragmentation measured
+    seek-bound at sf100 (scan_tasks × buckets files) cannot occur."""
+    import os
+    from collections import Counter
+
+    path = str(tmp_path / "li_1f")
+    li = load_table(spark, TEST_SF_DIR, "lineitem")
+    write_bucketed(
+        li,
+        "li_1f",
+        ["l_orderkey"],
+        4,
+        sort_cols=["l_orderkey"],
+        path=path,
+        single_file=True,
+    )
+    try:
+        parts = [f for f in os.listdir(path) if f.startswith("part-")]
+        # bucket id is the _NNNNN suffix before the extension
+        buckets = Counter(f.split("_")[-1].split(".")[0] for f in parts)
+        assert len(parts) == 4, parts
+        assert all(v == 1 for v in buckets.values())
+        # same rows as the lake, still exchange-free on the bucket key
+        t = spark.table("li_1f")
+        assert t.count() == li.count()
+        agg = t.groupBy("l_orderkey").count()
+        assert exchange_count(agg) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_1f")

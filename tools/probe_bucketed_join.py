@@ -66,12 +66,16 @@ def _get_spark():
     )
 
 
-def _register(spark, sf_dir: str, bucket_dir: str, buckets: int) -> None:
+def _register(
+    spark, sf_dir: str, bucket_dir: str, buckets: int, single_file: bool
+) -> None:
     import nhl_data_pipeline_spark.catalog as catalog
     from nhl_data_pipeline_spark.sources.bucketed import ensure_bucketed_lake
 
     specs = [(n, bc, buckets, sc) for n, bc, sc in SPECS]
-    mapping = ensure_bucketed_lake(spark, sf_dir, bucket_dir, specs)
+    mapping = ensure_bucketed_lake(
+        spark, sf_dir, bucket_dir, specs, single_file=single_file
+    )
     for name, bc, _sc in SPECS:
         catalog.register_bucketed_layout(name, mapping[name], bc)
 
@@ -152,6 +156,12 @@ def main() -> None:
         choices=("build", "lake", "bucketed", "check"),
     )
     ap.add_argument("--query", default="join_chain_revenue")
+    ap.add_argument(
+        "--single-file",
+        action="store_true",
+        help="one file per bucket (pre-repartitioned write): sequential "
+        "cold reads + trustable write-time sort order",
+    )
     args = ap.parse_args()
     if args.mode != "lake" and not args.bucket_dir:
         ap.error(f"--bucket-dir required for mode {args.mode}")
@@ -161,7 +171,7 @@ def main() -> None:
 
     if args.mode == "build":
         t0 = time.perf_counter()
-        _register(spark, args.sf_dir, args.bucket_dir, args.buckets)
+        _register(spark, args.sf_dir, args.bucket_dir, args.buckets, args.single_file)
         print(
             json.dumps(
                 {
@@ -178,13 +188,13 @@ def main() -> None:
         _run_metered(spark, fn, args.sf_dir)
         return
     if args.mode == "bucketed":
-        _register(spark, args.sf_dir, args.bucket_dir, args.buckets)
+        _register(spark, args.sf_dir, args.bucket_dir, args.buckets, args.single_file)
         _run_metered(spark, fn, args.sf_dir)
         return
 
     # check: row-exact parity between the two layouts, one session.
     base = sorted(map(tuple, fn(spark, args.sf_dir).collect()))
-    _register(spark, args.sf_dir, args.bucket_dir, args.buckets)
+    _register(spark, args.sf_dir, args.bucket_dir, args.buckets, args.single_file)
     bkt = sorted(map(tuple, fn(spark, args.sf_dir).collect()))
     catalog.clear_bucketed_layout()
     print(
