@@ -32,19 +32,28 @@ from nhl_data_pipeline_spark.plans.registry import query
 _TOKS = "string_split_regex(text, '\\s+')"
 
 
-def _lang_quality_scored(d: DataFrame) -> DataFrame:
+def _lang_quality_scored(
+    d: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """doc_id + lang_hat + quality via a single-tokenize projection.
 
     Value-identical to ``X.lang_id`` / ``X.quality_score`` inlined, but
     `split` runs once per row: the token array and per-language hit counts
     materialize in their own projection (CollapseProject keeps it separate
     — the array is non-cheap and multiply-referenced), and the CASE chain
-    compares precomputed ints."""
+    compares precomputed ints.
+
+    ``passthrough`` columns of ``d`` ride through the projections — so a
+    caller that already holds side columns (curation_pipeline's
+    ``n_removed``) doesn't need a second join back onto its own subtree
+    to recover them (r12: that join re-evaluated the whole
+    strip-frequent-lines branch a second time)."""
     tk = F.col("_toks")
     counted = d.select(
-        "doc_id", X.tokens(F.col("text")).alias("_toks")
+        "doc_id", *passthrough, X.tokens(F.col("text")).alias("_toks")
     ).select(
         "doc_id",
+        *passthrough,
         F.size(tk).alias("_n"),
         F.size(F.array_distinct(tk)).alias("_nu"),
         *[
@@ -57,7 +66,9 @@ def _lang_quality_scored(d: DataFrame) -> DataFrame:
         {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
     )
     q = X.quality_from_counts(F.col("_n"), F.col("_h_stop"), F.col("_nu"))
-    return counted.select("doc_id", hat.alias("lang_hat"), q.alias("quality"))
+    return counted.select(
+        "doc_id", *passthrough, hat.alias("lang_hat"), q.alias("quality")
+    )
 
 
 @query(
@@ -871,10 +882,18 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     stripped = L.strip_frequent_lines(dirty, 50)
-    d = stripped.join(d0.select("doc_id", "lang"), "doc_id")
-    scored = _lang_quality_scored(d).join(
-        stripped.select("doc_id", "n_removed"), "doc_id"
-    )
+    # r12 (guide §2.4, remove shuffles outright): the previous shape
+    # joined ``stripped`` back onto d0 for ``lang`` — a column the final
+    # projection never outputs (the oracle's scored CTE carries d.lang
+    # only as dead weight) — and then joined ``stripped`` AGAIN to
+    # recover n_removed, re-evaluating the whole strip branch (3 more
+    # documents scans + its aggregates). Both joins are row-preserving
+    # on the doc_id key (strip emits every doc exactly once), so
+    # dropping the dead lang join and riding n_removed through the
+    # scoring projection is value-identical: 2 joins, 2 exchanges and 4
+    # duplicate documents-scan branches gone (plans/r12/
+    # curation_pipeline_{before,after}.txt; oracle hash unchanged).
+    scored = _lang_quality_scored(stripped, passthrough=("n_removed",))
     drop_docs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
