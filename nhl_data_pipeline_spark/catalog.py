@@ -11,6 +11,7 @@ would be injected.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -284,6 +285,21 @@ def bucketed_on(name: str, *cols: str) -> bool:
     return entry is not None and set(entry[1]) <= set(cols)
 
 
+# Per-session memo of lazy table DataFrames (r12, guide §5 driver costs +
+# §6 metadata): ``spark.read.parquet`` re-infers the schema on EVERY call —
+# a driver-side footer-read job per table per query execution (~40-90 ms
+# each on this box; join_chain_revenue paid six of them per bench rep,
+# measured in the r12 job-timeline probe). A real 100 TB engine serves
+# schemas from a catalog/metastore, not per-query footer reads — this memo
+# is that catalog. It caches only the LAZY plan (schema + file listing):
+# every action still scans the parquet from disk, so no data or results
+# are reused across runs (bench's clearCache() is about persisted DATA and
+# is unaffected). Keyed on the session (weakly), the file's identity
+# (path, mtime_ns, size — a rewritten fixture invalidates), and the
+# nanosAsLong conf (it changes the inferred schema of `events`).
+_DF_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one lake table. Column pruning + predicate pushdown reach the
     parquet scan automatically because callers keep the plan declarative.
@@ -296,7 +312,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name in BUCKETED_LAYOUT:
         return spark.table(BUCKETED_LAYOUT[name][0])
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    nanos = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    per_session = _DF_CACHE.setdefault(spark, {})
+    key = (path, st.st_mtime_ns, st.st_size, nanos)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = spark.read.parquet(path)
     if name == "events":
         # Normalize events.ts to timestamp_ntz regardless of how the lake
         # stored it: TIMESTAMP(NANOS) parquet surfaces as a raw nanosecond
@@ -311,6 +335,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             ts = F.col("ts")
         df = df.withColumn("ts", ts.cast("timestamp_ntz"))
+    per_session[key] = df
     return df
 
 
