@@ -55,17 +55,27 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
+    # r12 narrow-decimal sums (guide §2.2; see scalars.dec): l_quantity
+    # (integer-valued, ≤ 50 by the TPC-H data contract) and l_discount
+    # (≤ 0.10, 2 dp) fit precision-8 decimals, so their SUMs compile to
+    # unscaled-LONG adds via DecimalAggregates instead of Decimal128
+    # accumulators. 100 TB overflow bounds vs the rewritten result type:
+    # qty → decimal(18,2): 10^12 rows × 50 = 5e13 < 1e16 (200×);
+    # disc → decimal(18,6): 10^12 × 0.1 = 1e11 < 1e12 (10×). The three
+    # price measures need ≥ 10 integer+fraction digits and stay wide.
+    # Values are bit-identical (both forms exact; the string bridge
+    # normalizes trailing zeros) — oracle-verified.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum_double("l_quantity").alias("sum_qty"),
+            dsum_double("l_quantity", 2, prec=8).alias("sum_qty"),
             dsum_double("l_extendedprice").alias("sum_base_price"),
             dsum_double(disc_price).alias("sum_disc_price"),
             dsum_double(charge, 8).alias("sum_charge"),
-            (dsum_double("l_quantity") / n).alias("avg_qty"),
+            (dsum_double("l_quantity", 2, prec=8) / n).alias("avg_qty"),
             (dsum_double("l_extendedprice") / n).alias("avg_price"),
-            (dsum_double("l_discount", 6) / n).alias("avg_disc"),
+            (dsum_double("l_discount", 6, prec=8) / n).alias("avg_disc"),
             n.alias("count_order"),
         )
     )

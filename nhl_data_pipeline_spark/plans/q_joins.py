@@ -96,7 +96,10 @@ def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if w:
         li = li.repartition(w, F.col("l_orderkey"), F.col("l_suppkey"))
     grp = li.groupBy("l_orderkey", "l_suppkey").agg(
-        dsum_double("l_quantity").alias("grp_qty"),
+        # Narrow-decimal sum (r12, see pricing_summary's bound note):
+        # per-(order,supp) qty sums are ≤ 7 lines × 50, far inside
+        # decimal(18,2) at any scale.
+        dsum_double("l_quantity", 2, prec=8).alias("grp_qty"),
         F.count(F.lit(1)).alias("grp_lines"),
     )
     return li.join(grp, ["l_orderkey", "l_suppkey"]).select(
