@@ -52,6 +52,104 @@ def hits_in_tokens(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
+# --- Spark-SQL string twins (r12, guide §5 driver cost) -----------------
+#
+# Building these expressions through the Column API costs hundreds of py4j
+# round-trips EACH (measured: one hits_in_tokens 53, the lang-ID CASE
+# chain 766, the gopher battery 771 — at ~0.13 ms/trip that is most of
+# text_profile's 0.47 s plan-build time, re-paid inside every timed bench
+# rep). Each twin renders the SAME expression tree as its Column form to
+# one SQL string, which crosses the boundary in a single F.expr/selectExpr
+# call. They are generated from the same constants as the Column forms so
+# the policy (stopword lists, weights, thresholds) cannot diverge. Float
+# literals carry the D suffix: bare `0.4` parses as DECIMAL(1,1) in Spark
+# SQL, while the Column forms build double literals.
+
+
+def _array_lit_spark_sql(words: tuple[str, ...]) -> str:
+    assert not any("'" in w or "\\" in w for w in words), words
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def hits_in_tokens_spark_sql(toks_sql: str, words: tuple[str, ...]) -> str:
+    """One-round-trip twin of :func:`hits_in_tokens`."""
+    arr = _array_lit_spark_sql(words)
+    return f"size(filter({toks_sql}, t -> array_contains({arr}, t)))"
+
+
+def lang_id_from_hits_spark_sql(hits_sql: dict[str, str]) -> str:
+    """One-round-trip twin of :func:`lang_id_from_hits`: the same
+    precedence logic (earlier langs win ties) AND the same NESTED CASE
+    nesting as the Column chain — a flat 5-branch CASE was tried first
+    and defeated the optimizer's ``CASE = 'en'`` simplification, leaving
+    all five branch conditions in curation_pipeline's pushed filter
+    (nested, the pushed predicate reduces to just the matched branch's
+    condition, as it did with the Column form)."""
+    langs = list(LANG_STOPWORDS)
+    expr = "'unknown'"
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        conds = [f"{hits_sql[lang]} > 0"]
+        for other in langs[i + 1 :]:
+            conds.append(f"{hits_sql[lang]} >= {hits_sql[other]}")
+        for other in langs[:i]:
+            conds.append(f"{hits_sql[lang]} > {hits_sql[other]}")
+        expr = (
+            "CASE WHEN " + " AND ".join(conds) + f" THEN '{lang}' "
+            f"ELSE {expr} END"
+        )
+    return expr
+
+
+def quality_from_counts_spark_sql(n_sql: str, stop_sql: str, nu_sql: str) -> str:
+    """One-round-trip twin of :func:`quality_from_counts` (same 0.4/0.3/0.3
+    policy constants; weight changes must edit both forms — the parity
+    suite catches a one-sided edit)."""
+    nd = f"CAST({n_sql} AS DOUBLE)"
+    return (
+        f"0.4D * least({nd} / 50.0D, 1.0D)"
+        f" + 0.3D * (1.0D - CAST({stop_sql} AS DOUBLE) / {nd})"
+        f" + 0.3D * (CAST({nu_sql} AS DOUBLE) / {n_sql})"
+    )
+
+
+def gopher_pass_spark_sql(toks_sql: str) -> str:
+    """One-round-trip twin of ``gopher_flags_from_tokens(t)["pass_gopher"]``
+    — just the conjunction (the optimizer prunes the struct to this same
+    expression when only the pass flag is selected)."""
+    n = f"size({toks_sql})"
+    nd = f"CAST({n} AS DOUBLE)"
+    tok_chars = (
+        f"aggregate(transform({toks_sql}, w -> length(w)), 0, (a, v) -> a + v)"
+    )
+    mean_len = f"CAST({tok_chars} AS DOUBLE) / {nd}"
+    symbols = (
+        f"size(filter({toks_sql}, w -> contains(w, '#')))"
+        f" + size(filter({toks_sql}, w -> contains(w, '...')))"
+    )
+    alpha = f"size(filter({toks_sql}, w -> w RLIKE '[A-Za-z]'))"
+    stops = (
+        f"size(array_distinct(filter({toks_sql}, w -> "
+        f"array_contains({_array_lit_spark_sql(ALL_STOPWORDS)}, w))))"
+    )
+    return (
+        f"({n} >= {GOPHER_MIN_WORDS} AND {n} <= {GOPHER_MAX_WORDS})"
+        f" AND ({mean_len} >= {GOPHER_MIN_MEAN_WORD_LEN}D"
+        f" AND {mean_len} <= {GOPHER_MAX_MEAN_WORD_LEN}D)"
+        f" AND (CAST({symbols} AS DOUBLE) / {nd} <= {GOPHER_MAX_SYMBOL_RATIO}D)"
+        f" AND (CAST({alpha} AS DOUBLE) / {nd} >= {GOPHER_MIN_ALPHA_WORD_FRAC}D)"
+        f" AND ({stops} >= {GOPHER_MIN_DISTINCT_STOPWORDS})"
+    )
+
+
+def bigrams_of_tokens_spark_sql(toks_sql: str) -> str:
+    """One-round-trip twin of :func:`bigrams_of_tokens`."""
+    return (
+        f"transform(slice({toks_sql}, 1, greatest(size({toks_sql}) - 1, 0)),"
+        f" (x, i) -> concat(x, ' ', element_at({toks_sql}, i + 2)))"
+    )
+
+
 def stopword_hits(col: Column | str, words: tuple[str, ...]) -> Column:
     """Count of tokens that are in the given stopword list (with repeats)."""
     return hits_in_tokens(tokens(col), words)
@@ -280,8 +378,12 @@ def repetition_agg(df, id_col: str = "doc_id", text_col: str = "text",
     ~50-token docs) — so it is the default engine path, not just the
     long-document one.
     """
+    # tokens_col path: the bigram HOF as ONE expr string (r12 — the
+    # Column form costs ~870 py4j round-trips per build, see the
+    # *_spark_sql twins above). text_col path keeps the Column form: its
+    # regex pattern would need escaping games inside a SQL literal.
     bg = (
-        bigrams_of_tokens(F.col(tokens_col))
+        F.expr(bigrams_of_tokens_spark_sql(tokens_col))
         if tokens_col is not None
         else bigrams(F.col(text_col))
     )

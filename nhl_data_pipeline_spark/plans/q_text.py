@@ -48,26 +48,28 @@ def _lang_quality_scored(
     ``n_removed``) doesn't need a second join back onto its own subtree
     to recover them (r12: that join re-evaluated the whole
     strip-frequent-lines branch a second time)."""
-    tk = F.col("_toks")
+    # Expression trees as one-round-trip SQL strings (r12, guide §5 —
+    # the Column-API forms cost ~2,000 py4j round-trips per build here;
+    # the *_spark_sql twins render the same expressions in a handful).
     counted = d.select(
         "doc_id", *passthrough, X.tokens(F.col("text")).alias("_toks")
-    ).select(
+    ).selectExpr(
         "doc_id",
         *passthrough,
-        F.size(tk).alias("_n"),
-        F.size(F.array_distinct(tk)).alias("_nu"),
+        "size(_toks) AS _n",
+        "size(array_distinct(_toks)) AS _nu",
         *[
-            X.hits_in_tokens(tk, ws).alias(f"_h_{lang}")
+            f"{X.hits_in_tokens_spark_sql('_toks', ws)} AS _h_{lang}"
             for lang, ws in X.LANG_STOPWORDS.items()
         ],
-        X.hits_in_tokens(tk, X.ALL_STOPWORDS).alias("_h_stop"),
+        f"{X.hits_in_tokens_spark_sql('_toks', X.ALL_STOPWORDS)} AS _h_stop",
     )
-    hat = X.lang_id_from_hits(
-        {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
+    hat = X.lang_id_from_hits_spark_sql(
+        {lang: f"_h_{lang}" for lang in X.LANG_STOPWORDS}
     )
-    q = X.quality_from_counts(F.col("_n"), F.col("_h_stop"), F.col("_nu"))
-    return counted.select(
-        "doc_id", *passthrough, hat.alias("lang_hat"), q.alias("quality")
+    q = X.quality_from_counts_spark_sql("_n", "_h_stop", "_nu")
+    return counted.selectExpr(
+        "doc_id", *passthrough, f"{hat} AS lang_hat", f"{q} AS quality"
     )
 
 
@@ -122,37 +124,40 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("text_len"),
         X.tokens(F.col("text")).alias("_toks"),
     )
-    tk = F.col("_toks")
-    counted = toked.select(
+    # Signal expressions as one-round-trip SQL strings (r12, guide §5):
+    # the Column-API forms of the stopword-hit battery, the gopher
+    # conjunction and the lang-ID CASE chain cost ~3,200 py4j round-trips
+    # per build (~0.42 s re-paid inside every timed rep); the *_spark_sql
+    # twins render the identical expressions in a handful of calls.
+    counted = toked.selectExpr(
         "doc_id", "n_chars", "lang", "text_len",
-        F.size(tk).alias("n_tokens"),
-        F.size(F.array_distinct(tk)).alias("n_unique_tokens"),
+        "size(_toks) AS n_tokens",
+        "size(array_distinct(_toks)) AS n_unique_tokens",
         *[
-            X.hits_in_tokens(tk, ws).alias(f"_h_{lang}")
+            f"{X.hits_in_tokens_spark_sql('_toks', ws)} AS _h_{lang}"
             for lang, ws in X.LANG_STOPWORDS.items()
         ],
-        X.hits_in_tokens(tk, X.ALL_STOPWORDS).alias("_h_stop"),
-        X.gopher_flags_from_tokens(tk)["pass_gopher"].alias("pass_gopher"),
+        f"{X.hits_in_tokens_spark_sql('_toks', X.ALL_STOPWORDS)} AS _h_stop",
+        f"{X.gopher_pass_spark_sql('_toks')} AS pass_gopher",
     )
-    hat = X.lang_id_from_hits(
-        {lang: F.col(f"_h_{lang}") for lang in X.LANG_STOPWORDS}
+    hat = X.lang_id_from_hits_spark_sql(
+        {lang: f"_h_{lang}" for lang in X.LANG_STOPWORDS}
     )
-    uniq = F.col("n_unique_tokens").cast("double") / F.col("n_tokens")
-    q = X.quality_from_counts(
-        F.col("n_tokens"), F.col("_h_stop"), F.col("n_unique_tokens")
+    q = X.quality_from_counts_spark_sql(
+        "n_tokens", "_h_stop", "n_unique_tokens"
     )
-    prof = counted.select(
+    prof = counted.selectExpr(
         "doc_id",
         "n_chars",
         "n_tokens",
         "n_unique_tokens",
         "text_len",
-        uniq.alias("unique_ratio"),
+        "CAST(n_unique_tokens AS DOUBLE) / n_tokens AS unique_ratio",
         "lang",
-        hat.alias("lang_hat"),
-        (hat == F.col("lang")).alias("agrees"),
-        q.alias("quality"),
-        (q >= 0.75).alias("keep"),
+        f"{hat} AS lang_hat",
+        f"({hat}) = lang AS agrees",
+        f"{q} AS quality",
+        f"({q}) >= 0.75D AS keep",
         "pass_gopher",
     )
     # Repetition signals ride the exploded codegen aggregate (~20× the
