@@ -108,6 +108,21 @@ def dsum_double(col: Column | str, scale: int = 6, prec: int = 18) -> Column:
     return F.sum(dec(col, scale, prec)).cast("string").cast("double")
 
 
+def dec_sql(expr: str, scale: int = 6, prec: int = 18) -> str:
+    """Spark-SQL text twin of :func:`dec` (r12 chatter pass, guide §4):
+    renders the identical cast as one parsed string. Same bound rules as
+    :func:`dec` apply to ``prec``."""
+    return f"CAST({expr} AS DECIMAL({prec},{scale}))"
+
+
+def dsum_double_sql(expr: str, scale: int = 6, prec: int = 18) -> str:
+    """Spark-SQL text twin of :func:`dsum_double` — the identical
+    sum→string→double cast chain as one parsed string (the Column build
+    costs ~8 py4j round trips per measure; hot aggregate builders pass
+    this to F.expr instead)."""
+    return f"CAST(CAST(sum({dec_sql(expr, scale, prec)}) AS STRING) AS DOUBLE)"
+
+
 def accent_fold_unicode(col: Column | str) -> Column:
     """General accent folding via NFKD decomposition (Arrow-batched UDF).
 

@@ -390,20 +390,28 @@ def lsh_band_table(
     sh = exploded_distinct_shingles(
         base, tokens(F.col(text_col)), n, id_col=id_col
     )
+    # The k seed-min aggregates and the band-key md5 array are rendered as
+    # SQL text (guide §4 driver boundary, r12 chatter pass): the per-seed
+    # Column build — min(md5(concat(lit, col))) × k plus bands × concat_ws
+    # — cost ~6 py4j round trips per node (~800 per call measured by
+    # probe_driver_build --mode chatter-attr); the rendered strings are
+    # parsed JVM-side in one trip each and the expression trees (and the
+    # pinned plan fingerprints) are identical.
     sigs = sh.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+            F.expr(f"min(md5(concat('{i}|', s)))").alias(f"h{i}")
             for i in range(k)
         ]
     )
-    band_key = lambda b: F.md5(  # noqa: E731
-        F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
+    band_key_sql = lambda b: (  # noqa: E731
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * rows + r}" for r in range(rows))
+        + "))"
     )
+    bkeys = ", ".join(band_key_sql(b) for b in range(bands))
     banded = sigs.select(
         id_col,
-        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
-            "band_idx0", "band_key"
-        ),
+        F.posexplode(F.expr(f"array({bkeys})")).alias("band_idx0", "band_key"),
     ).select(
         id_col, (F.col("band_idx0") + 1).alias("band_idx"), "band_key"
     )

@@ -403,6 +403,7 @@ def semantic_neardup_pairs_lsh_blocked(
     dim: int = 64,
     bands: int = 32,
     rows: int | None = None,
+    n_total: int | None = None,
     vec: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -475,7 +476,12 @@ def semantic_neardup_pairs_lsh_blocked(
     import math
 
     if rows is None:
-        n_total = df.select(id_col).count()
+        # ``n_total`` (r12): a caller that already knows the corpus row
+        # count (e.g. from a memoized source-identity count, the
+        # ngram_lm_quality idiom) passes it and the plan builder stays
+        # action-free; otherwise fall back to the column-pruned count job.
+        if n_total is None:
+            n_total = df.select(id_col).count()
         rows = max(16, math.ceil(math.log2(max(n_total / k, 2))) + 4)
 
     import numpy as np

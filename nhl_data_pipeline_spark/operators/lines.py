@@ -52,11 +52,13 @@ def frequent_lines(
     document contains them, so they'd always cross the threshold and the
     strip would collapse paragraph structure corpus-wide — whitespace is
     not boilerplate."""
+    # Filters/aggregates as parsed SQL strings (r12 chatter pass): same
+    # expression trees, one py4j round trip each instead of one per node.
     return (
-        lines.filter(F.length(F.trim(F.col("line"))) > 0)
+        lines.filter("length(trim(line)) > 0")
         .groupBy("line")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+        .agg(F.expr(f"count(DISTINCT {id_col})").alias("n_docs"))
+        .filter(f"n_docs >= {int(min_docs)}")
     )
 
 
@@ -77,24 +79,18 @@ def strip_frequent_lines(
     boiler = frequent_lines(lines, min_docs, id_col=id_col).select("line")
     kept = lines.join(F.broadcast(boiler), "line", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            NEWLINE,
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
+        F.expr(
+            "concat_ws('\\n', transform("
+            "sort_array(collect_list(struct(pos, line))), s -> s.line))"
         ).alias("text"),
-        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("count(1)").alias("n_kept"),
     )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("text", F.lit("")).alias("text"),
-            "n_lines",
-            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
-        )
+    totals = lines.groupBy(id_col).agg(F.expr("count(1)").alias("n_lines"))
+    return totals.join(rebuilt, id_col, "left").selectExpr(
+        id_col,
+        "COALESCE(text, '') AS text",
+        "n_lines",
+        "n_lines - COALESCE(n_kept, 0) AS n_removed",
     )
 
 

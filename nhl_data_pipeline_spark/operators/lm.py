@@ -114,9 +114,12 @@ def ngram_lm_score(
     # logical-plan equality, so repeated calls over the same input pin
     # ONE copy of each frame, and bench.py clearCache()s between timed
     # runs (the pinned-storage GC hazard its probes measure).
+    # Aggregates/projections as parsed SQL strings (r12 chatter pass):
+    # identical expression trees, one py4j round trip per string instead
+    # of one per Column node.
     tri_counts = (
         tri_ref.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("c_tri"))
+        .agg(F.expr("count(1)").alias("c_tri"))
         .persist()
     )
     # Size-aware join strategy for the MODEL-side joins (r7, found by the
@@ -157,13 +160,11 @@ def ngram_lm_score(
     # but the groupBy runs at distinct-gram scale instead of re-shuffling
     # every corpus occurrence on the ctx string.
     ctx_counts = (
-        tri_counts.select(
-            F.expr("substring_index(gram, ' ', 2)").alias("ctx"), "c_tri"
-        )
+        tri_counts.selectExpr("substring_index(gram, ' ', 2) AS ctx", "c_tri")
         .groupBy("ctx")
         .agg(F.sum("c_tri").alias("c_ctx"))
     )
-    v = tri_counts.select(F.count(F.lit(1)).alias("v"))
+    v = tri_counts.selectExpr("count(1) AS v")
 
     if reference is None:
         # Self-scored: every doc trigram is in the model by construction,
@@ -183,12 +184,12 @@ def ngram_lm_score(
             .join(_model_side(ctx_counts), "ctx")
             .crossJoin(F.broadcast(v))
             .select(
-                F.xxhash64("gram").alias("gk"),
+                F.expr("xxhash64(gram)").alias("gk"),
                 _p_fixed_expr().alias("p_fixed"),
             )
         )
-        scored = tri_ref.select(
-            id_col, F.xxhash64("gram").alias("gk")
+        scored = tri_ref.selectExpr(
+            id_col, "xxhash64(gram) AS gk"
         ).join(_model_side(model), "gk")
     else:
         tri_doc = _ngrams(docs, 3, id_col=id_col, text_col=text_col).select(
@@ -205,11 +206,10 @@ def ngram_lm_score(
     # Exact BIGINT sum (order-independent), then ONE identical double
     # division sequence in both engines.
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        (
-            F.sum("p_fixed").cast("double")
-            / F.count(F.lit(1)).cast("double")
-            / F.lit(float(FIXED_POINT))
+        F.expr("count(1)").alias("n_trigrams"),
+        F.expr(
+            "CAST(sum(p_fixed) AS DOUBLE) / CAST(count(1) AS DOUBLE)"
+            f" / {float(FIXED_POINT)!r}D"
         ).alias("mean_tri_prob"),
     )
 

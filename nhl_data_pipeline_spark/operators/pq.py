@@ -170,7 +170,7 @@ def adc_dist_column(
     once halves the query)."""
     m = len(books)
     sub_dim = len(books[0][0])
-    dist = None
+    terms = []
     for j in range(m):
         q_sub = query[j * sub_dim : (j + 1) * sub_dim]
         # (a-b)*(a-b), NOT (a-b)**2: CPython's ** routes through libm pow,
@@ -184,7 +184,15 @@ def adc_dist_column(
             )
             for cent in books[j]
         ]
-        lut = F.array(*[F.lit(v) for v in table])
-        term = F.element_at(lut, F.element_at(F.col(code_col), j + 1) + 1)
-        dist = term if dist is None else dist + term
-    return dist
+        # The m×k LUT is rendered as ONE SQL expression (r12 chatter pass):
+        # the per-cell F.lit build cost ~900 py4j round trips per query
+        # build. repr(float) round-trips through Java's Double.parseDouble
+        # to the identical IEEE-754 bits, so the literal arrays — and the
+        # plan — are unchanged. Guarded: a non-finite cell would need the
+        # old path (repr forms Spark SQL can't parse as a D-literal).
+        assert all(v == v and abs(v) != float("inf") for v in table)
+        lut = "array(" + ", ".join(f"{v!r}D" for v in table) + ")"
+        terms.append(
+            f"element_at({lut}, element_at({code_col}, {j + 1}) + 1)"
+        )
+    return F.expr("(" + " + ".join(terms) + ")")

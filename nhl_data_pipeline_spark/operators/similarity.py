@@ -52,9 +52,33 @@ def norm_sql(a: str) -> str:
     )
 
 
+# Spark-SQL text twins of dot/norm (r12 chatter pass, guide §4): the
+# Python-lambda HOF builds above cost ~10 py4j round trips per call plus
+# matching GC detach traffic; these render the IDENTICAL expression tree
+# (zip_with/transform + left-fold aggregate, same casts, same 0.0 seed —
+# only the lambda-variable names differ, which plan fingerprints ignore)
+# as one parsed string. dot_sql/norm_sql above stay the DuckDB twins.
+
+
+def dot_expr_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a},"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
 def with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
     """Precompute norms once — reused across every query/centroid pairing."""
-    return df.withColumn("nrm", norm(F.col(vec)))
+    return df.withColumn("nrm", F.expr(norm_expr_sql(vec)))
 
 
 def cosine_topk(
@@ -70,22 +94,20 @@ def cosine_topk(
     one BroadcastNestedLoopJoin; per-query top-k is a window rank with the
     candidate id as tiebreak. Returns (query_id, neighbor_id, rank, cosine).
     """
-    q = with_norm(queries, vec).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec).alias("q_vec"),
-        F.col("nrm").alias("q_nrm"),
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"{vec} AS q_vec",
+        f"{norm_expr_sql(vec)} AS q_nrm",
     )
-    c = with_norm(candidates, vec).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec).alias("c_vec"),
-        F.col("nrm").alias("c_nrm"),
+    c = candidates.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{vec} AS c_vec",
+        f"{norm_expr_sql(vec)} AS c_nrm",
     )
-    scored = (
-        c.join(F.broadcast(q))
-        .withColumn(
-            "cosine", dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm"))
-        )
-        .select("query_id", "neighbor_id", "cosine")
+    scored = c.join(F.broadcast(q)).selectExpr(
+        "query_id",
+        "neighbor_id",
+        f"{dot_expr_sql('q_vec', 'c_vec')} / (q_nrm * c_nrm) AS cosine",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

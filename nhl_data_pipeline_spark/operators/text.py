@@ -390,14 +390,15 @@ def repetition_agg(df, id_col: str = "doc_id", text_col: str = "text",
     per_bg = (
         df.select(id_col, F.explode(bg).alias("bg"))
         .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.expr("count(1)").alias("c"))
     )
+    # Aggregates as parsed SQL strings (r12 chatter pass) — same trees.
     return per_bg.groupBy(id_col).agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        F.max("c").cast("long").alias("top_bigram_n"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("dup_bigram_mass"),
+        F.expr("CAST(sum(c) AS BIGINT)").alias("n_bigrams"),
+        F.expr("CAST(max(c) AS BIGINT)").alias("top_bigram_n"),
+        F.expr(
+            "CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)"
+        ).alias("dup_bigram_mass"),
     )
 
 

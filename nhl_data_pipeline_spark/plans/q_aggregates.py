@@ -11,7 +11,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from nhl_data_pipeline_spark.catalog import load_table, tune_scan_splits
-from nhl_data_pipeline_spark.functions.scalars import dec, dsum_double
+from nhl_data_pipeline_spark.functions.scalars import (
+    dec,
+    dsum_double,
+    dsum_double_sql,
+)
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum, dsum_expr
 
@@ -52,9 +56,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    n = F.count(F.lit(1))
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    # (l_tax + 1), not (1 + l_tax): the Column form's __radd__ emitted the
+    # flipped order, and keeping it byte-stable keeps the committed plan
+    # captures diff-clean (values are identical either way).
+    charge = f"{disc_price} * (l_tax + 1)"
     # r12 narrow-decimal sums (guide §2.2; see scalars.dec): l_quantity
     # (integer-valued, ≤ 50 by the TPC-H data contract) and l_discount
     # (≤ 0.10, 2 dp) fit precision-8 decimals, so their SUMs compile to
@@ -68,15 +74,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
+        # Measures rendered as SQL text (r12 chatter pass — identical cast
+        # chains, one py4j round trip per measure; see scalars.dsum_double_sql).
         .agg(
-            dsum_double("l_quantity", 2, prec=8).alias("sum_qty"),
-            dsum_double("l_extendedprice").alias("sum_base_price"),
-            dsum_double(disc_price).alias("sum_disc_price"),
-            dsum_double(charge, 8).alias("sum_charge"),
-            (dsum_double("l_quantity", 2, prec=8) / n).alias("avg_qty"),
-            (dsum_double("l_extendedprice") / n).alias("avg_price"),
-            (dsum_double("l_discount", 6, prec=8) / n).alias("avg_disc"),
-            n.alias("count_order"),
+            F.expr(dsum_double_sql("l_quantity", 2, prec=8)).alias("sum_qty"),
+            F.expr(dsum_double_sql("l_extendedprice")).alias("sum_base_price"),
+            F.expr(dsum_double_sql(disc_price)).alias("sum_disc_price"),
+            F.expr(dsum_double_sql(charge, 8)).alias("sum_charge"),
+            F.expr(
+                f"{dsum_double_sql('l_quantity', 2, prec=8)} / count(1)"
+            ).alias("avg_qty"),
+            F.expr(
+                f"{dsum_double_sql('l_extendedprice')} / count(1)"
+            ).alias("avg_price"),
+            F.expr(
+                f"{dsum_double_sql('l_discount', 6, prec=8)} / count(1)"
+            ).alias("avg_disc"),
+            F.expr("count(1)").alias("count_order"),
         )
     )
 

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nhl_data_pipeline_spark.catalog import load_table, tune_scan_splits
-from nhl_data_pipeline_spark.functions.scalars import dsum_double, split_part
+from nhl_data_pipeline_spark.functions.scalars import (
+    dsum_double,
+    dsum_double_sql,
+    split_part,
+)
 from nhl_data_pipeline_spark.operators.ranges import interval_join_bucketed
 from nhl_data_pipeline_spark.plans.registry import query
 from nhl_data_pipeline_spark.plans.sqlgen import bcount, dsum
@@ -47,13 +51,15 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_scan_splits(spark, sf_dir, "lineitem")  # whole scan waves
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
+        # Measures as SQL text (r12 chatter pass) — identical expressions.
         .agg(
-            dsum_double(rev).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                dsum_double_sql("l_extendedprice * (1 - l_discount)")
+            ).alias("revenue"),
+            F.expr("count(1)").alias("n_lines"),
         )
     )
 
@@ -170,7 +176,6 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bench_logs/r11/probe_stage_join_chain_sf100.out).
     if w_li and not bucketed_on("lineitem", "l_orderkey"):
         li = li.repartition(w_li, F.col("l_orderkey"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     co = c.join(o, F.col("c_custkey") == F.col("o_custkey"))
     if bucketed_on("lineitem", "l_orderkey"):
         # Layout-aware JOIN STRATEGY, not just layout-aware width (r12
@@ -199,7 +204,11 @@ def join_chain_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
         )
         .groupBy("n_name")
-        .agg(dsum_double(rev).alias("revenue"))
+        .agg(
+            F.expr(
+                dsum_double_sql("l_extendedprice * (1 - l_discount)")
+            ).alias("revenue")
+        )
     )
 
 

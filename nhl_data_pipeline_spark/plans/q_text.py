@@ -168,19 +168,22 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", X.tokens(F.col("text")).alias("_toks")),
         tokens_col="_toks",
     )
-    zero = F.lit(0).cast("long")
-    n_bg = F.coalesce("n_bigrams", zero)
-    top_frac = F.when(
-        n_bg > 0, F.coalesce("top_bigram_n", zero) / n_bg
-    ).otherwise(F.lit(0.0))
-    dup_frac = F.when(
-        n_bg > 0, F.coalesce("dup_bigram_mass", zero) / n_bg
-    ).otherwise(F.lit(0.0))
+    nbg = "COALESCE(n_bigrams, CAST(0 AS BIGINT))"
+    top_frac = (
+        f"CASE WHEN {nbg} > 0 THEN"
+        f" COALESCE(top_bigram_n, CAST(0 AS BIGINT)) / {nbg}"
+        f" ELSE 0.0D END"
+    )
+    dup_frac = (
+        f"CASE WHEN {nbg} > 0 THEN"
+        f" COALESCE(dup_bigram_mass, CAST(0 AS BIGINT)) / {nbg}"
+        f" ELSE 0.0D END"
+    )
     return prof.join(rep, "doc_id", "left").select(
         prof["*"],
-        top_frac.alias("top_bigram_frac"),
-        dup_frac.alias("dup_bigram_frac"),
-        (top_frac > 0.2).alias("repetitious"),
+        F.expr(top_frac).alias("top_bigram_frac"),
+        F.expr(dup_frac).alias("dup_bigram_frac"),
+        F.expr(f"({top_frac}) > 0.2D").alias("repetitious"),
     )
 
 
@@ -468,22 +471,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HashPartitioning no longer matches either scan's output, and
     # EnsureRequirements re-exchanged BOTH sides at session width —
     # one extra shuffle AND the spill back.
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "s"
-    ).repartition(width, F.col("s"))
+    a = sh.selectExpr("doc_id AS doc_a", "n AS n_a", "s").repartition(
+        width, F.col("s")
+    )
     # shuffle_hash: skips the sort-merge sort on the wide string key (~40%
     # faster here); the width above keeps a partition's build side inside
     # executor memory as the lake grows.
     b = (
-        sh.select(
-            F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "s"
-        )
+        sh.selectExpr("doc_id AS doc_b", "n AS n_b", "s")
         .repartition(width, F.col("s"))
         .hint("shuffle_hash")
     )
+    # Projections/filters as parsed SQL strings (r12 chatter pass — same
+    # expression trees, a fraction of the py4j round trips; probe:
+    # probe_driver_build --mode chatter-attr).
     pairs = a.join(b, ["s"]).filter(
-        (F.col("doc_a") < F.col("doc_b"))
-        & (4 * F.greatest("n_a", "n_b") <= 5 * F.least("n_a", "n_b"))
+        "doc_a < doc_b AND 4 * greatest(n_a, n_b) <= 5 * least(n_a, n_b)"
     )
     # r11 (VERDICT r10 ask #1 — the REAL fifth-decade defect, found by
     # per-stage spill attribution, bench_logs/r11/probe_stage_*.out):
@@ -514,14 +517,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     if width > session_width:
         pairs = pairs.repartition(width, F.col("doc_a"), F.col("doc_b"))
     common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
-        F.count(F.lit(1)).alias("n_common")
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
+        F.expr("count(1)").alias("n_common")
     )
     return (
-        common.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= 0.8)
+        common.withColumn(
+            "jaccard",
+            F.expr("CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)"),
+        )
+        .filter("jaccard >= 0.8D")
         .select("doc_a", "doc_b", "jaccard")
     )
 
@@ -650,18 +653,14 @@ def minhash_band_pairs(d: DataFrame, width: int | None = None) -> DataFrame:
     bands = D.lsh_band_table(
         d, n=3, k=_K, bands=_BANDS, rows=_ROWS, short_doc_fallback=False
     ).persist()  # feeds both self-join sides
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_idx", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_idx", "band_key"
-    )
+    a = bands.selectExpr("doc_id AS doc_a", "band_idx", "band_key")
+    b = bands.selectExpr("doc_id AS doc_b", "band_idx", "band_key")
     if width is not None:
         a = a.repartition(width, F.col("band_idx"), F.col("band_key"))
         b = b.repartition(width, F.col("band_idx"), F.col("band_key"))
     return (
         a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter("doc_a < doc_b")
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -1452,13 +1451,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     str_sh = D.exploded_distinct_shingles(d, X.tokens(F.col("text")), 4)
+    # Seed battery rendered as SQL text — same expressions, one py4j round
+    # trip per seed instead of ~6 (see dedup.lsh_band_table, r12).
     sigs = str_sh.groupBy("doc_id", "n").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
-            for i in range(12)
-        ]
+        *[F.expr(f"min(md5(concat('{i}|', s)))").alias(f"h{i}") for i in range(12)]
     ).select(
-        "doc_id", "n", F.array(*[F.col(f"h{i}") for i in range(12)]).alias("sig")
+        "doc_id",
+        "n",
+        F.expr("array(" + ", ".join(f"h{i}" for i in range(12)) + ")").alias("sig"),
     )
     # band keys via the ONE shared constructor (operators/dedup.py) — the
     # SQL oracle is generated from its lsh_band_keys_sql twin, so banding

@@ -329,8 +329,12 @@ def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bench_logs/r11/probe_stage_topk_sf100.out).
     if w_li and not bucketed_on("lineitem", "l_orderkey"):
         li = li.repartition(w_li, F.col("l_orderkey"))
-    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    per_order = li.groupBy("l_orderkey").agg(F.sum(rev).alias("rev_d"))
+    # Measure as SQL text (r12 chatter pass) — the identical dec() cast.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))"
+        ).alias("rev_d")
+    )
     # Layout note (r12 probes): under the bucketed layout this join runs
     # with NO exchange on either side (per_order inherits lineitem's
     # bucketing through the aggregate; orders is bucketed on o_orderkey)

@@ -148,6 +148,51 @@ def probe_chatter(spark) -> dict:
     }
 
 
+def probe_chatter_attr(spark) -> dict:
+    """Like --mode chatter, but each py4j round trip is attributed to the
+    innermost repo frame on the Python stack at call time (file:function),
+    so chatter reduction targets the actual emitting site instead of a
+    per-query total."""
+    import traceback
+
+    from py4j.java_gateway import GatewayClient
+
+    from nhl_data_pipeline_spark.plans.registry import all_queries
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+    sites: dict[str, dict[str, int]] = {}
+    current: dict[str, dict[str, int]] = {}
+    orig = GatewayClient.send_command
+
+    def counting(self, *a, **kw):
+        buck = current.get("b")
+        if buck is not None:
+            site = "?"
+            for fr in reversed(traceback.extract_stack()):
+                if fr.filename.startswith(repo) and "probe_driver_build" not in fr.filename:
+                    site = f"{Path(fr.filename).name}:{fr.name}"
+                    break
+            buck[site] = buck.get(site, 0) + 1
+        return orig(self, *a, **kw)
+
+    for s in specs.values():  # warm
+        (s.bench_fn or s.fn)(spark, SF_DIR)
+    GatewayClient.send_command = counting
+    try:
+        for name, s in specs.items():
+            buck: dict[str, int] = {}
+            current["b"] = buck
+            (s.bench_fn or s.fn)(spark, SF_DIR)
+            current.pop("b")
+            sites[name] = dict(
+                sorted(buck.items(), key=lambda kv: -kv[1])[:12]
+            )
+    finally:
+        GatewayClient.send_command = orig
+    return {"probe": "build_py4j_chatter_attr", "sites": sites}
+
+
 def probe_dec(spark, reps: int) -> dict:
     from pyspark.sql import functions as F
 
@@ -213,7 +258,11 @@ def probe_dec(spark, reps: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("build", "dec", "chatter"), required=True)
+    ap.add_argument(
+        "--mode",
+        choices=("build", "dec", "chatter", "chatter-attr"),
+        required=True,
+    )
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
     spark = get_spark("probe_driver_build")
@@ -221,6 +270,8 @@ def main() -> None:
         out = probe_build(spark, args.reps)
     elif args.mode == "chatter":
         out = probe_chatter(spark)
+    elif args.mode == "chatter-attr":
+        out = probe_chatter_attr(spark)
     else:
         out = probe_dec(spark, args.reps)
     print(json.dumps(out))
