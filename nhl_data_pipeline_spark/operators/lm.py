@@ -95,33 +95,47 @@ def ngram_lm_score(
     in-context probability, quantized at 10⁻¹² (see module docstring).
     Docs with < 3 tokens produce no row (no trigrams to score).
     """
-    # The corpus-side trigram explode feeds TWO consumers in the
-    # self-scored case (tri_counts and the scoring side) — without a
-    # persist Spark recomputes the scan+explode for each, the dominant
-    # cost at corpus scale. (MEMORY_AND_DISK default spills rather than
-    # OOMs; at 100 TB you would materialize it to the lake instead.)
+    # ``model_rows`` lets a caller that already knows (or memoizes) the
+    # corpus size skip the count job — this is a plan BUILDER, and an
+    # unconditional action here would run once per construction (5× per
+    # benched query: 2 warmups + 3 timed). Resolved up front because both
+    # the persist gate and the join-strategy gate below read it.
+    if model_rows is None:
+        model_src = reference if reference is not None else docs
+        model_rows = model_src.count()
+    big_model = model_rows > 20_000
+    # SIZE-GATED persists (r12, tools/probe_persist_ab.py + the corrected
+    # sf10 legs in bench_logs/r12/persist_legs.log): the trigram explode
+    # feeds two consumers and the gram table three, and earlier rounds
+    # cached both unconditionally — but the InMemoryRelation build+read
+    # machinery costs ~10× the recompute it saves while the corpus is
+    # small (full-query executor CPU 11.7 vs 1.6 s at sf0.1; wall 4.80 vs
+    # 4.35 s at sf1; the cache knobs — compression off, 100K batches,
+    # MEMORY_ONLY — move it <30%, probe_cache_cost). The ordering flips at
+    # sf10 (500K docs: wall 10.75 persisted vs 17.86 recomputed, min over
+    # alternating fresh-JVM legs) where the duplicated corpus-scale
+    # groupBy outweighs the cache build. 100_000 splits the measured
+    # regimes (sf1 = 50K docs recompute-wins, sf10 = 500K persist-wins);
+    # the gate rides the same memoized source row count as the join
+    # strategy, so no extra action. MEMORY_AND_DISK spills rather than
+    # OOMs; at 100 TB you would materialize the gram table to the lake.
+    persist_worthwhile = model_rows > 100_000
     tri_ref = _ngrams(
         reference if reference is not None else docs,
         3,
         id_col=id_col,
         text_col=text_col,
-    ).persist()
-    # Persisted: three consumers (v, ctx_counts, the model join) would
-    # otherwise each re-run the corpus-scale gram groupBy; the table
-    # itself is model-scale (distinct grams). Neither persist here is
-    # unpersisted before return — the result is lazy, so releasing early
-    # would defeat the reuse. Growth is bounded: CacheManager dedupes on
-    # logical-plan equality, so repeated calls over the same input pin
-    # ONE copy of each frame, and bench.py clearCache()s between timed
-    # runs (the pinned-storage GC hazard its probes measure).
+    )
+    if persist_worthwhile:
+        tri_ref = tri_ref.persist()
     # Aggregates/projections as parsed SQL strings (r12 chatter pass):
     # identical expression trees, one py4j round trip per string instead
     # of one per Column node.
-    tri_counts = (
-        tri_ref.groupBy("gram")
-        .agg(F.expr("count(1)").alias("c_tri"))
-        .persist()
+    tri_counts = tri_ref.groupBy("gram").agg(
+        F.expr("count(1)").alias("c_tri")
     )
+    if persist_worthwhile:
+        tri_counts = tri_counts.persist()
     # Size-aware join strategy for the MODEL-side joins (r7, found by the
     # sf1->sf3 sweep): the model table grows with the corpus (exactly
     # linearly on the rotated sweep lakes, Heaps-law in real text), so
@@ -142,14 +156,8 @@ def ngram_lm_score(
     # grams: broadcast wins; 50K docs/272K grams: shuffle wins); a
     # corpus of few huge documents would misjudge — at 100 TB this
     # decision comes from catalog distinct-count stats instead.
-    # ``model_rows`` lets a caller that already knows (or memoizes) the
-    # corpus size skip the count job — this is a plan BUILDER, and an
-    # unconditional action here would run once per construction (5× per
-    # benched query: 2 warmups + 3 timed).
-    if model_rows is None:
-        model_src = reference if reference is not None else docs
-        model_rows = model_src.count()
-    big_model = model_rows > 20_000
+    # (``model_rows``/``big_model`` are resolved at the top of the
+    # function, before the persist gate that shares them.)
 
     def _model_side(df: DataFrame) -> DataFrame:
         return df.hint("shuffle_hash") if big_model else df

@@ -459,9 +459,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         width, F.col("doc_id")
     )
+    # NOT persisted (r12 session 2): the shingle table feeds both join
+    # sides and was cached through r11, but the InMemoryRelation
+    # build+read machinery costs more than recomputing it at EVERY
+    # measured scale — tools/probe_persist_ab.py (alternating arms, one
+    # session): wall 1.79 → 1.33 s / CPU 17.6 → 12.5 at sf0.1, wall
+    # 2.32 → 1.87 / CPU 34.8 → 23.4 at sf1; alternating fresh-JVM legs
+    # at sf10 (bench_logs/r12/persist_sf10_ARM*_leg*.out, label
+    # correction in persist_legs.log): min-wall 16.62 persisted vs
+    # 12.07 recomputed (−27%). Unlike lm's trigram table the recompute
+    # here is bounded: the distinct-shingle aggregate's exchange subtree
+    # is byte-identical on both sides, and at 100 TB an in-executor-
+    # memory copy of a corpus-scale table was never viable anyway — the
+    # lake, not the block manager, is where a reused shingle table would
+    # be materialized.
     sh = D.exploded_distinct_shingles(
         d, X.tokens(F.col("text")), 3, hash_shingles=True
-    ).persist()
+    )
     # Each side is EXPLICITLY repartitioned on the join key at `width`
     # (REPARTITION_BY_NUM satisfies the join's distribution, so
     # EnsureRequirements plants nothing on top and the join executes at
@@ -1430,9 +1444,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, F.col("doc_id")
     )
+    # NOT persisted (r12 session 2, tools/probe_persist_ab.py): wall
+    # 2.33 → 1.86 s / CPU 21.5 → 15.6 at sf0.1 without the cache — the
+    # InMemoryRelation build costs more than recomputing the shared
+    # shingle subtree, whose exchange runtime ReusedExchange dedupes.
     sh = D.exploded_distinct_shingles(
         d, X.tokens(F.col("text")), 4, hash_shingles=True
-    ).persist()
+    )
     eval_sh = sh.filter(F.col("doc_id") % 7 == 0).select("s").distinct()
     train_sh = sh.filter(F.col("doc_id") % 7 != 0)
     exact_rows = (

@@ -162,6 +162,15 @@ def main() -> None:
         help="one file per bucket (pre-repartitioned write): sequential "
         "cold reads + trustable write-time sort order",
     )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra runtime conf for the probe arm (repeatable) — e.g. "
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=128m "
+        "for the r12 lake-path SMJ->SHJ counterfactual",
+    )
     args = ap.parse_args()
     if args.mode != "lake" and not args.bucket_dir:
         ap.error(f"--bucket-dir required for mode {args.mode}")
@@ -182,6 +191,10 @@ def main() -> None:
             )
         )
         return
+
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
 
     fn = _query_fn(args.query)
     if args.mode == "lake":
