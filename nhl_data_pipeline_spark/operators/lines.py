@@ -74,23 +74,68 @@ def strip_frequent_lines(
     Returns (id, text, n_lines, n_removed): the cleaned text (empty string
     when every line was boilerplate), the original line count, and how many
     lines were stripped. Deterministic and idempotent given a fixed corpus.
+
+    Shape (r13, guide §8 "decide with small rows, move big rows once"):
+    the pre-r13 form pushed the WHOLE corpus through explode → broadcast
+    anti-join → sort_array(collect_list(struct(pos, line))) reassembly —
+    every line string (documents here are multi-KB single lines) was
+    hashed by the frequency aggregate's distinct expansion, compared by
+    the anti-join, buffered by the object aggregate and re-concatenated,
+    4.5 of curation_pipeline's 13.8 executor-CPU-s at sf0.1
+    (bench_logs/r13/probe_curation_decomp_r13.out). Only the DECISION
+    (which lines are boilerplate) needs cross-document information, and
+    it only needs 8-byte line hashes; the strip itself is per-row. So:
+
+    1. frequency pass over ``xxhash64(line)`` — the heavy strings die at
+       the scan projection; every aggregate/shuffle key is a long;
+    2. the boilerplate set (small by construction: repeated ⇒ few
+       distinct) is collapsed to ONE row holding ``collect_set(hash)``
+       and broadcast;
+    3. each doc strips itself with a per-row array filter against that
+       set and re-concats — zero corpus-sized shuffle, no reassembly
+       aggregate, order preserved by construction (``filter`` keeps
+       array order).
+
+    Exactness: identical to the string-keyed form unless two DISTINCT
+    lines collide in xxhash64 (would merge their document frequencies /
+    strip an innocent line). Birthday bound ~L²/2⁶⁵ for L distinct lines
+    — the same accepted collision class as the shingle hashing in
+    operators/dedup.py (≈1e-11 even at 1e7 distinct lines), and the
+    DuckDB oracle (string-keyed, strip_frequent_lines_sql) cross-checks
+    every downstream value. At web scale a boiler set too large to
+    broadcast would fall back to the join form; boilerplate's definition
+    (few distinct strings repeated many times) keeps it small here.
     """
     lines = exploded_lines(docs, id_col=id_col, text_col=text_col)
-    boiler = frequent_lines(lines, min_docs, id_col=id_col).select("line")
-    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.expr(
-            "concat_ws('\\n', transform("
-            "sort_array(collect_list(struct(pos, line))), s -> s.line))"
-        ).alias("text"),
-        F.expr("count(1)").alias("n_kept"),
+    # Blank/whitespace-only lines excluded, as in frequent_lines: they
+    # would always cross the threshold and collapse paragraph structure.
+    boiler_set = (
+        lines.filter("length(trim(line)) > 0")
+        .select(F.col(id_col), F.xxhash64("line").alias("hl"))
+        .groupBy("hl")
+        .agg(F.expr(f"count(DISTINCT {id_col})").alias("n_docs"))
+        .filter(f"n_docs >= {int(min_docs)}")
+        .agg(F.expr("collect_set(hl)").alias("boiler_hl"))  # exactly 1 row
     )
-    totals = lines.groupBy(id_col).agg(F.expr("count(1)").alias("n_lines"))
-    return totals.join(rebuilt, id_col, "left").selectExpr(
-        id_col,
-        "COALESCE(text, '') AS text",
-        "n_lines",
-        "n_lines - COALESCE(n_kept, 0) AS n_removed",
+    # NULL-text docs produce no exploded rows, so the legacy form dropped
+    # them from the output; the per-row form keeps that contract.
+    return (
+        docs.filter(f"{text_col} IS NOT NULL")
+        .join(F.broadcast(boiler_set))  # 1-row cross: ships the set
+        .select(
+            F.col(id_col),
+            F.split(F.col(text_col), NEWLINE).alias("_sp"),
+            "boiler_hl",
+        )
+        .selectExpr(
+            id_col,
+            "concat_ws('\\n', filter(_sp,"
+            " l -> NOT array_contains(boiler_hl, xxhash64(l)))) AS text",
+            "CAST(size(_sp) AS BIGINT) AS n_lines",
+            "CAST(size(_sp) - size(filter(_sp,"
+            " l -> NOT array_contains(boiler_hl, xxhash64(l))))"
+            " AS BIGINT) AS n_removed",
+        )
     )
 
 

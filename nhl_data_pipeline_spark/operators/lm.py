@@ -45,21 +45,30 @@ FIXED_POINT = 1_000_000_000_000  # 10^12
 
 
 def _ngrams(d: DataFrame, n: int, *, id_col: str, text_col: str) -> DataFrame:
-    """(id, gram) rows — whitespace-token n-grams via the codegen
-    posexplode + lead-window path (one exchange; see
-    dedup.exploded_distinct_shingles, same shape WITHOUT the distinct)."""
-    from pyspark.sql.window import Window
-
+    """(id, gram) rows — whitespace-token n-grams, a pure codegen MAP:
+    posexplode carrying the token array, the following tokens read by
+    position with element_at (see dedup.exploded_distinct_shingles, same
+    r13 rewrite WITHOUT the distinct). The pre-r13 lead-window form
+    needed a hash distribution on id, which planted an EXCHANGE of the
+    whole exploded token table in every lm plan (the corpus × tokens
+    rows, shuffled only to sort for lead()); this form has no
+    distribution requirement at all — the explode pipelines into the
+    gram/context aggregates, whose own exchanges move far fewer bytes
+    (grams are Heaps-law-sublinear in the corpus). Filter before
+    element_at: ANSI mode throws on out-of-bounds array reads."""
     tok = d.select(
-        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, n)]
-    parts = ["tok", *[f"t{i}" for i in range(1, n)]]
-    return (
-        tok.select(id_col, "tok", *leads)
-        .filter(F.col(f"t{n - 1}").isNotNull())
-        .select(id_col, F.concat_ws(" ", *parts).alias("gram"))
+        F.col(id_col), tokens(F.col(text_col)).alias("_tk")
+    ).select(id_col, "_tk", F.posexplode(F.col("_tk")).alias("pos", "tok"))
+    in_range = tok.filter(F.col("pos") + n <= F.size(F.col("_tk")))
+    parts = [
+        F.col("tok"),
+        *[
+            F.element_at(F.col("_tk"), F.col("pos") + (i + 1))
+            for i in range(1, n)
+        ],
+    ]
+    return in_range.select(
+        id_col, F.concat_ws(" ", *parts).alias("gram")
     )
 
 

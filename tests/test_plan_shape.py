@@ -161,9 +161,11 @@ def test_mixture_rates_broadcast_back(spark):
 
 
 def test_line_dedup_boilerplate_set_broadcasts(spark):
-    """strip_frequent_lines: the frequent-line set joins back as a
-    broadcast LEFT ANTI — the exploded corpus never shuffles for the
-    filter; reassembly's groupBy is the only corpus-sized exchange."""
+    """strip_frequent_lines (r13 shape): the boilerplate HASH set is
+    collapsed to one row and attaches via a 1-row broadcast nested-loop
+    cross — the corpus never shuffles at all for the strip (no exploded
+    anti-join, no reassembly aggregate); the only aggregate in the plan
+    is the hash-keyed frequency pass."""
     from pyspark.sql import functions as F
 
     from nhl_data_pipeline_spark.operators import lines as L
@@ -175,8 +177,11 @@ def test_line_dedup_boilerplate_set_broadcasts(spark):
         ).alias("text"),
     )
     p = plan_str(L.strip_frequent_lines(docs, 5))
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p
-    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row set attach
+    assert "SortMergeJoin" not in p and "LeftAnti" not in p
+    # the corpus side of the strip is shuffle-free: the only exchanges
+    # belong to the hash-keyed frequency aggregate (+ its 1-row collapse)
+    assert "collect_set(hl" in p or "collect_set" in p
 
 
 def test_chunking_is_a_pure_map(spark):
